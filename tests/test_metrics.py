@@ -1,0 +1,129 @@
+"""L3 tests: SER / sync / CPE golden parity with the reference + invariances."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vae_equalizer_tpu.metrics import (
+    cpe_dp,
+    cpe_siso,
+    find_shift_dp,
+    find_shift_symb_dp,
+    mutual_information,
+    ser_const_siso,
+    ser_constell_shaping,
+    ser_iqflip,
+    ser_q_siso,
+)
+
+
+def test_ser_q_siso_golden(golden):
+    g = golden("ser_siso")
+    num_lev = g["amp_levels"].shape[0]
+    got = ser_q_siso(jnp.asarray(g["q"]), jnp.asarray(g["tx"]), num_lev)
+    np.testing.assert_allclose(float(got), g["ser_q"], atol=1e-6)
+
+
+def test_ser_const_siso_golden(golden):
+    g = golden("ser_siso")
+    got = ser_const_siso(jnp.asarray(g["rx"]), jnp.asarray(g["tx"]), jnp.asarray(g["amp_levels"]))
+    np.testing.assert_allclose(float(got), g["ser_cma"], atol=1e-6)
+
+
+def test_ser_iqflip_golden(golden):
+    g = golden("ser_dp")
+    got = ser_iqflip(jnp.asarray(g["q"]), jnp.asarray(g["tx"]))
+    np.testing.assert_allclose(np.asarray(got), g["ser_iqflip"], atol=1e-6)
+
+
+def test_ser_constell_shaping_golden(golden):
+    g = golden("ser_dp")
+    got = ser_constell_shaping(
+        jnp.asarray(g["rx"]),
+        jnp.asarray(g["tx"]),
+        jnp.asarray(g["amp_levels"]),
+        float(g["nu_sc"]),
+        jnp.asarray(g["var"]),
+    )
+    np.testing.assert_allclose(np.asarray(got), g["ser_constell"], atol=1e-6)
+
+
+def test_ser_ambiguity_invariance():
+    """SER must be invariant under the 8 phase/IQ ambiguities of the decisions."""
+    rng = np.random.default_rng(7)
+    num_lev = 8
+    N = 500
+    amps = (np.arange(-7, 8, 2) / np.sqrt(42)).astype(np.float32)
+    tx_idx = rng.integers(0, num_lev, size=(2, 2, N))
+    tx = amps[tx_idx]
+    # q peaked at the correct symbols
+    q = np.full((2, 2 * num_lev, N), 1e-3, np.float32)
+    for p in range(2):
+        q[p, tx_idx[p, 0], np.arange(N)] = 1.0
+        q[p, num_lev + tx_idx[p, 1], np.arange(N)] = 1.0
+    base = np.asarray(ser_iqflip(jnp.asarray(q), jnp.asarray(tx)))
+    assert np.all(base < 1e-6)
+    # pi/2-rotated decisions (I<->Q swap with one negation) must still give ~0
+    q_rot = np.concatenate([q[:, num_lev:][:, ::-1], q[:, :num_lev]], axis=1)
+    rot = np.asarray(ser_iqflip(jnp.asarray(q_rot), jnp.asarray(tx)))
+    assert np.all(rot < 1e-6)
+
+
+def test_ser_weighted_mask_matches_slice():
+    """weight-mask evaluation == slicing the same symbols (static-shape trick)."""
+    rng = np.random.default_rng(8)
+    num_lev = 8
+    N = 300
+    amps = (np.arange(-7, 8, 2) / np.sqrt(42)).astype(np.float32)
+    tx = amps[rng.integers(0, num_lev, size=(2, N))]
+    q = rng.random((2 * num_lev, N)).astype(np.float32)
+    lo, hi = 11, N - 17
+    want = ser_q_siso(jnp.asarray(q[:, lo:hi]), jnp.asarray(tx[:, lo:hi]), num_lev)
+    w = np.zeros(N, np.float32)
+    w[lo:hi] = 1
+    got = ser_q_siso(jnp.asarray(q), jnp.asarray(tx), num_lev, weight=jnp.asarray(w))
+    np.testing.assert_allclose(float(got), float(want), atol=1e-7)
+
+
+def test_find_shift_dp_golden(golden):
+    g = golden("find_shift")
+    shift, r = find_shift_dp(jnp.asarray(g["q"]), jnp.asarray(g["tx"]), 21, jnp.asarray(g["amp_levels"]))
+    np.testing.assert_array_equal(np.asarray(shift), g["shift"])
+    assert int(r) == int(g["r"])
+    shift2, r2 = find_shift_symb_dp(jnp.asarray(g["out"]), jnp.asarray(g["tx"]), 21)
+    np.testing.assert_array_equal(np.asarray(shift2), g["shift_symb"])
+    assert int(r2) == int(g["r_symb"])
+
+
+def test_cpe_dp_golden(golden):
+    g = golden("cpe_dp")
+    got = np.asarray(jax.jit(cpe_dp)(jnp.asarray(g["y"])))
+    np.testing.assert_allclose(got, g["y_corr"], rtol=2e-4, atol=2e-5)
+
+
+def test_cpe_siso_golden(golden):
+    g = golden("cpe_awgn")
+    got = np.asarray(jax.jit(cpe_siso)(jnp.asarray(g["y"])))
+    np.testing.assert_allclose(got, g["y_corr"], rtol=2e-4, atol=2e-5)
+
+
+def test_mutual_information_limits():
+    """Perfect posteriors -> MI = source entropy; prior posteriors -> MI = 0."""
+    rng = np.random.default_rng(9)
+    num_lev = 8
+    N = 4000
+    amps = (np.arange(-7, 8, 2) / np.sqrt(42)).astype(np.float32)
+    P = np.exp(-0.0872449 * (amps / np.abs(amps).min()) ** 2)
+    P = (P / P.sum()).astype(np.float32)
+    tx_idx = rng.choice(num_lev, size=(2, N), p=P)
+    tx = amps[tx_idx]
+    q_perfect = np.zeros((2 * num_lev, N), np.float32)
+    q_perfect[tx_idx[0], np.arange(N)] = 1
+    q_perfect[num_lev + tx_idx[1], np.arange(N)] = 1
+    ent = -2 * np.sum(P * np.log2(P))
+    mi = float(mutual_information(jnp.asarray(q_perfect), jnp.asarray(tx), jnp.asarray(amps), jnp.asarray(P)))
+    # empirical entropy of the finite sample differs from H(P) slightly
+    assert abs(mi - ent) < 0.1
+    q_prior = np.concatenate([np.tile(P[:, None], (1, N)), np.tile(P[:, None], (1, N))]).astype(np.float32)
+    mi0 = float(mutual_information(jnp.asarray(q_prior), jnp.asarray(tx), jnp.asarray(amps), jnp.asarray(P)))
+    assert abs(mi0) < 1e-5

@@ -1,0 +1,78 @@
+"""End-to-end convergence smoke tests for the training/processing loops.
+
+Statistical parity (SURVEY.md section 4): unseeded RNG in the reference means
+validation is distributional — we check blind convergence to near-zero SER on
+easy configs, and metric plumbing (MI, SNR estimate) on short runs.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from vae_equalizer_tpu.train import (
+    run_cma_awgn,
+    run_cma_dp,
+    train_vae_dp,
+    train_vae_flex_dp,
+    train_vae_le_awgn,
+    train_vae_nn_awgn,
+)
+from vae_equalizer_tpu.utils.config import AwgnCmaConfig, AwgnVaeLeConfig, AwgnVaeNnConfig, DpConfig
+
+
+def test_vae_le_awgn_converges():
+    cfg = AwgnVaeLeConfig(mod="4-QAM", snr_db=18.0, num_epochs=50, epe=10, n_valid=5000)
+    res = train_vae_le_awgn(cfg, jax.random.PRNGKey(0))
+    assert res["ser"][0] > 0.2  # blind start: unequalized ISI
+    assert res["ser"][-1] < 0.02
+    assert res["mi"][-1] > 1.8  # ~2 bits for 4-QAM
+
+
+def test_vae_nn_awgn_runs_and_learns():
+    cfg = AwgnVaeNnConfig(
+        mod="4-QAM", snr_db=18.0, num_epochs=30, epe=10, n_valid=4000, n_train=2000,
+        batch_len=500, kernel_1=15, kernel_2=3, lr=4e-3,
+    )
+    res = train_vae_nn_awgn(cfg, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(res["ser"]))
+    assert res["ser"][-1] < res["ser"][0]
+
+
+def test_cma_awgn_converges():
+    cfg = AwgnCmaConfig(mod="4-QAM", snr_db=18.0, num_epochs=40, epe=10, n_valid=5000,
+                        n_train=4000, lr=1e-3)
+    res = run_cma_awgn(cfg, jax.random.PRNGKey(2))
+    assert res["ser"][-1] < 0.05
+
+
+def test_vae_dp_converges():
+    cfg = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=25, n_frame_max=4000, lr=2.5e-3)
+    res = train_vae_dp(cfg, jax.random.PRNGKey(1))
+    assert res["ser"].shape == (4, 25)
+    assert np.all(res["ser"][2:, -1] < 0.02)  # soft-demapper SER per pol
+    assert np.all(res["mi"][:, -1] > 1.8)
+    # SNR estimate from the ELBO variance should approach the true SNR
+    snr_est = 10 * np.log10(1.0 / np.mean(res["var_est"][:, -1]) / 2)
+    assert 15 < snr_est < 22
+
+
+def test_vae_flex_dp_converges():
+    # flex_step=10 is the reference default; larger steps push the
+    # central-crop misalignment to the edge of the +-10 sync window
+    cfg = DpConfig(
+        loss_type="VAEflex", mod="4-QAM", snr_db=20.0, num_frames=12, n_frame_max=2000,
+        lr=2.5e-3, batch_len=100, flex_step=10,
+    )
+    res = train_vae_flex_dp(cfg, jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(res["ser"]))
+    assert np.all(res["ser"][2:, -1] < 0.05)
+
+
+@pytest.mark.parametrize("variant,lr,frames", [("CMA", 1e-3, 5), ("CMAbatch", 1e-4, 5), ("CMAflex", 5e-5, 8)])
+def test_cma_dp_variants_converge(variant, lr, frames):
+    cfg = DpConfig(
+        loss_type=variant, mod="4-QAM", snr_db=20.0, num_frames=frames, n_frame_max=2000,
+        lr=lr, batch_len=100, flex_step=10,
+    )
+    res = run_cma_dp(cfg, jax.random.PRNGKey(5))
+    assert np.all(res["ser"][:2, -1] < 0.05)

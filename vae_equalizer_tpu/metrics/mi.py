@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["mutual_information"]
+__all__ = ["mutual_information", "mutual_information_ambiguity"]
 
 
 def mutual_information(
@@ -51,3 +51,33 @@ def mutual_information(
         return jnp.mean(info, axis=-1)
     w = jnp.broadcast_to(weight.astype(jnp.float32), info.shape)
     return jnp.sum(info * w, axis=-1) / jnp.sum(w, axis=-1)
+
+
+def mutual_information_ambiguity(
+    q: jnp.ndarray,
+    tx: jnp.ndarray,
+    amps: jnp.ndarray,
+    P: jnp.ndarray,
+    weight: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """MI maximized over the 8 blind phase/IQ ambiguities.
+
+    A blind equalizer may converge to any of the 4 quadrant rotations x
+    IQ-flip; each maps to a permutation of the posterior level axes, under
+    which the achievable rate is unchanged — so the best hypothesis is the
+    meaningful rate estimate (mirrors the min-over-ambiguities SER).
+    """
+    n = amps.shape[0]
+    qi, qq = q[..., :n, :], q[..., n:, :]
+    rev = slice(None, None, -1)
+    variants = []
+    for flip in (False, True):
+        b = qq[..., rev, :] if flip else qq  # IQ-flip reverses the Q levels
+        variants += [
+            jnp.concatenate([qi, b], axis=-2),  # 0
+            jnp.concatenate([qi[..., rev, :], b[..., rev, :]], axis=-2),  # pi
+            jnp.concatenate([b[..., rev, :], qi], axis=-2),  # pi/4
+            jnp.concatenate([b, qi[..., rev, :]], axis=-2),  # 3pi/4
+        ]
+    mis = jnp.stack([mutual_information(v, tx, amps, P, weight) for v in variants])
+    return jnp.max(mis, axis=0)

@@ -1,0 +1,216 @@
+"""AWGN-channel processing loops: VAE-LE, VAE-NN (gradient) and CMA (no-grad).
+
+One jitted device call per epoch (data generation + minibatch scan + optax
+updates fused into a single XLA program) and one per evaluation — versus the
+reference's per-minibatch Python dispatch
+(func_VAELE_MQAM_shaping.py:291-322, func_VAENN_MQAM.py:265-295,
+func_CMA_MQAM_shaping.py:240-256).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..channels import channel_ir, make_awgn_simulator
+from ..core import make_constellation
+from ..metrics import find_shift_siso, find_shift_symb_siso, ser_q_siso, ser_const_siso, cpe_siso
+from ..metrics.mi import mutual_information_ambiguity
+from ..models import (
+    cma_siso,
+    dirac_taps_siso,
+    siso_fir_init,
+    vae_le_siso_forward,
+    vae_nn_init,
+    vae_nn_forward,
+)
+from ..models.losses import elbo_siso
+from ..utils.config import AwgnCmaConfig, AwgnVaeLeConfig, AwgnVaeNnConfig
+from .eval_utils import margin_weight, roll_time
+
+Progress = Callable[[int, dict], None] | None
+
+
+def _history(num_epochs: int, epe: int):
+    return np.zeros(num_epochs // epe, np.float32)
+
+
+def train_vae_le_awgn(cfg: AwgnVaeLeConfig, key: jax.Array, progress: Progress = None):
+    """VAE-LE training on the AWGN ISI channel.
+
+    Returns dict with per-eval SER and MI histories, final params, shifts.
+    Parity: processing (func_VAELE_MQAM_shaping.py:235-324).
+    """
+    const = make_constellation(cfg.mod, cfg.nu)
+    h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
+    gen_train = make_awgn_simulator(const, cfg.snr_db, h_up, m_orig, cfg.n_train, cfg.sps)
+    gen_valid = make_awgn_simulator(const, cfg.snr_db, h_up, m_orig, cfg.n_valid, cfg.sps)
+    amps = jnp.asarray(const.amps)
+    P = jnp.asarray(const.P, jnp.float32)
+    var = 10 ** (-cfg.snr_db / 10)  # demapper variance convention of the SISO path
+    amp_mean = const.amp_mean
+    n_batches = cfg.n_train // cfg.batch_len
+    mb_len = cfg.batch_len * cfg.sps
+
+    params = {"w": siso_fir_init(cfg.m_est), "h": dirac_taps_siso(cfg.m_est)}
+    opt = optax.amsgrad(cfg.lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, rx_mb):
+        q, _ = vae_le_siso_forward(p["w"], rx_mb, amps, amp_mean, var, cfg.sps)
+        return elbo_siso(q, rx_mb, p["h"], amps, P)
+
+    @jax.jit
+    def epoch_step(params, opt_state, key):
+        rx, _ = gen_train(key)
+
+        def mb(carry, m):
+            p, s = carry
+            rx_mb = jax.lax.dynamic_slice_in_dim(rx, m * mb_len, mb_len, 1)
+            loss, g = jax.value_and_grad(loss_fn)(p, rx_mb)
+            updates, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, opt_state), losses = jax.lax.scan(mb, (params, opt_state), jnp.arange(n_batches))
+        return params, opt_state, losses[-1]
+
+    @jax.jit
+    def eval_step(params, key):
+        rx, tx = gen_valid(key)
+        q, _ = vae_le_siso_forward(params["w"], rx, amps, amp_mean, var, cfg.sps)
+        shift = find_shift_siso(q, tx, 21, amps)
+        q_r = roll_time(q, shift)
+        w = margin_weight(cfg.n_valid, shift)
+        ser = ser_q_siso(q_r, tx, const.num_lev, weight=w)
+        mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
+        return ser, mi, shift
+
+    ser_hist, mi_hist = _history(cfg.num_epochs, cfg.epe), _history(cfg.num_epochs, cfg.epe)
+    key_loop = key
+    for epoch in range(cfg.num_epochs):
+        key_loop, k1 = jax.random.split(key_loop)
+        params, opt_state, loss = epoch_step(params, opt_state, k1)
+        if epoch % cfg.epe == 0:
+            key_loop, k2 = jax.random.split(key_loop)
+            ser, mi, shift = eval_step(params, k2)
+            i = epoch // cfg.epe
+            ser_hist[i], mi_hist[i] = float(ser), float(mi)
+            if progress:
+                progress(epoch, {"loss": float(loss), "ser": float(ser), "mi": float(mi), "shift": int(shift)})
+    return {"ser": ser_hist, "mi": mi_hist, "params": params}
+
+
+def train_vae_nn_awgn(cfg: AwgnVaeNnConfig, key: jax.Array, progress: Progress = None):
+    """VAE-NN (CNN) training on the AWGN ISI channel, uniform constellation.
+
+    Parity: processing (func_VAENN_MQAM.py:215-297) — uniform symbols, fixed
+    noise convention, uniform-prior ELBO.
+    """
+    const = make_constellation(cfg.mod, 0.0)
+    h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
+    gen_train = make_awgn_simulator(
+        const, cfg.snr_db, h_up, m_orig, cfg.n_train, cfg.sps, fixed_noise=True
+    )
+    gen_valid = make_awgn_simulator(
+        const, cfg.snr_db, h_up, m_orig, cfg.n_valid, cfg.sps, fixed_noise=True
+    )
+    amps = jnp.asarray(const.amps)
+    P = jnp.asarray(const.P, jnp.float32)
+    n_batches = cfg.n_train // cfg.batch_len
+    mb_len = cfg.batch_len * cfg.sps
+
+    key, k_init = jax.random.split(key)
+    net_params, _ = vae_nn_init(k_init, cfg.kernel_1, cfg.kernel_2, const.num_lev)
+    params = {"net": net_params, "h": dirac_taps_siso(cfg.m_est)}
+    opt = optax.amsgrad(cfg.lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, rx_mb):
+        q = vae_nn_forward(p["net"], rx_mb, cfg.sps)
+        return elbo_siso(q, rx_mb, p["h"], amps, None)
+
+    @jax.jit
+    def epoch_step(params, opt_state, key):
+        rx, _ = gen_train(key)
+
+        def mb(carry, m):
+            p, s = carry
+            rx_mb = jax.lax.dynamic_slice_in_dim(rx, m * mb_len, mb_len, 1)
+            loss, g = jax.value_and_grad(loss_fn)(p, rx_mb)
+            updates, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, opt_state), losses = jax.lax.scan(mb, (params, opt_state), jnp.arange(n_batches))
+        return params, opt_state, losses[-1]
+
+    @jax.jit
+    def eval_step(params, key):
+        rx, tx = gen_valid(key)
+        q = vae_nn_forward(params["net"], rx, cfg.sps)
+        shift = find_shift_siso(q, tx, 21, amps)
+        q_r = roll_time(q, shift)
+        w = margin_weight(cfg.n_valid, shift)
+        ser = ser_q_siso(q_r, tx, const.num_lev, weight=w)
+        mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
+        return ser, mi, shift
+
+    ser_hist, mi_hist = _history(cfg.num_epochs, cfg.epe), _history(cfg.num_epochs, cfg.epe)
+    key_loop = key
+    for epoch in range(cfg.num_epochs):
+        key_loop, k1 = jax.random.split(key_loop)
+        params, opt_state, loss = epoch_step(params, opt_state, k1)
+        if epoch % cfg.epe == 0:
+            key_loop, k2 = jax.random.split(key_loop)
+            ser, mi, shift = eval_step(params, k2)
+            i = epoch // cfg.epe
+            ser_hist[i], mi_hist[i] = float(ser), float(mi)
+            if progress:
+                progress(epoch, {"loss": float(loss), "ser": float(ser), "mi": float(mi), "shift": int(shift)})
+    return {"ser": ser_hist, "mi": mi_hist, "params": params}
+
+
+def run_cma_awgn(cfg: AwgnCmaConfig, key: jax.Array, progress: Progress = None):
+    """CMA baseline on the AWGN ISI channel (no autograd).
+
+    Parity: processing (func_CMA_MQAM_shaping.py:201-256) — per-epoch tap
+    adaptation on fresh data; eval on frozen taps + Viterbi-Viterbi CPE.
+    """
+    const = make_constellation(cfg.mod, cfg.nu)
+    h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
+    gen_train = make_awgn_simulator(const, cfg.snr_db, h_up, m_orig, cfg.n_train, cfg.sps)
+    gen_valid = make_awgn_simulator(const, cfg.snr_db, h_up, m_orig, cfg.n_valid, cfg.sps)
+    amps = jnp.asarray(const.amps)
+    h = dirac_taps_siso(cfg.m_est)
+
+    @jax.jit
+    def train_step(h, key):
+        rx, _ = gen_train(key)
+        out, h, e = cma_siso(rx, cfg.R, h, cfg.lr, cfg.sps, True)
+        return h, jnp.mean(jnp.abs(e))
+
+    @jax.jit
+    def eval_step(h, key):
+        rx, tx = gen_valid(key)
+        out, _, _ = cma_siso(rx, cfg.R, h, cfg.lr, cfg.sps, False)
+        out = cpe_siso(out)
+        shift = find_shift_symb_siso(out, tx, 21)
+        out_r = roll_time(out, shift)
+        w = margin_weight(cfg.n_valid, shift)
+        return ser_const_siso(out_r, tx, amps, weight=w), shift
+
+    ser_hist = _history(cfg.num_epochs, cfg.epe)
+    key_loop = key
+    for epoch in range(cfg.num_epochs):
+        key_loop, k1 = jax.random.split(key_loop)
+        h, loss = train_step(h, k1)
+        if epoch % cfg.epe == 0:
+            key_loop, k2 = jax.random.split(key_loop)
+            ser, shift = eval_step(h, k2)
+            ser_hist[epoch // cfg.epe] = float(ser)
+            if progress:
+                progress(epoch, {"loss": float(loss), "ser": float(ser), "shift": int(shift)})
+    return {"ser": ser_hist, "taps": h}

@@ -1,0 +1,339 @@
+"""Optical dual-pol processing loops: VAE / VAEflex (online training) and the
+CMA / CMAbatch / CMAflex baselines.
+
+Frame semantics follow the reference exactly
+(func_VAELE_DP_MQAM_shaping.py:17-95, func_VAEflex_DP_MQAM_shaping.py:16-90,
+func_CMA*_DP_MQAM_shaping.py): every frame draws fresh channel data with the
+polarization angle advanced by theta_diff (time-varying channel), trains/
+adapts online, and measures SER on the training outputs themselves — there is
+no held-out set in the online setting. One jitted device call per frame.
+
+SER_valid layout matches the reference: rows 0:2 = per-pol SER from the
+constellation output (PCS decision boundaries), rows 2:4 = per-pol SER from
+the soft-demapper posteriors (IQ-flip family).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..channels import channel_ir, make_dp_simulator
+from ..core import make_constellation
+from ..core.constellation import demapper_noise_var
+from ..metrics import (
+    cpe_dp,
+    find_shift_dp,
+    find_shift_symb_dp,
+    ser_constell_shaping,
+    ser_iqflip,
+)
+from ..metrics.mi import mutual_information_ambiguity
+from ..models import (
+    butterfly_init,
+    cma_batch_dp,
+    cma_dp,
+    cma_flex_dp,
+    dirac_taps_dp,
+    soft_demap_dp,
+    vae_le_dp_forward,
+)
+from ..models.losses import elbo_dp
+from ..utils.config import DpConfig
+from .eval_utils import batch_cut_weight, margin_weight_maxshift, roll_dp
+
+Progress = Callable[[int, dict], None] | None
+
+
+def _setup(cfg: DpConfig):
+    const = make_constellation(cfg.mod, cfg.nu)
+    h_up, _ = channel_ir(cfg.channel, cfg.sps)
+    var = jnp.full((2,), demapper_noise_var(const, cfg.snr_db), jnp.float32)
+    return const, h_up, var
+
+
+def train_vae_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
+    """VAE-LE butterfly, online frame training on the optical DP channel."""
+    const, h_up, var = _setup(cfg)
+    m_max = cfg.n_frame_max // cfg.batch_len
+    n_frame = m_max * cfg.batch_len
+    gen = make_dp_simulator(
+        const, cfg.snr_db, h_up, n_frame, cfg.sps, cfg.symb_rate, cfg.tau_cd, cfg.tau_pmd,
+        np.asarray(cfg.phi_iq),
+    )
+    amps = jnp.asarray(const.amps)
+    P = jnp.asarray(const.P, jnp.float32)
+    mb_len = cfg.batch_len * cfg.sps
+
+    params = {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    # the reference halves only the net param group's lr after N_lrhalf frames
+    # (sets it to lr*0.5 once); h_est keeps the base lr
+    # (func_VAELE_DP_MQAM_shaping.py:28-31,45-46)
+    thresh = cfg.n_lrhalf * m_max
+
+    def lr_w(step):
+        return cfg.lr * jnp.where(step >= thresh, 0.5, 1.0)
+
+    opt = optax.multi_transform(
+        {"w": optax.adam(lr_w), "h": optax.adam(cfg.lr)}, {"w": "w", "h": "h"}
+    )
+    opt_state = opt.init(params)
+
+    def loss_fn(p, rx_mb):
+        q, out = vae_le_dp_forward(p["w"], rx_mb, amps, var, const.nu_sc, cfg.sps)
+        loss, var_est = elbo_dp(q, rx_mb, p["h"], amps, P)
+        return loss, (q, out, var_est)
+
+    @jax.jit
+    def frame_step(params, opt_state, key, theta):
+        rx, tx, sigma = gen(key, theta)
+
+        def mb(carry, m):
+            p, s = carry
+            rx_mb = jax.lax.dynamic_slice_in_dim(rx, m * mb_len, mb_len, 2)
+            (loss, (q, out, var_est)), g = jax.value_and_grad(loss_fn, has_aux=True)(p, rx_mb)
+            updates, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), (loss, q, out, var_est)
+
+        (params, opt_state), (losses, q_mb, out_mb, var_est) = jax.lax.scan(
+            mb, (params, opt_state), jnp.arange(m_max)
+        )
+        # (m_max, 2, C, bl) -> (2, C, m_max*bl)
+        q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, n_frame)
+        out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_frame)
+
+        # --- soft-demapper SER (rows 2:4)
+        shift, r = find_shift_dp(q_train, tx, 21, amps)
+        q_r = roll_dp(q_train, shift, r)
+        ms = jnp.max(jnp.abs(shift))
+        w_q = batch_cut_weight(m_max, cfg.batch_len, shift[0], ms, cfg.n_cut)
+        ser_soft = ser_iqflip(q_r, tx, weight=w_q)
+        mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w_q)
+
+        # --- constellation SER (rows 0:2)
+        shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+        out_r = roll_dp(out_const, shift_c, r_c)
+        ms_c = jnp.max(jnp.abs(shift_c))
+        w_c = batch_cut_weight(m_max, cfg.batch_len, shift_c[0], ms_c, cfg.n_cut)
+        ser_const = ser_constell_shaping(out_r, tx, amps, const.nu_sc, var, weight=w_c)
+
+        var_frame = jnp.mean(var_est, axis=0)  # (2,)
+        snr_est = const.pow_mean / jnp.mean(var_est)
+        metrics = {
+            "loss": losses[-1],
+            "ser_const": ser_const,
+            "ser_soft": ser_soft,
+            "mi": mi,
+            "var_est": var_frame,
+            "snr_est_db": 10 * jnp.log10(snr_est),
+            "shift": shift,
+            "r": r,
+            "sigma_n": sigma,
+        }
+        return params, opt_state, metrics
+
+    ser_valid = np.zeros((4, cfg.num_frames), np.float32)
+    var_hist = np.zeros((2, cfg.num_frames), np.float32)
+    mi_hist = np.zeros((2, cfg.num_frames), np.float32)
+    theta = cfg.theta
+    key_loop = key
+    for frame in range(cfg.num_frames):
+        key_loop, k = jax.random.split(key_loop)
+        params, opt_state, m = frame_step(params, opt_state, k, jnp.float32(theta))
+        theta += cfg.theta_diff
+        ser_valid[:2, frame] = np.asarray(m["ser_const"])
+        ser_valid[2:, frame] = np.asarray(m["ser_soft"])
+        var_hist[:, frame] = np.asarray(m["var_est"])
+        mi_hist[:, frame] = np.asarray(m["mi"])
+        if progress:
+            progress(frame, jax.tree.map(np.asarray, m))
+    return {"ser": ser_valid, "var_est": var_hist, "mi": mi_hist, "var": np.asarray(var), "params": params}
+
+
+def train_vae_flex_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
+    """VAEflex: overlapping sliding-window minibatches with central crop."""
+    const, h_up, var = _setup(cfg)
+    m_max0 = cfg.n_frame_max // cfg.batch_len
+    n_frame = m_max0 * cfg.batch_len
+    m_max = (n_frame - cfg.batch_len) // cfg.flex_step * cfg.flex_step
+    m_step = cfg.flex_step
+    n_windows = m_max // m_step
+    gen = make_dp_simulator(
+        const, cfg.snr_db, h_up, n_frame, cfg.sps, cfg.symb_rate, cfg.tau_cd, cfg.tau_pmd,
+        np.asarray(cfg.phi_iq),
+    )
+    amps = jnp.asarray(const.amps)
+    P = jnp.asarray(const.P, jnp.float32)
+    mb_len = cfg.batch_len * cfg.sps
+    crop0 = (cfg.batch_len - m_step) // 2
+
+    params = {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    thresh = cfg.n_lrhalf * n_windows
+
+    def lr_w(step):
+        return cfg.lr * jnp.where(step >= thresh, 0.5, 1.0)
+
+    opt = optax.multi_transform(
+        {"w": optax.adam(lr_w), "h": optax.adam(cfg.lr)}, {"w": "w", "h": "h"}
+    )
+    opt_state = opt.init(params)
+
+    def loss_fn(p, rx_mb):
+        q, out = vae_le_dp_forward(p["w"], rx_mb, amps, var, const.nu_sc, cfg.sps)
+        loss, var_est = elbo_dp(q, rx_mb, p["h"], amps, P)
+        return loss, (q, out, var_est)
+
+    @jax.jit
+    def frame_step(params, opt_state, key, theta):
+        rx, tx_full, sigma = gen(key, theta)
+        # ground truth for the recorded (central-crop) stream
+        tx = jax.lax.dynamic_slice_in_dim(tx_full, cfg.batch_len // 2, m_max, 2)
+
+        def mb(carry, m):
+            p, s = carry
+            rx_mb = jax.lax.dynamic_slice_in_dim(rx, m * m_step * cfg.sps, mb_len, 2)
+            (loss, (q, out, var_est)), g = jax.value_and_grad(loss_fn, has_aux=True)(p, rx_mb)
+            updates, s = opt.update(g, s, p)
+            q_c = jax.lax.dynamic_slice_in_dim(q, crop0, m_step, 2)
+            out_c = jax.lax.dynamic_slice_in_dim(out, crop0, m_step, 2)
+            return (optax.apply_updates(p, updates), s), (loss, q_c, out_c, var_est)
+
+        (params, opt_state), (losses, q_mb, out_mb, var_est) = jax.lax.scan(
+            mb, (params, opt_state), jnp.arange(n_windows)
+        )
+        q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, m_max)
+        out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, m_max)
+
+        shift, r = find_shift_dp(q_train, tx, 21, amps)
+        q_r = roll_dp(q_train, shift, r)
+        ms = jnp.max(jnp.abs(shift))
+        w_q = margin_weight_maxshift(m_max, ms)
+        ser_soft = ser_iqflip(q_r, tx, weight=w_q)
+        mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w_q)
+
+        shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+        out_r = roll_dp(out_const, shift_c, r_c)
+        ms_c = jnp.max(jnp.abs(shift_c))
+        w_c = margin_weight_maxshift(m_max, ms_c)
+        ser_const = ser_constell_shaping(out_r, tx, amps, const.nu_sc, var, weight=w_c)
+
+        var_frame = jnp.mean(var_est, axis=0)
+        snr_est = const.pow_mean / jnp.mean(var_est)
+        metrics = {
+            "loss": losses[-1],
+            "ser_const": ser_const,
+            "ser_soft": ser_soft,
+            "mi": mi,
+            "var_est": var_frame,
+            "snr_est_db": 10 * jnp.log10(snr_est),
+            "shift": shift,
+            "r": r,
+            "sigma_n": sigma,
+        }
+        return params, opt_state, metrics
+
+    ser_valid = np.zeros((4, cfg.num_frames), np.float32)
+    var_hist = np.zeros((2, cfg.num_frames), np.float32)
+    mi_hist = np.zeros((2, cfg.num_frames), np.float32)
+    theta = cfg.theta
+    key_loop = key
+    for frame in range(cfg.num_frames):
+        key_loop, k = jax.random.split(key_loop)
+        params, opt_state, m = frame_step(params, opt_state, k, jnp.float32(theta))
+        theta += cfg.theta_diff
+        ser_valid[:2, frame] = np.asarray(m["ser_const"])
+        ser_valid[2:, frame] = np.asarray(m["ser_soft"])
+        var_hist[:, frame] = np.asarray(m["var_est"])
+        mi_hist[:, frame] = np.asarray(m["mi"])
+        if progress:
+            progress(frame, jax.tree.map(np.asarray, m))
+    return {"ser": ser_valid, "var_est": var_hist, "mi": mi_hist, "var": np.asarray(var), "params": params}
+
+
+def run_cma_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
+    """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
+
+    Per frame: adapt taps online -> CPE -> sync -> constellation SER; then
+    soft demapper -> sync -> posterior SER. The lr halves every n_lrhalf
+    frames (multiplicatively, unlike the VAE path's one-time halving).
+    """
+    const, h_up, var = _setup(cfg)
+    n_frame = cfg.n_frame_max
+    gen = make_dp_simulator(
+        const, cfg.snr_db, h_up, n_frame, cfg.sps, cfg.symb_rate, cfg.tau_cd, cfg.tau_pmd,
+        np.asarray(cfg.phi_iq),
+    )
+    amps = jnp.asarray(const.amps)
+    P = jnp.asarray(const.P, jnp.float32)
+    n_sym = n_frame  # symbols per frame after downsampling
+    n_eval = n_sym - 2 * cfg.n_cut
+
+    if cfg.loss_type == "CMA":
+        equalize = lambda rx, h, lr: cma_dp(rx, cfg.R, h, lr, cfg.sps, True)
+    elif cfg.loss_type == "CMAbatch":
+        equalize = lambda rx, h, lr: cma_batch_dp(rx, cfg.R, h, lr, cfg.batch_len, cfg.sps, True)
+    elif cfg.loss_type == "CMAflex":
+        equalize = lambda rx, h, lr: cma_flex_dp(
+            rx, cfg.R, h, lr, cfg.batch_len, cfg.flex_step, cfg.sps, True
+        )
+    else:
+        raise ValueError(f"unknown CMA variant {cfg.loss_type!r}")
+
+    @jax.jit
+    def frame_step(h, key, theta, lr):
+        rx, tx, sigma = gen(key, theta)
+        out, h, e = equalize(rx, h, lr)
+        out = cpe_dp(out[:, :, cfg.n_cut : -cfg.n_cut])
+        tx_c = tx[:, :, cfg.n_cut : -cfg.n_cut]
+
+        shift_c, r_c = find_shift_symb_dp(out, tx_c, 21)
+        out_r = roll_dp(out, shift_c, r_c)
+        ms_c = jnp.max(jnp.abs(shift_c))
+        w_c = margin_weight_maxshift(n_eval, ms_c)
+        ser_const = ser_constell_shaping(out_r, tx_c, amps, const.nu_sc, var, weight=w_c)
+
+        q = soft_demap_dp(out, amps, var, const.nu_sc)
+        shift, r = find_shift_dp(q, tx_c, 21, amps)
+        q_r = roll_dp(q, shift, r)
+        ms = jnp.max(jnp.abs(shift))
+        w_q = margin_weight_maxshift(n_eval, ms)
+        ser_soft = ser_iqflip(q_r, tx_c, weight=w_q)
+        mi = mutual_information_ambiguity(q_r, tx_c, amps, P, weight=w_q)
+
+        metrics = {
+            "loss": jnp.sum(e),
+            "ser_const": ser_const,
+            "ser_soft": ser_soft,
+            "mi": mi,
+            "shift": shift_c,
+            "r": r_c,
+            "sigma_n": sigma,
+        }
+        return h, metrics
+
+    h = dirac_taps_dp(cfg.m_est)
+    ser_valid = np.zeros((4, cfg.num_frames), np.float32)
+    mi_hist = np.zeros((2, cfg.num_frames), np.float32)
+    theta = cfg.theta
+    key_loop = key
+    for frame in range(cfg.num_frames):
+        lr = cfg.lr * 0.5 ** (frame // cfg.n_lrhalf)
+        key_loop, k = jax.random.split(key_loop)
+        h, m = frame_step(h, k, jnp.float32(theta), jnp.float32(lr))
+        theta += cfg.theta_diff
+        ser_valid[:2, frame] = np.asarray(m["ser_const"])
+        ser_valid[2:, frame] = np.asarray(m["ser_soft"])
+        mi_hist[:, frame] = np.asarray(m["mi"])
+        if progress:
+            progress(frame, jax.tree.map(np.asarray, m))
+    return {
+        "ser": ser_valid,
+        "var_est": np.zeros((2, cfg.num_frames), np.float32),
+        "mi": mi_hist,
+        "var": np.asarray(var),
+        "taps": h,
+    }

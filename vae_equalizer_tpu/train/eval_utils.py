@@ -1,0 +1,62 @@
+"""Static-shape helpers for the reference's data-dependent eval slicing.
+
+The reference slices eval tensors with traced quantities
+(``q[:, 11+shift:-11]``, ``[..., :batch_len-shift-N_cut]``) which would force
+dynamic shapes under jit. Here every such slice becomes roll + boolean weight
+over the full static array; the weighted SER over exactly the same symbol set
+reproduces the reference numbers bit-for-bit (see
+tests/test_metrics.py::test_ser_weighted_mask_matches_slice).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+MARGIN = 11  # the reference's fixed edge trim (func_VAELE_MQAM_shaping.py:318)
+
+
+def roll_time(x: jnp.ndarray, shift) -> jnp.ndarray:
+    """roll by -shift along time: x'[t] = x[t + shift] (no wrap inside mask)."""
+    return jnp.roll(x, -shift, axis=-1)
+
+
+def roll_dp(x: jnp.ndarray, shift, r) -> jnp.ndarray:
+    """Compensate DP pol assignment r and per-pol time shift (2,)."""
+    x = jnp.roll(x, r, axis=0)
+    x0 = jnp.roll(x[0], -shift[0], axis=-1)
+    x1 = jnp.roll(x[1], -shift[1], axis=-1)
+    return jnp.stack([x0, x1])
+
+
+def margin_weight(n: int, shift, margin: int = MARGIN) -> jnp.ndarray:
+    """Weight for the reference's ``x[margin+shift:-margin]`` vs
+    ``tx[margin:-margin-shift]`` comparison after roll_time(x, shift):
+    positions t in [margin, n - margin - shift)."""
+    t = jnp.arange(n)
+    return ((t >= margin) & (t < n - margin - shift)).astype(jnp.float32)
+
+
+def margin_weight_maxshift(n: int, max_shift, margin: int = MARGIN) -> jnp.ndarray:
+    """Weight for the DP eval trim ``[..., margin : -margin - max|shift|]``."""
+    t = jnp.arange(n)
+    return ((t >= margin) & (t < n - margin - max_shift)).astype(jnp.float32)
+
+
+def batch_cut_weight(
+    m_max: int, batch_len: int, shift0, max_shift, n_cut: int, margin: int = MARGIN
+) -> jnp.ndarray:
+    """Weight reproducing the DP VAE eval bookkeeping
+    (func_VAELE_DP_MQAM_shaping.py:73-79):
+
+    reshape to (m_max, batch_len), keep the first batch_len - shift0 - n_cut
+    symbols of each batch, flatten, then trim [margin : -margin - max_shift].
+    Returned flat over the original (m_max * batch_len,) symbol order.
+    """
+    j = jnp.arange(batch_len)[None, :]
+    m = jnp.arange(m_max)[:, None]
+    keep_len = batch_len - shift0 - n_cut
+    kept = j < keep_len
+    pos = m * keep_len + j  # flat index within the kept sequence
+    total = m_max * keep_len
+    w = kept & (pos >= margin) & (pos < total - margin - max_shift)
+    return w.astype(jnp.float32).reshape(-1)

@@ -1,0 +1,49 @@
+"""Shared CLI plumbing for the sweep drivers."""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from ..parallel import run_mesh
+from ..utils import io
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--quick", action="store_true", help="tiny smoke-test workload")
+    p.add_argument("--iters", type=int, default=None, help="independent runs per grid point")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="results")
+    p.add_argument("--no-mesh", action="store_true", help="don't shard runs over devices")
+    p.add_argument("--verbose", action="store_true", help="print per-eval progress")
+    return p
+
+
+def make_progress(verbose: bool):
+    if not verbose:
+        return None
+
+    def progress(step, m):
+        fields = ", ".join(
+            f"{k}={np.round(np.asarray(v), 5)}" for k, v in m.items() if k in ("loss", "ser", "ser_soft", "ser_const", "mi", "snr_est_db")
+        )
+        print(f"  step {step}: {fields}", flush=True)
+
+    return progress
+
+
+def setup(args):
+    mesh = None if args.no_mesh else run_mesh()
+    key = jax.random.PRNGKey(args.seed)
+    return mesh, key
+
+
+def save_results(out_dir, tag, save_dict):
+    name = f"{out_dir}/SERvsSNR_{tag}_{time.strftime('%y%m%d%H%M%S')}.mat"
+    io.save_mat(name, save_dict)
+    print("saved", name)
+    return name

@@ -1,0 +1,78 @@
+"""Optical DP sweep driver — the reference's Eval_run_DP.py.
+
+Grid axes, defaults and the saved .mat layout mirror Eval_run_DP.py:18-114;
+the algorithm is selected with --loss-type instead of an import swap, and the
+iter repeats run vmapped/sharded over the TPU mesh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..parallel.sweep import assemble_mat, run_sweep
+from ..utils.config import DpConfig
+from ._common import base_parser, make_progress, save_results, setup
+
+
+def main(argv=None):
+    p = base_parser("Optical dual-pol sweep (VAE/VAEflex/CMA/CMAbatch/CMAflex)")
+    p.add_argument("--loss-type", default="VAE",
+                   choices=["VAE", "VAEflex", "CMA", "CMAbatch", "CMAflex"])
+    p.add_argument("--mod", default="64-QAM")
+    p.add_argument("--snr", type=float, nargs="+", default=[23.0])
+    p.add_argument("--nu", type=float, nargs="+", default=[0.0])
+    p.add_argument("--lr", type=float, nargs="+", default=[2.5e-3, 2e-3, 3e-3])
+    p.add_argument("--M", type=int, nargs="+", default=[25])
+    p.add_argument("--batch-len", type=int, nargs="+", default=[100])
+    p.add_argument("--flex-step", type=int, nargs="+", default=[10])
+    p.add_argument("--theta-diff", type=float, nargs="+", default=[0.06 * np.pi])
+    p.add_argument("--symb-rate", type=float, nargs="+", default=[90e9])
+    p.add_argument("--num-frames", type=int, default=170)
+    p.add_argument("--n-frame-max", type=int, default=10000)
+    args = p.parse_args(argv)
+
+    iters = args.iters or 5
+    if args.quick:
+        args.mod, args.snr, args.lr = "4-QAM", [20.0], [args.lr[0]]
+        args.num_frames, args.n_frame_max, iters = 4, 2000, args.iters or 2
+
+    base = DpConfig(
+        loss_type=args.loss_type,
+        mod=args.mod,
+        num_frames=args.num_frames,
+        n_frame_max=args.n_frame_max,
+        n_lrhalf=170,
+    )
+    axes = dict(
+        snr_db=args.snr,
+        symb_rate=args.symb_rate,
+        nu=args.nu,
+        theta_diff=args.theta_diff,
+        m_est=args.M,
+        lr=args.lr,
+        batch_len=args.batch_len,
+        flex_step=args.flex_step,
+    )
+    mesh, key = setup(args)
+    results, axes_values, jsonl = run_sweep(
+        args.loss_type, base, axes, iters, key, mesh=mesh, out_dir=args.out,
+        tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
+    )
+    ser = assemble_mat(results, axes_values, iters, (4,))
+    save_results(args.out, f"{args.loss_type}_DP_{args.mod}_N_lrhalf_170_N_train_{args.n_frame_max}", {
+        "SER": ser,
+        "SNR": args.snr,
+        "nu": args.nu,
+        "theta_diff": args.theta_diff,
+        "theta": [base.theta],
+        "M": args.M,
+        "lr": args.lr,
+        "batch_len": args.batch_len,
+        "symb_rate": args.symb_rate,
+        "symb_step": args.flex_step,
+    })
+    print(f"{len(results)} grid points -> {jsonl}")
+
+
+if __name__ == "__main__":
+    main()

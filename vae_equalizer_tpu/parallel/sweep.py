@@ -1,0 +1,125 @@
+"""Hyperparameter-grid sweep engine.
+
+The reference drives sweeps with up to 10 nested Python for-loops and saves
+one .mat at the very end (Eval_run_DP.py:67-114). Here:
+
+  * the grid is an explicit cartesian product of config-field axes,
+  * the independent ``iter`` repeats of each grid point run as one vmapped
+    SPMD program sharded over the TPU mesh (train/batching.py),
+  * every grid point appends a JSONL record the moment it finishes
+    (crash-safe, resumable via ``skip_done``),
+  * the final .mat reproduces the reference's tensor layout
+    (axes x iter x frames) for drop-in analysis-script compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import pathlib
+import time
+
+import jax
+import numpy as np
+
+from ..train import (
+    run_cma_awgn,
+    run_cma_dp,
+    train_vae_dp,
+    train_vae_flex_dp,
+    train_vae_le_awgn,
+    train_vae_nn_awgn,
+)
+from ..utils import io
+
+RUNNERS = {
+    "VAE-LE-AWGN": train_vae_le_awgn,
+    "VAE-NN-AWGN": train_vae_nn_awgn,
+    "CMA-AWGN": run_cma_awgn,
+    "VAE": train_vae_dp,
+    "VAEflex": train_vae_flex_dp,
+    "CMA": run_cma_dp,
+    "CMAbatch": run_cma_dp,
+    "CMAflex": run_cma_dp,
+}
+
+
+def expand_grid(base_cfg, **axes):
+    """Cartesian product of config-field value lists.
+
+    Returns (configs, coords, axes) where coords[i] are the per-axis indices
+    of configs[i] in the grid (used to scatter results into the .mat tensor).
+    """
+    names = list(axes)
+    values = [list(axes[n]) for n in names]
+    configs, coords = [], []
+    for combo in itertools.product(*[range(len(v)) for v in values]):
+        override = {n: values[i][combo[i]] for i, n in enumerate(names)}
+        configs.append(dataclasses.replace(base_cfg, **override))
+        coords.append(combo)
+    return configs, coords, dict(zip(names, values))
+
+
+def run_sweep(
+    runner_name: str,
+    base_cfg,
+    axes: dict,
+    iters: int,
+    key: jax.Array,
+    mesh=None,
+    out_dir: str | pathlib.Path = "results",
+    tag: str = "",
+    progress=None,
+    skip_done: bool = False,
+):
+    """Run a full grid; returns list of per-point results.
+
+    Each result record: {"coords", "config", "ser", ...}. ``ser`` has shape
+    (iters, ...) — the runner's history with a leading repeat axis.
+    """
+    runner = RUNNERS[runner_name]
+    configs, coords, axes_values = expand_grid(base_cfg, **axes)
+    out_dir = pathlib.Path(out_dir)
+    stamp = time.strftime("%y%m%d%H%M%S")
+    tag = tag or runner_name
+    jsonl = out_dir / f"sweep_{tag}_{stamp}.jsonl"
+
+    done = set()
+    if skip_done and jsonl.exists():
+        done = {tuple(r["coords"]) for r in io.read_jsonl(jsonl)}
+
+    results = []
+    for i, (cfg, coord) in enumerate(zip(configs, coords)):
+        if tuple(coord) in done:
+            continue
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        res = runner(cfg, k, runs=iters, mesh=mesh, progress=progress)
+        wall = time.time() - t0
+        record = {
+            "coords": list(coord),
+            "config": dataclasses.asdict(cfg),
+            "wall_s": wall,
+            **{m: res[m] for m in ("ser", "mi", "var_est") if m in res},
+        }
+        io.append_jsonl(jsonl, record)
+        results.append(record)
+    return results, axes_values, jsonl
+
+
+def assemble_mat(results, axes_values, iters: int, lead_shape: tuple[int, ...]):
+    """Scatter per-point SER histories into the reference's tensor layout.
+
+    lead_shape: leading dims of one run's history (e.g. (4,) rows for DP,
+    () for AWGN). Returns ndarray of shape lead_shape + grid_dims + (iters,
+    history_len).
+    """
+    grid_dims = tuple(len(v) for v in axes_values.values())
+    hist_len = np.asarray(results[0]["ser"]).shape[-1]
+    out = np.full(lead_shape + grid_dims + (iters, hist_len), np.nan, np.float32)
+    for rec in results:
+        ser = np.asarray(rec["ser"])  # (iters, *lead_shape, hist)
+        ser = np.moveaxis(ser, 0, -2) if ser.ndim > 2 else ser  # lead axes first
+        idx = (slice(None),) * len(lead_shape) + tuple(rec["coords"])
+        out[idx] = ser
+    return out

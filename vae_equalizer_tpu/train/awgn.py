@@ -5,6 +5,11 @@ updates fused into a single XLA program) and one per evaluation — versus the
 reference's per-minibatch Python dispatch
 (func_VAELE_MQAM_shaping.py:291-322, func_VAENN_MQAM.py:265-295,
 func_CMA_MQAM_shaping.py:240-256).
+
+Every loop takes ``runs``/``mesh``: independent repeats (the reference's
+``iter`` axis) are vmapped into one SPMD program and sharded over the device
+mesh (see train/batching.py). With ``runs=None`` histories are scalars per
+eval; with ``runs=k`` they gain a leading runs axis.
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh
 
 from ..channels import channel_ir, make_awgn_simulator
 from ..core import make_constellation
@@ -30,19 +36,39 @@ from ..models import (
 )
 from ..models.losses import elbo_siso
 from ..utils.config import AwgnCmaConfig, AwgnVaeLeConfig, AwgnVaeNnConfig
+from .batching import broadcast_runs, shard_runs
 from .eval_utils import margin_weight, roll_time
 
 Progress = Callable[[int, dict], None] | None
 
 
-def _history(num_epochs: int, epe: int):
-    return np.zeros(num_epochs // epe, np.float32)
+def _prepare(params, opt, runs, mesh):
+    """(params, opt_state, per-call jit/vmap wrapper, key splitter)."""
+    if runs is None:
+        return params, opt.init(params), jax.jit, (lambda k: k)
+    params = shard_runs(broadcast_runs(params, runs), mesh)
+    opt_state = jax.vmap(opt.init)(params)
+
+    def wrap(fn):
+        return jax.jit(jax.vmap(fn))
+
+    return params, opt_state, wrap, (lambda k: jax.random.split(k, runs))
 
 
-def train_vae_le_awgn(cfg: AwgnVaeLeConfig, key: jax.Array, progress: Progress = None):
+def _hist(shape_prefix, num_epochs, epe):
+    return np.zeros(shape_prefix + (num_epochs // epe,), np.float32)
+
+
+def train_vae_le_awgn(
+    cfg: AwgnVaeLeConfig,
+    key: jax.Array,
+    progress: Progress = None,
+    runs: int | None = None,
+    mesh: Mesh | None = None,
+):
     """VAE-LE training on the AWGN ISI channel.
 
-    Returns dict with per-eval SER and MI histories, final params, shifts.
+    Returns dict with per-eval SER and MI histories and final params.
     Parity: processing (func_VAELE_MQAM_shaping.py:235-324).
     """
     const = make_constellation(cfg.mod, cfg.nu)
@@ -56,15 +82,13 @@ def train_vae_le_awgn(cfg: AwgnVaeLeConfig, key: jax.Array, progress: Progress =
     n_batches = cfg.n_train // cfg.batch_len
     mb_len = cfg.batch_len * cfg.sps
 
-    params = {"w": siso_fir_init(cfg.m_est), "h": dirac_taps_siso(cfg.m_est)}
+    params0 = {"w": siso_fir_init(cfg.m_est), "h": dirac_taps_siso(cfg.m_est)}
     opt = optax.amsgrad(cfg.lr)
-    opt_state = opt.init(params)
 
     def loss_fn(p, rx_mb):
         q, _ = vae_le_siso_forward(p["w"], rx_mb, amps, amp_mean, var, cfg.sps)
         return elbo_siso(q, rx_mb, p["h"], amps, P)
 
-    @jax.jit
     def epoch_step(params, opt_state, key):
         rx, _ = gen_train(key)
 
@@ -78,7 +102,6 @@ def train_vae_le_awgn(cfg: AwgnVaeLeConfig, key: jax.Array, progress: Progress =
         (params, opt_state), losses = jax.lax.scan(mb, (params, opt_state), jnp.arange(n_batches))
         return params, opt_state, losses[-1]
 
-    @jax.jit
     def eval_step(params, key):
         rx, tx = gen_valid(key)
         q, _ = vae_le_siso_forward(params["w"], rx, amps, amp_mean, var, cfg.sps)
@@ -89,22 +112,33 @@ def train_vae_le_awgn(cfg: AwgnVaeLeConfig, key: jax.Array, progress: Progress =
         mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
         return ser, mi, shift
 
-    ser_hist, mi_hist = _history(cfg.num_epochs, cfg.epe), _history(cfg.num_epochs, cfg.epe)
+    params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
+    epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
+
+    prefix = () if runs is None else (runs,)
+    ser_hist, mi_hist = _hist(prefix, cfg.num_epochs, cfg.epe), _hist(prefix, cfg.num_epochs, cfg.epe)
     key_loop = key
     for epoch in range(cfg.num_epochs):
         key_loop, k1 = jax.random.split(key_loop)
-        params, opt_state, loss = epoch_step(params, opt_state, k1)
+        params, opt_state, loss = epoch_step(params, opt_state, splitk(k1))
         if epoch % cfg.epe == 0:
             key_loop, k2 = jax.random.split(key_loop)
-            ser, mi, shift = eval_step(params, k2)
+            ser, mi, shift = eval_step(params, splitk(k2))
             i = epoch // cfg.epe
-            ser_hist[i], mi_hist[i] = float(ser), float(mi)
+            ser_hist[..., i], mi_hist[..., i] = np.asarray(ser), np.asarray(mi)
             if progress:
-                progress(epoch, {"loss": float(loss), "ser": float(ser), "mi": float(mi), "shift": int(shift)})
+                progress(epoch, {"loss": np.asarray(loss), "ser": np.asarray(ser),
+                                 "mi": np.asarray(mi), "shift": np.asarray(shift)})
     return {"ser": ser_hist, "mi": mi_hist, "params": params}
 
 
-def train_vae_nn_awgn(cfg: AwgnVaeNnConfig, key: jax.Array, progress: Progress = None):
+def train_vae_nn_awgn(
+    cfg: AwgnVaeNnConfig,
+    key: jax.Array,
+    progress: Progress = None,
+    runs: int | None = None,
+    mesh: Mesh | None = None,
+):
     """VAE-NN (CNN) training on the AWGN ISI channel, uniform constellation.
 
     Parity: processing (func_VAENN_MQAM.py:215-297) — uniform symbols, fixed
@@ -125,15 +159,13 @@ def train_vae_nn_awgn(cfg: AwgnVaeNnConfig, key: jax.Array, progress: Progress =
 
     key, k_init = jax.random.split(key)
     net_params, _ = vae_nn_init(k_init, cfg.kernel_1, cfg.kernel_2, const.num_lev)
-    params = {"net": net_params, "h": dirac_taps_siso(cfg.m_est)}
+    params0 = {"net": net_params, "h": dirac_taps_siso(cfg.m_est)}
     opt = optax.amsgrad(cfg.lr)
-    opt_state = opt.init(params)
 
     def loss_fn(p, rx_mb):
         q = vae_nn_forward(p["net"], rx_mb, cfg.sps)
         return elbo_siso(q, rx_mb, p["h"], amps, None)
 
-    @jax.jit
     def epoch_step(params, opt_state, key):
         rx, _ = gen_train(key)
 
@@ -147,7 +179,6 @@ def train_vae_nn_awgn(cfg: AwgnVaeNnConfig, key: jax.Array, progress: Progress =
         (params, opt_state), losses = jax.lax.scan(mb, (params, opt_state), jnp.arange(n_batches))
         return params, opt_state, losses[-1]
 
-    @jax.jit
     def eval_step(params, key):
         rx, tx = gen_valid(key)
         q = vae_nn_forward(params["net"], rx, cfg.sps)
@@ -158,22 +189,33 @@ def train_vae_nn_awgn(cfg: AwgnVaeNnConfig, key: jax.Array, progress: Progress =
         mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
         return ser, mi, shift
 
-    ser_hist, mi_hist = _history(cfg.num_epochs, cfg.epe), _history(cfg.num_epochs, cfg.epe)
+    params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
+    epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
+
+    prefix = () if runs is None else (runs,)
+    ser_hist, mi_hist = _hist(prefix, cfg.num_epochs, cfg.epe), _hist(prefix, cfg.num_epochs, cfg.epe)
     key_loop = key
     for epoch in range(cfg.num_epochs):
         key_loop, k1 = jax.random.split(key_loop)
-        params, opt_state, loss = epoch_step(params, opt_state, k1)
+        params, opt_state, loss = epoch_step(params, opt_state, splitk(k1))
         if epoch % cfg.epe == 0:
             key_loop, k2 = jax.random.split(key_loop)
-            ser, mi, shift = eval_step(params, k2)
+            ser, mi, shift = eval_step(params, splitk(k2))
             i = epoch // cfg.epe
-            ser_hist[i], mi_hist[i] = float(ser), float(mi)
+            ser_hist[..., i], mi_hist[..., i] = np.asarray(ser), np.asarray(mi)
             if progress:
-                progress(epoch, {"loss": float(loss), "ser": float(ser), "mi": float(mi), "shift": int(shift)})
+                progress(epoch, {"loss": np.asarray(loss), "ser": np.asarray(ser),
+                                 "mi": np.asarray(mi), "shift": np.asarray(shift)})
     return {"ser": ser_hist, "mi": mi_hist, "params": params}
 
 
-def run_cma_awgn(cfg: AwgnCmaConfig, key: jax.Array, progress: Progress = None):
+def run_cma_awgn(
+    cfg: AwgnCmaConfig,
+    key: jax.Array,
+    progress: Progress = None,
+    runs: int | None = None,
+    mesh: Mesh | None = None,
+):
     """CMA baseline on the AWGN ISI channel (no autograd).
 
     Parity: processing (func_CMA_MQAM_shaping.py:201-256) — per-epoch tap
@@ -184,15 +226,12 @@ def run_cma_awgn(cfg: AwgnCmaConfig, key: jax.Array, progress: Progress = None):
     gen_train = make_awgn_simulator(const, cfg.snr_db, h_up, m_orig, cfg.n_train, cfg.sps)
     gen_valid = make_awgn_simulator(const, cfg.snr_db, h_up, m_orig, cfg.n_valid, cfg.sps)
     amps = jnp.asarray(const.amps)
-    h = dirac_taps_siso(cfg.m_est)
 
-    @jax.jit
     def train_step(h, key):
         rx, _ = gen_train(key)
         out, h, e = cma_siso(rx, cfg.R, h, cfg.lr, cfg.sps, True)
         return h, jnp.mean(jnp.abs(e))
 
-    @jax.jit
     def eval_step(h, key):
         rx, tx = gen_valid(key)
         out, _, _ = cma_siso(rx, cfg.R, h, cfg.lr, cfg.sps, False)
@@ -202,15 +241,24 @@ def run_cma_awgn(cfg: AwgnCmaConfig, key: jax.Array, progress: Progress = None):
         w = margin_weight(cfg.n_valid, shift)
         return ser_const_siso(out_r, tx, amps, weight=w), shift
 
-    ser_hist = _history(cfg.num_epochs, cfg.epe)
+    h = dirac_taps_siso(cfg.m_est)
+    if runs is None:
+        wrap, splitk = jax.jit, (lambda k: k)
+    else:
+        h = shard_runs(broadcast_runs(h, runs), mesh)
+        wrap, splitk = (lambda f: jax.jit(jax.vmap(f))), (lambda k: jax.random.split(k, runs))
+    train_step, eval_step = wrap(train_step), wrap(eval_step)
+
+    prefix = () if runs is None else (runs,)
+    ser_hist = _hist(prefix, cfg.num_epochs, cfg.epe)
     key_loop = key
     for epoch in range(cfg.num_epochs):
         key_loop, k1 = jax.random.split(key_loop)
-        h, loss = train_step(h, k1)
+        h, loss = train_step(h, splitk(k1))
         if epoch % cfg.epe == 0:
             key_loop, k2 = jax.random.split(key_loop)
-            ser, shift = eval_step(h, k2)
-            ser_hist[epoch // cfg.epe] = float(ser)
+            ser, shift = eval_step(h, splitk(k2))
+            ser_hist[..., epoch // cfg.epe] = np.asarray(ser)
             if progress:
-                progress(epoch, {"loss": float(loss), "ser": float(ser), "shift": int(shift)})
+                progress(epoch, {"loss": np.asarray(loss), "ser": np.asarray(ser), "shift": np.asarray(shift)})
     return {"ser": ser_hist, "taps": h}

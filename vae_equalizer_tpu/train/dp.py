@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh
 
 from ..channels import channel_ir, make_dp_simulator
 from ..core import make_constellation
@@ -44,6 +45,7 @@ from ..models import (
 )
 from ..models.losses import elbo_dp
 from ..utils.config import DpConfig
+from .batching import broadcast_runs, shard_runs
 from .eval_utils import batch_cut_weight, margin_weight_maxshift, roll_dp
 
 Progress = Callable[[int, dict], None] | None
@@ -56,7 +58,13 @@ def _setup(cfg: DpConfig):
     return const, h_up, var
 
 
-def train_vae_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
+def train_vae_dp(
+    cfg: DpConfig,
+    key: jax.Array,
+    progress: Progress = None,
+    runs: int | None = None,
+    mesh: Mesh | None = None,
+):
     """VAE-LE butterfly, online frame training on the optical DP channel."""
     const, h_up, var = _setup(cfg)
     m_max = cfg.n_frame_max // cfg.batch_len
@@ -81,14 +89,17 @@ def train_vae_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
     opt = optax.multi_transform(
         {"w": optax.adam(lr_w), "h": optax.adam(cfg.lr)}, {"w": "w", "h": "h"}
     )
-    opt_state = opt.init(params)
+    if runs is None:
+        opt_state = opt.init(params)
+    else:
+        params = shard_runs(broadcast_runs(params, runs), mesh)
+        opt_state = jax.vmap(opt.init)(params)
 
     def loss_fn(p, rx_mb):
         q, out = vae_le_dp_forward(p["w"], rx_mb, amps, var, const.nu_sc, cfg.sps)
         loss, var_est = elbo_dp(q, rx_mb, p["h"], amps, P)
         return loss, (q, out, var_est)
 
-    @jax.jit
     def frame_step(params, opt_state, key, theta):
         rx, tx, sigma = gen(key, theta)
 
@@ -136,25 +147,39 @@ def train_vae_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
         }
         return params, opt_state, metrics
 
-    ser_valid = np.zeros((4, cfg.num_frames), np.float32)
-    var_hist = np.zeros((2, cfg.num_frames), np.float32)
-    mi_hist = np.zeros((2, cfg.num_frames), np.float32)
+    if runs is None:
+        frame_step = jax.jit(frame_step)
+        splitk = lambda k: k
+        prefix = ()
+    else:
+        frame_step = jax.jit(jax.vmap(frame_step, in_axes=(0, 0, 0, None)))
+        splitk = lambda k: jax.random.split(k, runs)
+        prefix = (runs,)
+    ser_valid = np.zeros(prefix + (4, cfg.num_frames), np.float32)
+    var_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
+    mi_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
     theta = cfg.theta
     key_loop = key
     for frame in range(cfg.num_frames):
         key_loop, k = jax.random.split(key_loop)
-        params, opt_state, m = frame_step(params, opt_state, k, jnp.float32(theta))
+        params, opt_state, m = frame_step(params, opt_state, splitk(k), jnp.float32(theta))
         theta += cfg.theta_diff
-        ser_valid[:2, frame] = np.asarray(m["ser_const"])
-        ser_valid[2:, frame] = np.asarray(m["ser_soft"])
-        var_hist[:, frame] = np.asarray(m["var_est"])
-        mi_hist[:, frame] = np.asarray(m["mi"])
+        ser_valid[..., :2, frame] = np.asarray(m["ser_const"])
+        ser_valid[..., 2:, frame] = np.asarray(m["ser_soft"])
+        var_hist[..., :, frame] = np.asarray(m["var_est"])
+        mi_hist[..., :, frame] = np.asarray(m["mi"])
         if progress:
             progress(frame, jax.tree.map(np.asarray, m))
     return {"ser": ser_valid, "var_est": var_hist, "mi": mi_hist, "var": np.asarray(var), "params": params}
 
 
-def train_vae_flex_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
+def train_vae_flex_dp(
+    cfg: DpConfig,
+    key: jax.Array,
+    progress: Progress = None,
+    runs: int | None = None,
+    mesh: Mesh | None = None,
+):
     """VAEflex: overlapping sliding-window minibatches with central crop."""
     const, h_up, var = _setup(cfg)
     m_max0 = cfg.n_frame_max // cfg.batch_len
@@ -180,14 +205,17 @@ def train_vae_flex_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
     opt = optax.multi_transform(
         {"w": optax.adam(lr_w), "h": optax.adam(cfg.lr)}, {"w": "w", "h": "h"}
     )
-    opt_state = opt.init(params)
+    if runs is None:
+        opt_state = opt.init(params)
+    else:
+        params = shard_runs(broadcast_runs(params, runs), mesh)
+        opt_state = jax.vmap(opt.init)(params)
 
     def loss_fn(p, rx_mb):
         q, out = vae_le_dp_forward(p["w"], rx_mb, amps, var, const.nu_sc, cfg.sps)
         loss, var_est = elbo_dp(q, rx_mb, p["h"], amps, P)
         return loss, (q, out, var_est)
 
-    @jax.jit
     def frame_step(params, opt_state, key, theta):
         rx, tx_full, sigma = gen(key, theta)
         # ground truth for the recorded (central-crop) stream
@@ -236,25 +264,39 @@ def train_vae_flex_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
         }
         return params, opt_state, metrics
 
-    ser_valid = np.zeros((4, cfg.num_frames), np.float32)
-    var_hist = np.zeros((2, cfg.num_frames), np.float32)
-    mi_hist = np.zeros((2, cfg.num_frames), np.float32)
+    if runs is None:
+        frame_step = jax.jit(frame_step)
+        splitk = lambda k: k
+        prefix = ()
+    else:
+        frame_step = jax.jit(jax.vmap(frame_step, in_axes=(0, 0, 0, None)))
+        splitk = lambda k: jax.random.split(k, runs)
+        prefix = (runs,)
+    ser_valid = np.zeros(prefix + (4, cfg.num_frames), np.float32)
+    var_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
+    mi_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
     theta = cfg.theta
     key_loop = key
     for frame in range(cfg.num_frames):
         key_loop, k = jax.random.split(key_loop)
-        params, opt_state, m = frame_step(params, opt_state, k, jnp.float32(theta))
+        params, opt_state, m = frame_step(params, opt_state, splitk(k), jnp.float32(theta))
         theta += cfg.theta_diff
-        ser_valid[:2, frame] = np.asarray(m["ser_const"])
-        ser_valid[2:, frame] = np.asarray(m["ser_soft"])
-        var_hist[:, frame] = np.asarray(m["var_est"])
-        mi_hist[:, frame] = np.asarray(m["mi"])
+        ser_valid[..., :2, frame] = np.asarray(m["ser_const"])
+        ser_valid[..., 2:, frame] = np.asarray(m["ser_soft"])
+        var_hist[..., :, frame] = np.asarray(m["var_est"])
+        mi_hist[..., :, frame] = np.asarray(m["mi"])
         if progress:
             progress(frame, jax.tree.map(np.asarray, m))
     return {"ser": ser_valid, "var_est": var_hist, "mi": mi_hist, "var": np.asarray(var), "params": params}
 
 
-def run_cma_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
+def run_cma_dp(
+    cfg: DpConfig,
+    key: jax.Array,
+    progress: Progress = None,
+    runs: int | None = None,
+    mesh: Mesh | None = None,
+):
     """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
 
     Per frame: adapt taps online -> CPE -> sync -> constellation SER; then
@@ -283,7 +325,6 @@ def run_cma_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
     else:
         raise ValueError(f"unknown CMA variant {cfg.loss_type!r}")
 
-    @jax.jit
     def frame_step(h, key, theta, lr):
         rx, tx, sigma = gen(key, theta)
         out, h, e = equalize(rx, h, lr)
@@ -316,23 +357,32 @@ def run_cma_dp(cfg: DpConfig, key: jax.Array, progress: Progress = None):
         return h, metrics
 
     h = dirac_taps_dp(cfg.m_est)
-    ser_valid = np.zeros((4, cfg.num_frames), np.float32)
-    mi_hist = np.zeros((2, cfg.num_frames), np.float32)
+    if runs is None:
+        frame_step = jax.jit(frame_step)
+        splitk = lambda k: k
+        prefix = ()
+    else:
+        h = shard_runs(broadcast_runs(h, runs), mesh)
+        frame_step = jax.jit(jax.vmap(frame_step, in_axes=(0, 0, None, None)))
+        splitk = lambda k: jax.random.split(k, runs)
+        prefix = (runs,)
+    ser_valid = np.zeros(prefix + (4, cfg.num_frames), np.float32)
+    mi_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
     theta = cfg.theta
     key_loop = key
     for frame in range(cfg.num_frames):
         lr = cfg.lr * 0.5 ** (frame // cfg.n_lrhalf)
         key_loop, k = jax.random.split(key_loop)
-        h, m = frame_step(h, k, jnp.float32(theta), jnp.float32(lr))
+        h, m = frame_step(h, splitk(k), jnp.float32(theta), jnp.float32(lr))
         theta += cfg.theta_diff
-        ser_valid[:2, frame] = np.asarray(m["ser_const"])
-        ser_valid[2:, frame] = np.asarray(m["ser_soft"])
-        mi_hist[:, frame] = np.asarray(m["mi"])
+        ser_valid[..., :2, frame] = np.asarray(m["ser_const"])
+        ser_valid[..., 2:, frame] = np.asarray(m["ser_soft"])
+        mi_hist[..., :, frame] = np.asarray(m["mi"])
         if progress:
             progress(frame, jax.tree.map(np.asarray, m))
     return {
         "ser": ser_valid,
-        "var_est": np.zeros((2, cfg.num_frames), np.float32),
+        "var_est": np.zeros(prefix + (2, cfg.num_frames), np.float32),
         "mi": mi_hist,
         "var": np.asarray(var),
         "taps": h,

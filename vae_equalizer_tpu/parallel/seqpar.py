@@ -1,0 +1,216 @@
+"""Sequence-parallel (sp) x data-parallel (dp) sharded VAE training step.
+
+Mapping this workload onto a TPU mesh (SURVEY.md sections 2/5): the two
+meaningful parallel axes are
+
+  * ``dp`` — independent runs (grid points / repeats): pure data parallelism,
+    no cross-run communication;
+  * ``sp`` — the time axis of one frame: the butterfly FIR and the ELBO's
+    channel convolution only need a halo of M-1 neighbor samples
+    (overlap-save), exchanged with ``ppermute`` over ICI; the ELBO's global
+    reductions (reconstruction energy C, variance term E, KL) are ``psum``s.
+
+There is no tensor/pipeline/expert dimension worth sharding here — the model
+is a 2x4xM tap bank — so dp x sp is the full, honest mesh mapping. Gradients
+are psum-reduced over sp so every sp shard applies identical optimizer
+updates (standard sequence-parallel training).
+
+All collectives ride mesh axis names inside shard_map; ppermute zero-fills
+the frame edges (non-periodic boundary), matching the zero-padded global
+convolution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core import make_constellation
+from ..core.constellation import demapper_noise_var
+from ..models import butterfly_init, dirac_taps_dp
+from ..models.losses import posterior_moments
+
+__all__ = ["halo_exchange", "make_sp_dp_train_step", "make_mesh_2d"]
+
+
+def make_mesh_2d(n_dp: int, n_sp: int, devices=None) -> Mesh:
+    devs = np.asarray(devices if devices is not None else jax.devices()[: n_dp * n_sp])
+    return Mesh(devs.reshape(n_dp, n_sp), ("dp", "sp"))
+
+
+def halo_exchange(x: jnp.ndarray, left: int, right: int, axis_name: str) -> jnp.ndarray:
+    """Pad the last axis of a sp-sharded block with neighbor data.
+
+    Returns x extended to (..., left + L + right); frame edges are
+    zero-filled (ppermute leaves unpaired destinations at zero).
+    """
+    n = jax.lax.axis_size(axis_name)
+    parts = []
+    if left > 0:
+        send_right = [(i, i + 1) for i in range(n - 1)]
+        parts.append(jax.lax.ppermute(x[..., -left:], axis_name, send_right))
+    parts.append(x)
+    if right > 0:
+        send_left = [(i + 1, i) for i in range(n - 1)]
+        parts.append(jax.lax.ppermute(x[..., :right], axis_name, send_left))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _sp_butterfly(w: jnp.ndarray, x: jnp.ndarray, sps: int, axis_name: str) -> jnp.ndarray:
+    """Sequence-parallel butterfly FIR: local block + halo -> local outputs.
+
+    x: (2, 2, Ln) local samples (global same-padding conv, stride sps).
+    Requires Ln % sps == 0 and M odd.
+    """
+    m = w.shape[-1]
+    pad = m // 2
+    xh = halo_exchange(x, pad, pad, axis_name)  # (2, 2, Ln + 2*pad)
+    x_i = jnp.concatenate([xh[:, 0, :], -xh[:, 1, :]])
+    x_q = jnp.concatenate([xh[:, 1, :], xh[:, 0, :]])
+
+    def xcorr(inp):
+        return jax.lax.conv_general_dilated(
+            inp[None], w, (sps,), "VALID", dimension_numbers=("NCH", "OIH", "NCH")
+        )[0]
+
+    return jnp.stack([xcorr(x_i), xcorr(x_q)], axis=1)  # (2, 2, Ln//sps)
+
+
+def _sp_elbo(q, rx, h_est, amps, P_prior, sps, n_global, axis_name, eps=1e-12):
+    """Sequence-parallel DP ELBO: halo'd conv + psum'd global reductions.
+
+    q: (2, 2n, Ln_sym) local posteriors; rx: (2, 2, Ln) local samples.
+    Numerically equals models.losses.elbo_dp on the gathered arrays.
+    """
+    pol = 2
+    m = h_est.shape[-1]
+    mh = m // 2
+    mh2 = 2 * mh
+    ln = rx.shape[-1]
+    idx0 = jax.lax.axis_index(axis_name) * ln  # global offset of this block
+    t_glob = idx0 + jnp.arange(ln)
+
+    eq, eq2 = posterior_moments(q, amps, sps)  # (2, 2, Ln)
+    var = eq2 - eq * eq
+
+    # D = h (*) Eq over global positions; halo of Mh on the left covers the
+    # conv support, then mask positions with global n < Mh
+    h = h_est[..., : mh2 + 1]
+    hr, hi = h[:, :, 0, :], h[:, :, 1, :]
+    w_re = jnp.stack([hr, -hi], axis=2)
+    w_im = jnp.stack([hi, hr], axis=2)
+    w = jnp.stack([w_re, w_im], axis=1).reshape(pol * 2, pol * 2, mh2 + 1)[:, :, ::-1]
+    eq_h = halo_exchange(eq.reshape(pol * 2, ln), mh2, 0, axis_name)
+    d = jax.lax.conv_general_dilated(
+        eq_h[None], w, (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH")
+    )[0].reshape(pol, 2, ln)
+    d_valid = (t_glob >= mh2).astype(d.dtype)  # global n in [Mh, N)
+
+    # C = sum_{[mh, N-mh)} rx^2 - 2 <rx[n-mh], D[n]> + ||D||^2 + E
+    rx_mask = ((t_glob >= mh) & (t_glob < n_global - mh)).astype(rx.dtype)
+    c_loc = jnp.sum(rx * rx * rx_mask, axis=(1, 2))
+    # rx[n - mh] aligned with D[n]: halo rx to the left by mh
+    rx_h = halo_exchange(rx.reshape(pol * 2, ln), mh, 0, axis_name)[:, :ln].reshape(pol, 2, ln)
+    c_loc = c_loc - 2.0 * jnp.sum(
+        (rx_h[:, 0] * d[:, 0] + rx_h[:, 1] * d[:, 1]) * d_valid, axis=1
+    )
+    c_loc = c_loc + jnp.sum((d * d) * d_valid[None, None, :], axis=(1, 2))
+
+    # E term: S[nu, j] = sum over global window [Mh - j, N - j) of sum_c Var
+    v = jnp.sum(var, axis=1)  # (2, Ln)
+    j = jnp.arange(mh2 + 1)
+    win = (t_glob[None, :] >= (mh2 - j)[:, None]) & (t_glob[None, :] < (n_global - j)[:, None])
+    s_loc = jnp.einsum("nt,jt->nj", v, win.astype(v.dtype))
+    h_absq = jnp.sum(h * h, axis=2)
+    e_loc = jnp.einsum("xnj,nj->x", h_absq, s_loc)
+    c = jax.lax.psum(c_loc + e_loc, axis_name)
+
+    # KL over global symbol positions [mh, N_sym - mh)
+    n_sym_global = n_global // sps
+    ts = idx0 // sps + jnp.arange(q.shape[-1])
+    kl_mask = ((ts >= mh) & (ts < n_sym_global - mh)).astype(q.dtype)
+    p_col = jnp.tile(P_prior, 2)[None, :, None]
+    kl_loc = jnp.sum(-q * jnp.log(q / p_col + eps) * kl_mask[None, None, :])
+    kl = jax.lax.psum(kl_loc, axis_name)
+
+    n_eff = n_global - mh2
+    return jnp.sum(n_eff * jnp.log(c)) - kl, jax.lax.stop_gradient(c / n_eff)
+
+
+def make_sp_dp_train_step(
+    mesh: Mesh,
+    mod: str = "64-QAM",
+    nu: float = 0.0,
+    snr_db: float = 23.0,
+    m_est: int = 25,
+    sps: int = 2,
+    lr: float = 2.5e-3,
+):
+    """Build (params, opt_state, step, shard_inputs) for dp x sp training.
+
+    step(params, opt_state, rx, tx) runs one optimizer step of the DP VAE
+    with runs sharded over 'dp' and the frame time axis sharded over 'sp'.
+    rx: (n_runs, 2, 2, N) float32; returns (params, opt_state, loss, var_est).
+    """
+    const = make_constellation(mod, nu)
+    amps = jnp.asarray(const.amps)
+    p_prior = jnp.asarray(const.P, jnp.float32)
+    var = jnp.full((2,), demapper_noise_var(const, snr_db), jnp.float32)
+    nu_sc = const.nu_sc
+    opt = optax.adam(lr)
+
+    n_dp = mesh.shape["dp"]
+    n_sp = mesh.shape["sp"]
+
+    params0 = {"w": butterfly_init(m_est), "h": dirac_taps_dp(m_est)}
+
+    def local_loss(p, rx_loc, n_global):
+        out = _sp_butterfly(p["w"], rx_loc, sps, "sp")
+        d = out[:, :, None, :] - amps[None, None, :, None]
+        metric = d * d / (2.0 * var[:, None, None, None]) + nu_sc * (amps**2)[None, None, :, None]
+        q = jax.nn.softmax(-metric, axis=2).reshape(2, -1, out.shape[-1])
+        return _sp_elbo(q, rx_loc, p["h"], amps, p_prior, sps, n_global, "sp")
+
+    def make_step(n_global: int):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp", None, None, "sp")),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+            check_vma=False,
+        )
+        def sharded_step(params, opt_state, rx):
+            def one_run(p, s, x):
+                (loss, var_est), g = jax.value_and_grad(
+                    lambda pp: local_loss(pp, x, n_global), has_aux=True
+                )(p)
+                g = jax.lax.psum(g, "sp")  # full gradient on every sp shard
+                updates, s = opt.update(g, s, p)
+                return optax.apply_updates(p, updates), s, loss, var_est
+
+            return jax.vmap(one_run)(params, opt_state, rx)
+
+        return jax.jit(sharded_step)
+
+    def shard_inputs(params, opt_state, rx):
+        run_sh = NamedSharding(mesh, P("dp"))
+        rx_sh = NamedSharding(mesh, P("dp", None, None, "sp"))
+        return (
+            jax.device_put(params, run_sh),
+            jax.device_put(opt_state, run_sh),
+            jax.device_put(rx, rx_sh),
+        )
+
+    def init(n_runs: int):
+        assert n_runs % n_dp == 0, "runs must divide the dp axis"
+        params = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_runs,) + x.shape), params0)
+        opt_state = jax.vmap(opt.init)(params)
+        return params, opt_state
+
+    return init, make_step, shard_inputs, {"n_dp": n_dp, "n_sp": n_sp, "const": const, "var": var}

@@ -1,0 +1,190 @@
+"""Benchmark: DP 64-QAM VAE-LE equalized symbols/sec (online training).
+
+Headline metric of BASELINE.json: the flagship workload is the reference's
+Eval_run_DP VAE configuration (64-QAM, sps=2, 10000 symbols/frame, batch 100,
+M=25) running the full online loop — channel simulation + 100 minibatch
+train steps + synchronized SER evaluation per frame.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": symbols/sec, "unit": ..., "vs_baseline": ratio}
+
+vs_baseline is measured against the PyTorch reference on this host's CPU
+(measured live when /root/reference is importable, else the committed cache
+in bench_baseline.json).
+
+Usage: python bench.py [--quick] [--frames N] [--measure-baseline]
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io as _io
+import json
+import os
+import pathlib
+import time
+
+HERE = pathlib.Path(__file__).resolve().parent
+CACHE = HERE / "bench_baseline.json"
+REFERENCE = pathlib.Path("/root/reference")
+
+N_FRAME = 10000
+MOD = "64-QAM"
+
+
+def measure_tpu(frames: int, n_frame: int) -> dict:
+    import jax
+    import numpy as np
+
+    from vae_equalizer_tpu.train import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    cfg = DpConfig(mod=MOD, n_frame_max=n_frame, num_frames=frames + 1, n_lrhalf=10**9)
+    times = []
+
+    def progress(frame, m):
+        # metrics are materialized np arrays here -> the frame has completed
+        times.append(time.perf_counter())
+
+    train_vae_dp(cfg, jax.random.PRNGKey(0), progress=progress)
+    # frame 0 includes compilation; steady-state rate from the rest
+    dt = times[-1] - times[0]
+    sps = frames * (n_frame // cfg.batch_len * cfg.batch_len) / dt
+    return {
+        "symbols_per_sec": sps,
+        "frames_timed": frames,
+        "sec_per_frame": dt / frames,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def measure_reference_baseline(n_frame: int) -> dict:
+    """Time the PyTorch reference's DP VAE processing loop on CPU."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, str(REFERENCE / "optical_DP_channel"))
+    import numpy.core.numeric as _ncn
+
+    if not hasattr(_ncn, "Inf"):
+        _ncn.Inf = np.inf
+    import func_VAELE_DP_MQAM_shaping as ref
+    import shared_funcs as ref_sfun
+
+    # The reference was written for numpy 1.x, where simulate_dispersion's
+    # ragged 2x2-of-vectors matrices were allowed; numpy 2 rejects them.
+    # Patch in an equivalent per-frequency formulation so the baseline can
+    # run unmodified otherwise.
+    def _simulate_dispersion_np2(rx, symb_rate, sps, tau_cd, tau_pmd, phiIQ, theta):
+        rx_fft = np.fft.fft(rx, axis=1)
+        freq = np.fft.fftfreq(rx.shape[1], 1 / symb_rate / sps)
+        exp_cd = np.exp(1j * 2 * (np.pi * freq) ** 2 * tau_cd)
+        exp_pmd = np.exp(1j * np.pi * tau_pmd * freq)
+        ct, st = np.cos(theta), np.sin(theta)
+        e0, e1 = np.exp(-1j * phiIQ[0]), np.exp(-1j * phiIQ[1])
+        r00, r01, r10, r11 = ct * e0, st * e0, -st * e1, ct * e1
+        rt00, rt01, rt10, rt11 = ct * e0, -st * e0, st * e1, ct * e1
+        d0, d1 = exp_pmd, 1 / exp_pmd
+        h00 = rt00 * d0 * r00 + rt01 * d1 * r10
+        h01 = rt00 * d0 * r01 + rt01 * d1 * r11
+        h10 = rt10 * d0 * r00 + rt11 * d1 * r10
+        h11 = rt10 * d0 * r01 + rt11 * d1 * r11
+        out = np.stack(
+            [(h00 * rx_fft[0] + h01 * rx_fft[1]) * exp_cd,
+             (h10 * rx_fft[0] + h11 * rx_fft[1]) * exp_cd]
+        )
+        return np.complex64(np.fft.ifft(out, axis=1))
+
+    ref_sfun.simulate_dispersion = _simulate_dispersion_np2
+
+    phi_iq = np.array([0.0314, 0.0314], dtype=np.complex64)
+
+    def run(frames):
+        with contextlib.redirect_stdout(_io.StringIO()):
+            ref.processing(
+                MOD, 2, 23.0, 0.0, 25, 0.06 * np.pi, np.pi / 10, 2.5e-3, 100,
+                n_frame, frames, 10, "h0", 90e9, -26e-24, 0.1e-12 * np.sqrt(1000),
+                phi_iq, 10**9,
+            )
+
+    run(1)  # warm up torch/numpy caches before timing
+    t0 = time.perf_counter()
+    run(1)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(3)
+    t3 = time.perf_counter() - t0
+    sec_per_frame = (t3 - t1) / 2
+    return {
+        "symbols_per_sec": n_frame / sec_per_frame,
+        "sec_per_frame": sec_per_frame,
+        "n_frame": n_frame,
+        "impl": "kit-cel/vae-equalizer torch CPU (func_VAELE_DP_MQAM_shaping)",
+    }
+
+
+def get_baseline(n_frame: int, force: bool = False) -> dict:
+    """Per-n_frame cached baselines: {"10000": {...}, "2000": {...}}."""
+    cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
+    if str(n_frame) in cache and not force:
+        return cache[str(n_frame)]
+    if REFERENCE.exists():
+        try:
+            b = measure_reference_baseline(n_frame)
+            cache[str(n_frame)] = b
+            CACHE.write_text(json.dumps(cache, indent=1))
+            return b
+        except Exception as e:  # reference not importable here
+            print(f"# baseline measurement failed: {e}", flush=True)
+    if cache:
+        # fall back to the closest committed size, rescaled by symbol count
+        sizes = sorted(cache, key=lambda s: abs(int(s) - n_frame))
+        b = dict(cache[sizes[0]])
+        b["symbols_per_sec"] = b["symbols_per_sec"]  # rate is ~size-independent
+        return b
+    return {"symbols_per_sec": None}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small frames, fewer reps")
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend (plumbing test)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        # note: the JAX_PLATFORMS env var does NOT override the axon TPU
+        # plugin; only the config flag works
+        jax.config.update("jax_platforms", "cpu")
+
+    n_frame = 2000 if args.quick else N_FRAME
+    frames = 3 if args.quick else args.frames
+
+    res = measure_tpu(frames, n_frame)
+    baseline = get_baseline(n_frame, force=args.measure_baseline)
+    base_sps = baseline.get("symbols_per_sec")
+    # the committed cache holds the full-size baseline; scale mismatch only
+    # happens in --quick mode where vs_baseline is still indicative
+    vs = (res["symbols_per_sec"] / base_sps) if base_sps else None
+    print(
+        json.dumps(
+            {
+                "metric": "DP 64-QAM VAE-LE online-training symbols/sec",
+                "value": round(res["symbols_per_sec"], 1),
+                "unit": "symbols/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        ),
+        flush=True,
+    )
+    print(f"# device={res['device']} sec/frame={res['sec_per_frame']:.4f} "
+          f"baseline_sps={base_sps}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,3 +76,14 @@ def test_cma_dp_variants_converge(variant, lr, frames):
     )
     res = run_cma_dp(cfg, jax.random.PRNGKey(5))
     assert np.all(res["ser"][:2, -1] < 0.05)
+
+
+def test_vae_nn_batchnorm_runs():
+    cfg = AwgnVaeNnConfig(
+        mod="4-QAM", snr_db=18.0, num_epochs=8, epe=4, n_valid=2000, n_train=1000,
+        batch_len=500, kernel_1=15, kernel_2=3, batchnorm=True,
+    )
+    res = train_vae_nn_awgn(cfg, jax.random.PRNGKey(6))
+    assert np.all(np.isfinite(res["ser"]))
+    # running stats must have moved away from init
+    assert float(np.abs(np.asarray(res["params"]["bn"]["mean"])).sum()) > 0

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 __all__ = [
     "ser_q_siso",
     "ser_const_siso",
+    "ser_symb_siso",
     "ser_iqflip",
     "ser_constell_shaping",
 ]
@@ -101,6 +102,30 @@ def ser_const_siso(
     mag_rx = _wmean(jnp.sqrt(rx[0] ** 2 + rx[1] ** 2), weight, axis=-1)
     rx = rx * (mag_tx / mag_rx)
     dec = jnp.argmin(jnp.abs(rx[:, None, :] - amps[None, :, None]), axis=1).astype(jnp.int32)
+    variants = _phase_variants(dec, num_lev, comp_axis=0)
+    err = jnp.any(variants != data[None], axis=1)
+    return jnp.min(_wmean(err, weight, axis=-1))
+
+
+def ser_symb_siso(
+    rx: jnp.ndarray,
+    tx: jnp.ndarray,
+    amps: jnp.ndarray,
+    sps: int,
+    weight: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """SER of raw (unequalized) oversampled symbols, SISO.
+
+    rx: (2, sps*N) raw channel output; tx: (2, N) levels. Each component is
+    normalized by sqrt(2*E[rx_c^2]) before the nearest-level decision — the
+    reference's "unprocessed SER" diagnostic (func_VAELE_MQAM_shaping.py:125-154).
+    """
+    num_lev = amps.shape[0]
+    n = tx.shape[-1]
+    data = _decode_levels(tx, num_lev)
+    sig = rx[:, : n * sps : sps]
+    sig = sig / jnp.sqrt(2 * jnp.mean(sig**2, axis=-1, keepdims=True))
+    dec = jnp.argmin(jnp.abs(sig[:, None, :] - amps[None, :, None]), axis=1).astype(jnp.int32)
     variants = _phase_variants(dec, num_lev, comp_axis=0)
     err = jnp.any(variants != data[None], axis=1)
     return jnp.min(_wmean(err, weight, axis=-1))

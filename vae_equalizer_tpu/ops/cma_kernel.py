@@ -1,0 +1,126 @@
+"""Per-symbol 2x2 butterfly CMA as one Pallas TPU kernel.
+
+The per-symbol CMA recurrence (taps feed back into the next output) is the
+single most performance-critical sequential structure of the reference
+(SURVEY.md "hard parts" #1; shared_funcs.py:355-378). The lax.scan reference
+implementation (models/cma.py) executes one XLA loop iteration per symbol
+with HBM-resident state; this kernel instead runs the whole frame inside one
+Pallas call with the signal, taps and outputs resident in VMEM — no per-step
+dispatch, no HBM traffic in the loop.
+
+Numerics and output-roll semantics match models.cma.cma_dp exactly (same
+increments, same reference storage roll applied by the wrapper).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cma_dp_pallas"]
+
+
+def _cma_kernel(y_ref, h0_ref, scal_ref, out_ref, h_ref, e_ref, *, n_sym, m, sps, update):
+    """y: (4, Lpad) normalized+padded; h0: (8, M); scal: (1,1) SMEM [lr].
+
+    out: (4, n_sym) [row = chi*2 + comp]; h: (8, M) [row = chi*4 + nu*2 + c];
+    e: (8, n_sym) rows 0/1 used (pol X/Y), rest zero-padding for tiling.
+    """
+    lr = scal_ref[0, 0]
+    R = scal_ref[0, 1]
+    h_ref[:, :] = h0_ref[:, :]
+
+    def body(k, _):
+        w = y_ref[:, pl.ds(k * sps, m)]  # (4, M): row = nu*2 + c
+        h = h_ref[:, :]  # (8, M)
+        # out_re[chi] = sum_nu w[nu,I].h[chi,nu,re] - w[nu,Q].h[chi,nu,im]
+        # out_im[chi] = sum_nu w[nu,I].h[chi,nu,im] + w[nu,Q].h[chi,nu,re]
+        hx = h[0:4]  # chi=X: rows (nu, re/im)
+        hy = h[4:8]
+        o_re_x = jnp.sum(hx[0] * w[0]) - jnp.sum(hx[1] * w[1]) + jnp.sum(hx[2] * w[2]) - jnp.sum(hx[3] * w[3])
+        o_im_x = jnp.sum(hx[1] * w[0]) + jnp.sum(hx[0] * w[1]) + jnp.sum(hx[3] * w[2]) + jnp.sum(hx[2] * w[3])
+        o_re_y = jnp.sum(hy[0] * w[0]) - jnp.sum(hy[1] * w[1]) + jnp.sum(hy[2] * w[2]) - jnp.sum(hy[3] * w[3])
+        o_im_y = jnp.sum(hy[1] * w[0]) + jnp.sum(hy[0] * w[1]) + jnp.sum(hy[3] * w[2]) + jnp.sum(hy[2] * w[3])
+        e_x = R - o_re_x * o_re_x - o_im_x * o_im_x
+        e_y = R - o_re_y * o_re_y - o_im_y * o_im_y
+
+        out_ref[0, k] = o_re_x
+        out_ref[1, k] = o_im_x
+        out_ref[2, k] = o_re_y
+        out_ref[3, k] = o_im_y
+        e_ref[0, k] = e_x
+        e_ref[1, k] = e_y
+
+        if update:
+            # increments per (nu,c) row: d h[chi, nu, 0] ~ o_re*w[nu,I] + o_im*w[nu,Q]
+            #                            d h[chi, nu, 1] ~ o_im*w[nu,I] - o_re*w[nu,Q]
+            inc_x = jnp.stack(
+                [
+                    o_re_x * w[0] + o_im_x * w[1],
+                    o_im_x * w[0] - o_re_x * w[1],
+                    o_re_x * w[2] + o_im_x * w[3],
+                    o_im_x * w[2] - o_re_x * w[3],
+                ]
+            )
+            inc_y = jnp.stack(
+                [
+                    o_re_y * w[0] + o_im_y * w[1],
+                    o_im_y * w[0] - o_re_y * w[1],
+                    o_re_y * w[2] + o_im_y * w[3],
+                    o_im_y * w[2] - o_re_y * w[3],
+                ]
+            )
+            h_ref[0:4, :] = hx + 2.0 * lr * e_x * inc_x
+            h_ref[4:8, :] = hy + 2.0 * lr * e_y * inc_y
+        return 0
+
+    jax.lax.fori_loop(0, n_sym, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "update", "interpret"))
+def cma_dp_pallas(rx, R, h, lr, sps: int, update: bool = True, interpret: bool = False):
+    """Drop-in Pallas replacement for models.cma.cma_dp.
+
+    rx: (2, 2, N) float32; h: (2, 2, 2, M). Returns (out (2,2,N//sps), h,
+    e (N//sps, 2)) with the reference storage roll applied.
+    """
+    m = h.shape[-1]
+    mh = m // 2
+    n = rx.shape[-1]
+    n_sym = n // sps
+    # normalization identical to models.cma._normalize_dp
+    y = jnp.pad(rx, ((0, 0), (0, 0), (mh, mh)))
+    y = y / jnp.mean(y[:, 0, :] ** 2 + y[:, 1, :] ** 2)
+    y_flat = y.reshape(4, n + 2 * mh)
+    h_flat = h.reshape(8, m)
+    scal = jnp.array([[lr, R]], jnp.float32)
+
+    kernel = functools.partial(_cma_kernel, n_sym=n_sym, m=m, sps=sps, update=update)
+    out, h_out, e = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((4, n_sym), jnp.float32),
+            jax.ShapeDtypeStruct((8, m), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_sym), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(y_flat, h_flat, scal)
+
+    offset = mh - mh // sps
+    out4 = jnp.roll(out, -offset, axis=-1).reshape(2, 2, n_sym)
+    e2 = jnp.roll(e[:2], -offset, axis=-1).T  # (n_sym, 2)
+    return out4, h_out.reshape(2, 2, 2, m), e2

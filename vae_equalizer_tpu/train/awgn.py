@@ -158,13 +158,27 @@ def train_vae_nn_awgn(
     mb_len = cfg.batch_len * cfg.sps
 
     key, k_init = jax.random.split(key)
-    net_params, _ = vae_nn_init(k_init, cfg.kernel_1, cfg.kernel_2, const.num_lev)
+    net_params, bn_state = vae_nn_init(
+        k_init, cfg.kernel_1, cfg.kernel_2, const.num_lev, batchnorm=cfg.batchnorm
+    )
     params0 = {"net": net_params, "h": dirac_taps_siso(cfg.m_est)}
-    opt = optax.amsgrad(cfg.lr)
+    if cfg.batchnorm:
+        # running BN stats ride the params pytree for uniform runs/mesh
+        # handling but are frozen w.r.t. the optimizer
+        params0["bn"] = bn_state
+        opt = optax.multi_transform(
+            {"train": optax.amsgrad(cfg.lr), "frozen": optax.set_to_zero()},
+            {"net": "train", "h": "train", "bn": "frozen"},
+        )
+    else:
+        opt = optax.amsgrad(cfg.lr)
 
     def loss_fn(p, rx_mb):
-        q = vae_nn_forward(p["net"], rx_mb, cfg.sps)
-        return elbo_siso(q, rx_mb, p["h"], amps, None)
+        if cfg.batchnorm:
+            q, bn = vae_nn_forward(p["net"], rx_mb, cfg.sps, state=p["bn"], train=True)
+        else:
+            q, bn = vae_nn_forward(p["net"], rx_mb, cfg.sps), None
+        return elbo_siso(q, rx_mb, p["h"], amps, None), bn
 
     def epoch_step(params, opt_state, key):
         rx, _ = gen_train(key)
@@ -172,16 +186,22 @@ def train_vae_nn_awgn(
         def mb(carry, m):
             p, s = carry
             rx_mb = jax.lax.dynamic_slice_in_dim(rx, m * mb_len, mb_len, 1)
-            loss, g = jax.value_and_grad(loss_fn)(p, rx_mb)
+            (loss, bn), g = jax.value_and_grad(loss_fn, has_aux=True)(p, rx_mb)
             updates, s = opt.update(g, s, p)
-            return (optax.apply_updates(p, updates), s), loss
+            p = optax.apply_updates(p, updates)
+            if cfg.batchnorm:
+                p = {**p, "bn": jax.lax.stop_gradient(bn)}
+            return (p, s), loss
 
         (params, opt_state), losses = jax.lax.scan(mb, (params, opt_state), jnp.arange(n_batches))
         return params, opt_state, losses[-1]
 
     def eval_step(params, key):
         rx, tx = gen_valid(key)
-        q = vae_nn_forward(params["net"], rx, cfg.sps)
+        if cfg.batchnorm:
+            q, _ = vae_nn_forward(params["net"], rx, cfg.sps, state=params["bn"], train=False)
+        else:
+            q = vae_nn_forward(params["net"], rx, cfg.sps)
         shift = find_shift_siso(q, tx, 21, amps)
         q_r = roll_time(q, shift)
         w = margin_weight(cfg.n_valid, shift)

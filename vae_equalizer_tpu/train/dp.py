@@ -84,7 +84,8 @@ def train_vae_dp(
     thresh = cfg.n_lrhalf * m_max
 
     def lr_w(step):
-        return cfg.lr * jnp.where(step >= thresh, 0.5, 1.0)
+        # float compare: thresh can exceed int32 when the scheduler is disabled
+        return cfg.lr * jnp.where(step.astype(jnp.float32) >= float(thresh), 0.5, 1.0)
 
     opt = optax.multi_transform(
         {"w": optax.adam(lr_w), "h": optax.adam(cfg.lr)}, {"w": "w", "h": "h"}
@@ -200,7 +201,8 @@ def train_vae_flex_dp(
     thresh = cfg.n_lrhalf * n_windows
 
     def lr_w(step):
-        return cfg.lr * jnp.where(step >= thresh, 0.5, 1.0)
+        # float compare: thresh can exceed int32 when the scheduler is disabled
+        return cfg.lr * jnp.where(step.astype(jnp.float32) >= float(thresh), 0.5, 1.0)
 
     opt = optax.multi_transform(
         {"w": optax.adam(lr_w), "h": optax.adam(cfg.lr)}, {"w": "w", "h": "h"}

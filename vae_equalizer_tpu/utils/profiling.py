@@ -1,0 +1,39 @@
+"""Profiling and timing hooks (absent in the reference, SURVEY.md section 5).
+
+``trace(dir)`` wraps a block in a JAX profiler trace viewable in
+TensorBoard/XProf/Perfetto; ``timed`` measures wall time of a jitted call
+with proper device synchronization (block_until_ready).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+__all__ = ["trace", "timed"]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device trace: with trace('/tmp/prof'): step(...)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def timed(fn, *args, warmup: int = 1, reps: int = 5, **kwargs):
+    """(median_seconds, last_result) of fn, synchronizing the device."""
+    result = None
+    for _ in range(warmup):
+        result = jax.block_until_ready(fn(*args, **kwargs))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = jax.block_until_ready(fn(*args, **kwargs))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2], result

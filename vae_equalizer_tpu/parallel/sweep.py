@@ -71,6 +71,7 @@ def run_sweep(
     tag: str = "",
     progress=None,
     skip_done: bool = False,
+    save_params: bool = False,
 ):
     """Run a full grid; returns list of per-point results.
 
@@ -103,6 +104,14 @@ def run_sweep(
             **{m: res[m] for m in ("ser", "mi", "var_est") if m in res},
         }
         io.append_jsonl(jsonl, record)
+        if save_params:
+            state = res.get("params", res.get("taps"))
+            if state is not None:
+                if not isinstance(state, dict):
+                    state = {"taps": state}
+                ckpt = out_dir / f"ckpt_{tag}_{stamp}_{'_'.join(map(str, coord))}.npz"
+                io.save_checkpoint(ckpt, state)
+                record["checkpoint"] = str(ckpt)
         results.append(record)
     return results, axes_values, jsonl
 

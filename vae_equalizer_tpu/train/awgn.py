@@ -65,6 +65,7 @@ def train_vae_le_awgn(
     progress: Progress = None,
     runs: int | None = None,
     mesh: Mesh | None = None,
+    params_init=None,
 ):
     """VAE-LE training on the AWGN ISI channel.
 
@@ -82,7 +83,7 @@ def train_vae_le_awgn(
     n_batches = cfg.n_train // cfg.batch_len
     mb_len = cfg.batch_len * cfg.sps
 
-    params0 = {"w": siso_fir_init(cfg.m_est), "h": dirac_taps_siso(cfg.m_est)}
+    params0 = params_init or {"w": siso_fir_init(cfg.m_est), "h": dirac_taps_siso(cfg.m_est)}
     opt = optax.amsgrad(cfg.lr)
 
     def loss_fn(p, rx_mb):

@@ -64,6 +64,7 @@ def train_vae_dp(
     progress: Progress = None,
     runs: int | None = None,
     mesh: Mesh | None = None,
+    params_init=None,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel."""
     const, h_up, var = _setup(cfg)
@@ -77,7 +78,7 @@ def train_vae_dp(
     P = jnp.asarray(const.P, jnp.float32)
     mb_len = cfg.batch_len * cfg.sps
 
-    params = {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    params = params_init or {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
     # the reference halves only the net param group's lr after N_lrhalf frames
     # (sets it to lr*0.5 once); h_est keeps the base lr
     # (func_VAELE_DP_MQAM_shaping.py:28-31,45-46)
@@ -180,6 +181,7 @@ def train_vae_flex_dp(
     progress: Progress = None,
     runs: int | None = None,
     mesh: Mesh | None = None,
+    params_init=None,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop."""
     const, h_up, var = _setup(cfg)
@@ -197,7 +199,7 @@ def train_vae_flex_dp(
     mb_len = cfg.batch_len * cfg.sps
     crop0 = (cfg.batch_len - m_step) // 2
 
-    params = {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    params = params_init or {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
     thresh = cfg.n_lrhalf * n_windows
 
     def lr_w(step):
@@ -298,6 +300,7 @@ def run_cma_dp(
     progress: Progress = None,
     runs: int | None = None,
     mesh: Mesh | None = None,
+    taps_init=None,
 ):
     """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
 
@@ -358,7 +361,7 @@ def run_cma_dp(
         }
         return h, metrics
 
-    h = dirac_taps_dp(cfg.m_est)
+    h = taps_init if taps_init is not None else dirac_taps_dp(cfg.m_est)
     if runs is None:
         frame_step = jax.jit(frame_step)
         splitk = lambda k: k

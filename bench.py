@@ -21,7 +21,6 @@ import argparse
 import contextlib
 import io as _io
 import json
-import os
 import pathlib
 import time
 
@@ -33,7 +32,7 @@ N_FRAME = 10000
 MOD = "64-QAM"
 
 
-def measure_tpu(frames: int, n_frame: int) -> dict:
+def measure_tpu(frames: int, n_frame: int, runs: int | None = None) -> dict:
     import jax
     import numpy as np
 
@@ -47,10 +46,10 @@ def measure_tpu(frames: int, n_frame: int) -> dict:
         # metrics are materialized np arrays here -> the frame has completed
         times.append(time.perf_counter())
 
-    train_vae_dp(cfg, jax.random.PRNGKey(0), progress=progress)
+    train_vae_dp(cfg, jax.random.PRNGKey(0), progress=progress, runs=runs)
     # frame 0 includes compilation; steady-state rate from the rest
     dt = times[-1] - times[0]
-    sps = frames * (n_frame // cfg.batch_len * cfg.batch_len) / dt
+    sps = (runs or 1) * frames * (n_frame // cfg.batch_len * cfg.batch_len) / dt
     return {
         "symbols_per_sec": sps,
         "frames_timed": frames,
@@ -153,6 +152,7 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend (plumbing test)")
+    ap.add_argument("--runs", type=int, default=8, help="parallel runs for the aggregate metric")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -166,6 +166,12 @@ def main(argv=None):
     frames = 3 if args.quick else args.frames
 
     res = measure_tpu(frames, n_frame)
+    # aggregate chip throughput: independent runs vmapped into one program
+    try:
+        agg = measure_tpu(max(2, frames // 2), n_frame, runs=args.runs)
+    except Exception as e:
+        print(f"# aggregate measurement failed: {e}", flush=True)
+        agg = None
     baseline = get_baseline(n_frame, force=args.measure_baseline)
     base_sps = baseline.get("symbols_per_sec")
     # the committed cache holds the full-size baseline; scale mismatch only
@@ -182,8 +188,9 @@ def main(argv=None):
         ),
         flush=True,
     )
+    agg_s = f" aggregate_{args.runs}runs={agg['symbols_per_sec']:.0f}sym/s" if agg else ""
     print(f"# device={res['device']} sec/frame={res['sec_per_frame']:.4f} "
-          f"baseline_sps={base_sps}", flush=True)
+          f"baseline_sps={base_sps}{agg_s}", flush=True)
 
 
 if __name__ == "__main__":

@@ -6,5 +6,6 @@ VMEM to eliminate per-step dispatch overhead.
 """
 
 from .cma_kernel import cma_dp_pallas
+from .butterfly_kernel import vae_le_dp_forward_pallas
 
-__all__ = ["cma_dp_pallas"]
+__all__ = ["cma_dp_pallas", "vae_le_dp_forward_pallas"]

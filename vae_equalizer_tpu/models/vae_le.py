@@ -79,7 +79,7 @@ def soft_demap_dp(
     metric = d * d / (2.0 * var[:, None, None, None]) + nu_sc * (amps**2)[None, None, :, None]
     q = jax.nn.softmax(-metric, axis=2)  # softmin over levels
     pol, _, n_lev, N = q.shape
-    return q.transpose(0, 1, 2, 3).reshape(pol, 2 * n_lev, N)
+    return q.reshape(pol, 2 * n_lev, N)  # (comp, lev) flatten: I levels then Q
 
 
 def vae_le_dp_forward(

@@ -65,8 +65,14 @@ def train_vae_dp(
     runs: int | None = None,
     mesh: Mesh | None = None,
     params_init=None,
+    compiled: bool = False,
 ):
-    """VAE-LE butterfly, online frame training on the optical DP channel."""
+    """VAE-LE butterfly, online frame training on the optical DP channel.
+
+    With ``compiled=True`` the whole experiment (all frames) runs as one
+    lax.scan inside a single jitted call — no per-frame host round trips;
+    ``progress`` is then unavailable.
+    """
     const, h_up, var = _setup(cfg)
     m_max = cfg.n_frame_max // cfg.batch_len
     n_frame = m_max * cfg.batch_len
@@ -149,23 +155,59 @@ def train_vae_dp(
         }
         return params, opt_state, metrics
 
+    # per-frame keys/thetas are precomputed so the python-loop and the
+    # compiled (lax.scan over frames) modes see identical inputs
+    frame_keys = jax.random.split(key, cfg.num_frames)
+    thetas = jnp.float32(cfg.theta) + jnp.float32(cfg.theta_diff) * jnp.arange(
+        cfg.num_frames, dtype=jnp.float32
+    )
+    prefix = () if runs is None else (runs,)
+
+    if compiled:
+
+        def scan_body(carry, inp):
+            p, s = carry
+            k, th = inp
+            if runs is None:
+                p, s, m = frame_step(p, s, k, th)
+            else:
+                p, s, m = jax.vmap(frame_step, in_axes=(0, 0, 0, None))(
+                    p, s, jax.random.split(k, runs), th
+                )
+            keep = {n: m[n] for n in ("ser_const", "ser_soft", "mi", "var_est", "loss")}
+            return (p, s), keep
+
+        @jax.jit
+        def run_all(params, opt_state):
+            return jax.lax.scan(scan_body, (params, opt_state), (frame_keys, thetas))
+
+        (params, opt_state), hist = run_all(params, opt_state)
+
+        def tail(name):  # stacked (frames, ..., 2) -> (..., 2, frames)
+            return np.moveaxis(np.asarray(hist[name]), 0, -1)
+
+        ser_valid = np.concatenate([tail("ser_const"), tail("ser_soft")], axis=-2)
+        return {
+            "ser": ser_valid,
+            "var_est": tail("var_est"),
+            "mi": tail("mi"),
+            "var": np.asarray(var),
+            "params": params,
+        }
+
     if runs is None:
         frame_step = jax.jit(frame_step)
         splitk = lambda k: k
-        prefix = ()
     else:
         frame_step = jax.jit(jax.vmap(frame_step, in_axes=(0, 0, 0, None)))
         splitk = lambda k: jax.random.split(k, runs)
-        prefix = (runs,)
     ser_valid = np.zeros(prefix + (4, cfg.num_frames), np.float32)
     var_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
     mi_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
-    theta = cfg.theta
-    key_loop = key
     for frame in range(cfg.num_frames):
-        key_loop, k = jax.random.split(key_loop)
-        params, opt_state, m = frame_step(params, opt_state, splitk(k), jnp.float32(theta))
-        theta += cfg.theta_diff
+        params, opt_state, m = frame_step(
+            params, opt_state, splitk(frame_keys[frame]), thetas[frame]
+        )
         ser_valid[..., :2, frame] = np.asarray(m["ser_const"])
         ser_valid[..., 2:, frame] = np.asarray(m["ser_soft"])
         var_hist[..., :, frame] = np.asarray(m["var_est"])

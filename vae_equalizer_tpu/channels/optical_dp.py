@@ -16,6 +16,12 @@ Physics parity with the reference (optical_DP_channel/shared_funcs.py:38-90):
 Everything is jittable; ``theta`` stays a traced argument because the sweep
 drivers advance it every frame (time-varying channel,
 func_VAELE_DP_MQAM_shaping.py:51).
+
+Dtype discipline: the jit boundary is complex-free — all constants, inputs
+and outputs are real (stacked I/Q planes); complex64 exists only as
+device-internal FFT temporaries. (The axon TPU transport does not support
+host<->device transfers of complex arrays: H2D may fail Unimplemented and a
+complex D2H wedges the tunnel.)
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import cplx
 from ..core.constellation import Constellation
 from ..core.filters import rrcfir
 
@@ -53,63 +60,82 @@ def make_dp_simulator(
         sigma_n () float32 noise std actually applied.
     """
     pol = 2
-    h_pulse = jnp.asarray(rrcfir(PULSE_T, sps, PULSE_BETA))  # real taps
-    h_chan = jnp.asarray(h_channel_up.astype(np.complex64))
+    h_pulse_re = rrcfir(PULSE_T, sps, PULSE_BETA)
+    h_pulse = jnp.asarray(np.stack([h_pulse_re, np.zeros_like(h_pulse_re)]))
+    h_chan = jnp.asarray(
+        np.stack([h_channel_up.real, h_channel_up.imag]).astype(np.float32)
+    )
 
     amps = jnp.asarray(const.amps)
     P = jnp.asarray(const.P, dtype=jnp.float32)
     m_up = h_channel_up.shape[-1]
     n_conv = N + m_up + 4 * PULSE_T
     up_len = sps * (n_conv - 1) + 1
-    sig_len = up_len - h_pulse.shape[-1] - m_up + 2  # after two 'valid' convs
+    sig_len = up_len - h_pulse_re.shape[-1] - m_up + 2  # after two 'valid' convs
     offset = PULSE_T + m_up - 1
     snr_lin = 10 ** (snr_db / 10)
 
-    freq = jnp.asarray(np.fft.fftfreq(sig_len, 1 / symb_rate / sps).astype(np.float32))
-    exp_cd = jnp.exp(1j * 2 * (jnp.pi * freq) ** 2 * tau_cd).astype(jnp.complex64)
-    exp_pmd = jnp.exp(1j * jnp.pi * tau_pmd * freq).astype(jnp.complex64)
-    exp_phi = jnp.asarray(np.exp(-1j * phi_iq).astype(np.complex64))  # (2,)
+    # frequency-domain constants, precomputed in float64 on the host and
+    # shipped as real planes
+    freq = np.fft.fftfreq(sig_len, 1 / symb_rate / sps)
+    cd_phase = 2 * (np.pi * freq) ** 2 * tau_cd  # exp(+1j*cd_phase)
+    pmd_phase = np.pi * tau_pmd * freq  # exp(+1j*pmd_phase) / conj
+    cd = jnp.asarray(
+        np.stack([np.cos(cd_phase), np.sin(cd_phase)]).astype(np.float32)
+    )
+    pmd = jnp.asarray(
+        np.stack([np.cos(pmd_phase), np.sin(pmd_phase)]).astype(np.float32)
+    )
+    # exp(-1j*phiIQ) per pol
+    e_phi = jnp.asarray(
+        np.stack([np.cos(phi_iq), -np.sin(phi_iq)]).astype(np.float32)
+    )  # (2 re/im, 2 pol)
 
     def generate(key: jax.Array, theta: jnp.ndarray):
-        k_sym, k_nre, k_nim = jax.random.split(key, 3)
+        k_sym, k_noise = jax.random.split(key)
         # 4 independent amplitude streams: (pol*2, n_conv) like the reference's
         # rng.choice(amps, (pol*2, N_conv), p=P)
         data = jax.random.choice(k_sym, amps, (pol * 2, n_conv), p=P)
-        tx_sym = (data[0::pol] + 1j * data[1::pol]).astype(jnp.complex64)  # (pol, n_conv)
-        tx_up = jnp.zeros((pol, up_len), jnp.complex64).at[:, ::sps].set(tx_sym)
+        # (pol, 2, up_len) zero-inserted upsampling
+        tx_up = (
+            jnp.zeros((pol, 2, up_len), jnp.float32)
+            .at[:, 0, ::sps].set(data[0::pol])
+            .at[:, 1, ::sps].set(data[1::pol])
+        )
 
-        # per-pol pulse shaping + extra ISI IR ('valid' convolutions)
-        def conv_pol(x):
-            y = jnp.convolve(x, h_pulse, mode="valid")
-            return jnp.convolve(y, h_chan, mode="valid")
+        # per-pol pulse shaping + extra ISI IR ('valid' convs, real planes)
+        def conv_pol(xp):
+            return cplx.conv_valid(cplx.conv_valid(xp, h_pulse), h_chan)
 
-        sig = jax.vmap(conv_pol)(tx_up)  # (pol, sig_len) complex64
+        sig = jax.vmap(conv_pol)(tx_up)  # (pol, 2, sig_len) float32
 
-        # frequency-domain CD + PMD + rotation + IQ shift
-        sig_f = jnp.fft.fft(sig, axis=-1)
+        # frequency-domain CD + PMD + rotation + IQ shift; complex64 exists
+        # only inside this block (device-internal)
+        z = sig[:, 0, :] + 1j * sig[:, 1, :]
+        zf = jnp.fft.fft(z, axis=-1)
         ct, st = jnp.cos(theta), jnp.sin(theta)
-        # R and R^T with per-output-row IQ phase (shared_funcs.py:47-50)
-        r00, r01 = ct * exp_phi[0], st * exp_phi[0]
-        r10, r11 = -st * exp_phi[1], ct * exp_phi[1]
-        rt00, rt01 = ct * exp_phi[0], -st * exp_phi[0]
-        rt10, rt11 = st * exp_phi[1], ct * exp_phi[1]
-        # H = R^T @ diag(exp_pmd, 1/exp_pmd) @ R, per frequency bin
-        d0, d1 = exp_pmd, 1.0 / exp_pmd
-        h00 = rt00 * d0 * r00 + rt01 * d1 * r10
-        h01 = rt00 * d0 * r01 + rt01 * d1 * r11
-        h10 = rt10 * d0 * r00 + rt11 * d1 * r10
-        h11 = rt10 * d0 * r01 + rt11 * d1 * r11
-        out0 = (h00 * sig_f[0] + h01 * sig_f[1]) * exp_cd
-        out1 = (h10 * sig_f[0] + h11 * sig_f[1]) * exp_cd
-        sig = jnp.fft.ifft(jnp.stack([out0, out1]), axis=-1)
+        e0 = e_phi[0, 0] + 1j * e_phi[1, 0]
+        e1 = e_phi[0, 1] + 1j * e_phi[1, 1]
+        d0 = pmd[0] + 1j * pmd[1]
+        d1 = pmd[0] - 1j * pmd[1]  # 1/exp = conj for unit modulus
+        cdz = cd[0] + 1j * cd[1]
+        # H = R^T @ diag(d0, d1) @ R with R = [[ct*e0, st*e0], [-st*e1, ct*e1]]
+        h00 = ct * e0 * d0 * ct * e0 + (-st * e0) * d1 * (-st * e1)
+        h01 = ct * e0 * d0 * st * e0 + (-st * e0) * d1 * ct * e1
+        h10 = st * e1 * d0 * ct * e0 + ct * e1 * d1 * (-st * e1)
+        h11 = st * e1 * d0 * st * e0 + ct * e1 * d1 * ct * e1
+        out0 = (h00 * zf[0] + h01 * zf[1]) * cdz
+        out1 = (h10 * zf[0] + h11 * zf[1]) * cdz
+        z = jnp.fft.ifft(jnp.stack([out0, out1]), axis=-1)
+        sig = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).astype(jnp.float32)
 
-        sigma = jnp.sqrt(jnp.mean(jnp.abs(sig) ** 2) * sps / 2 / snr_lin).astype(jnp.float32)
-        noise = jax.random.normal(k_nre, sig.shape) + 1j * jax.random.normal(k_nim, sig.shape)
+        sigma = jnp.sqrt(jnp.mean(sig**2) * 2 * sps / 2 / snr_lin).astype(jnp.float32)
+        noise = jax.random.normal(k_noise, sig.shape, jnp.float32)
         sig = sig + sigma * noise
 
-        rx = jnp.stack([jnp.real(sig[:, : sps * N]), jnp.imag(sig[:, : sps * N])], axis=1)
+        rx = sig[:, :, : sps * N]
         tx_win = jax.lax.dynamic_slice_in_dim(data, offset, N, axis=1)  # (pol*2, N)
         tx = jnp.stack([tx_win[0::pol], tx_win[1::pol]], axis=1)  # (pol, 2, N)
-        return rx.astype(jnp.float32), tx, sigma
+        return rx, tx, sigma
 
     return generate

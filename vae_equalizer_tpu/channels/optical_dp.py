@@ -40,6 +40,31 @@ PULSE_T = 8
 PULSE_BETA = 0.1
 
 
+def _fast_fft_len(n: int) -> int:
+    """Smallest L >= n with L = 2^a * 3^b * 5^c * 7^d and a >= 5.
+
+    TPU FFT throughput collapses on lengths with large odd factors (Bluestein
+    path): measured ~95 ms vs ~1 ms per (2, 20k) fft+ifft pair on v5e for
+    20034 = 2*3^3*7*53 vs 20160 = 2^6*3^2*5*7. The dispersion filtering is a
+    continuous-frequency all-pass sampled on the FFT grid, so padding the
+    signal and using the padded grid is an equally valid discretization.
+    """
+    def ok(m):
+        a = 0
+        while m % 2 == 0:
+            m //= 2
+            a += 1
+        for p in (3, 5, 7):
+            while m % p == 0:
+                m //= p
+        return m == 1 and a >= 5
+
+    L = n
+    while not ok(L):
+        L += 1
+    return L
+
+
 def make_dp_simulator(
     const: Constellation,
     snr_db: float,
@@ -76,8 +101,9 @@ def make_dp_simulator(
     snr_lin = 10 ** (snr_db / 10)
 
     # frequency-domain constants, precomputed in float64 on the host and
-    # shipped as real planes
-    freq = np.fft.fftfreq(sig_len, 1 / symb_rate / sps)
+    # shipped as real planes; the FFT runs at a 2^a-rich padded length
+    fft_len = _fast_fft_len(sig_len)
+    freq = np.fft.fftfreq(fft_len, 1 / symb_rate / sps)
     cd_phase = 2 * (np.pi * freq) ** 2 * tau_cd  # exp(+1j*cd_phase)
     pmd_phase = np.pi * tau_pmd * freq  # exp(+1j*pmd_phase) / conj
     cd = jnp.asarray(
@@ -112,6 +138,7 @@ def make_dp_simulator(
         # frequency-domain CD + PMD + rotation + IQ shift; complex64 exists
         # only inside this block (device-internal)
         z = sig[:, 0, :] + 1j * sig[:, 1, :]
+        z = jnp.pad(z, ((0, 0), (0, fft_len - sig_len)))
         zf = jnp.fft.fft(z, axis=-1)
         ct, st = jnp.cos(theta), jnp.sin(theta)
         e0 = e_phi[0, 0] + 1j * e_phi[1, 0]
@@ -126,7 +153,7 @@ def make_dp_simulator(
         h11 = st * e1 * d0 * st * e0 + ct * e1 * d1 * ct * e1
         out0 = (h00 * zf[0] + h01 * zf[1]) * cdz
         out1 = (h10 * zf[0] + h11 * zf[1]) * cdz
-        z = jnp.fft.ifft(jnp.stack([out0, out1]), axis=-1)
+        z = jnp.fft.ifft(jnp.stack([out0, out1]), axis=-1)[:, :sig_len]
         sig = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).astype(jnp.float32)
 
         sigma = jnp.sqrt(jnp.mean(sig**2) * 2 * sps / 2 / snr_lin).astype(jnp.float32)

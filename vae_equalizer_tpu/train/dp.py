@@ -58,6 +58,53 @@ def _setup(cfg: DpConfig):
     return const, h_up, var
 
 
+
+def _dp_frame_eval(q_train, out_const, tx, amps, P, nu_sc, var, weight_fn):
+    """Shared per-frame evaluation: sync -> roll -> masked SER (+MI).
+
+    weight_fn(shift0, max_shift) builds the static-shape eval mask for the
+    experiment's trim convention (per-batch edge cut for the VAE frame loop,
+    plain margins for flex/CMA).
+    """
+    shift, r = find_shift_dp(q_train, tx, 21, amps)
+    q_r = roll_dp(q_train, shift, r)
+    w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
+    ser_soft = ser_iqflip(q_r, tx, weight=w_q)
+    mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w_q)
+
+    shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+    out_r = roll_dp(out_const, shift_c, r_c)
+    w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
+    ser_const = ser_constell_shaping(out_r, tx, amps, nu_sc, var, weight=w_c)
+    return ser_const, ser_soft, mi, shift, r
+
+
+# Per-frame metric transport: everything is packed into ONE float32 vector on
+# device and fetched with a single D2H transfer per frame. On the axon TPU
+# transport each host fetch costs ~10-25 ms of tunnel latency; fetching the
+# ~13 metric leaves individually dominated the frame time (measured 250 ms vs
+# 14 ms of actual device compute per 10000-symbol frame).
+_VAE_FIELDS = (("loss", 1), ("ser_const", 2), ("ser_soft", 2), ("mi", 2),
+               ("var_est", 2), ("snr_est_db", 1), ("shift", 2), ("r", 1), ("sigma_n", 1))
+_CMA_FIELDS = (("loss", 1), ("ser_const", 2), ("ser_soft", 2), ("mi", 2),
+               ("shift", 2), ("r", 1), ("sigma_n", 1))
+
+
+def _pack_metrics(m: dict, fields) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.atleast_1d(m[k]).astype(jnp.float32).reshape(-1) for k, _ in fields]
+    )
+
+
+def _unpack_metrics(v: np.ndarray, fields) -> dict:
+    out, i = {}, 0
+    for k, n in fields:
+        out[k] = v[..., i] if n == 1 else v[..., i : i + n]
+        i += n
+    return out
+
+
+
 def train_vae_dp(
     cfg: DpConfig,
     key: jax.Array,
@@ -125,20 +172,10 @@ def train_vae_dp(
         q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, n_frame)
         out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_frame)
 
-        # --- soft-demapper SER (rows 2:4)
-        shift, r = find_shift_dp(q_train, tx, 21, amps)
-        q_r = roll_dp(q_train, shift, r)
-        ms = jnp.max(jnp.abs(shift))
-        w_q = batch_cut_weight(m_max, cfg.batch_len, shift[0], ms, cfg.n_cut)
-        ser_soft = ser_iqflip(q_r, tx, weight=w_q)
-        mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w_q)
-
-        # --- constellation SER (rows 0:2)
-        shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
-        out_r = roll_dp(out_const, shift_c, r_c)
-        ms_c = jnp.max(jnp.abs(shift_c))
-        w_c = batch_cut_weight(m_max, cfg.batch_len, shift_c[0], ms_c, cfg.n_cut)
-        ser_const = ser_constell_shaping(out_r, tx, amps, const.nu_sc, var, weight=w_c)
+        ser_const, ser_soft, mi, shift, r = _dp_frame_eval(
+            q_train, out_const, tx, amps, P, const.nu_sc, var,
+            lambda s0, ms: batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut),
+        )
 
         var_frame = jnp.mean(var_est, axis=0)  # (2,)
         snr_est = const.pow_mean / jnp.mean(var_est)
@@ -149,11 +186,11 @@ def train_vae_dp(
             "mi": mi,
             "var_est": var_frame,
             "snr_est_db": 10 * jnp.log10(snr_est),
-            "shift": shift,
+            "shift": shift.astype(jnp.float32),
             "r": r,
             "sigma_n": sigma,
         }
-        return params, opt_state, metrics
+        return params, opt_state, _pack_metrics(metrics, _VAE_FIELDS)
 
     # per-frame keys/thetas are precomputed so the python-loop and the
     # compiled (lax.scan over frames) modes see identical inputs
@@ -169,21 +206,21 @@ def train_vae_dp(
             p, s = carry
             k, th = inp
             if runs is None:
-                p, s, m = frame_step(p, s, k, th)
+                p, s, packed = frame_step(p, s, k, th)
             else:
-                p, s, m = jax.vmap(frame_step, in_axes=(0, 0, 0, None))(
+                p, s, packed = jax.vmap(frame_step, in_axes=(0, 0, 0, None))(
                     p, s, jax.random.split(k, runs), th
                 )
-            keep = {n: m[n] for n in ("ser_const", "ser_soft", "mi", "var_est", "loss")}
-            return (p, s), keep
+            return (p, s), packed
 
         @jax.jit
         def run_all(params, opt_state):
             return jax.lax.scan(scan_body, (params, opt_state), (frame_keys, thetas))
 
-        (params, opt_state), hist = run_all(params, opt_state)
+        (params, opt_state), packed = run_all(params, opt_state)
+        hist = _unpack_metrics(np.asarray(packed), _VAE_FIELDS)  # one D2H transfer
 
-        def tail(name):  # stacked (frames, ..., 2) -> (..., 2, frames)
+        def tail(name):  # stacked (frames, ..., k) -> (..., k, frames)
             return np.moveaxis(np.asarray(hist[name]), 0, -1)
 
         ser_valid = np.concatenate([tail("ser_const"), tail("ser_soft")], axis=-2)
@@ -205,15 +242,16 @@ def train_vae_dp(
     var_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
     mi_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
     for frame in range(cfg.num_frames):
-        params, opt_state, m = frame_step(
+        params, opt_state, packed = frame_step(
             params, opt_state, splitk(frame_keys[frame]), thetas[frame]
         )
-        ser_valid[..., :2, frame] = np.asarray(m["ser_const"])
-        ser_valid[..., 2:, frame] = np.asarray(m["ser_soft"])
-        var_hist[..., :, frame] = np.asarray(m["var_est"])
-        mi_hist[..., :, frame] = np.asarray(m["mi"])
+        m = _unpack_metrics(np.asarray(packed), _VAE_FIELDS)  # one D2H transfer
+        ser_valid[..., :2, frame] = m["ser_const"]
+        ser_valid[..., 2:, frame] = m["ser_soft"]
+        var_hist[..., :, frame] = m["var_est"]
+        mi_hist[..., :, frame] = m["mi"]
         if progress:
-            progress(frame, jax.tree.map(np.asarray, m))
+            progress(frame, m)
     return {"ser": ser_valid, "var_est": var_hist, "mi": mi_hist, "var": np.asarray(var), "params": params}
 
 
@@ -282,18 +320,10 @@ def train_vae_flex_dp(
         q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, m_max)
         out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, m_max)
 
-        shift, r = find_shift_dp(q_train, tx, 21, amps)
-        q_r = roll_dp(q_train, shift, r)
-        ms = jnp.max(jnp.abs(shift))
-        w_q = margin_weight_maxshift(m_max, ms)
-        ser_soft = ser_iqflip(q_r, tx, weight=w_q)
-        mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w_q)
-
-        shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
-        out_r = roll_dp(out_const, shift_c, r_c)
-        ms_c = jnp.max(jnp.abs(shift_c))
-        w_c = margin_weight_maxshift(m_max, ms_c)
-        ser_const = ser_constell_shaping(out_r, tx, amps, const.nu_sc, var, weight=w_c)
+        ser_const, ser_soft, mi, shift, r = _dp_frame_eval(
+            q_train, out_const, tx, amps, P, const.nu_sc, var,
+            lambda s0, ms: margin_weight_maxshift(m_max, ms),
+        )
 
         var_frame = jnp.mean(var_est, axis=0)
         snr_est = const.pow_mean / jnp.mean(var_est)
@@ -304,11 +334,11 @@ def train_vae_flex_dp(
             "mi": mi,
             "var_est": var_frame,
             "snr_est_db": 10 * jnp.log10(snr_est),
-            "shift": shift,
+            "shift": shift.astype(jnp.float32),
             "r": r,
             "sigma_n": sigma,
         }
-        return params, opt_state, metrics
+        return params, opt_state, _pack_metrics(metrics, _VAE_FIELDS)
 
     if runs is None:
         frame_step = jax.jit(frame_step)
@@ -325,14 +355,15 @@ def train_vae_flex_dp(
     key_loop = key
     for frame in range(cfg.num_frames):
         key_loop, k = jax.random.split(key_loop)
-        params, opt_state, m = frame_step(params, opt_state, splitk(k), jnp.float32(theta))
+        params, opt_state, packed = frame_step(params, opt_state, splitk(k), jnp.float32(theta))
         theta += cfg.theta_diff
-        ser_valid[..., :2, frame] = np.asarray(m["ser_const"])
-        ser_valid[..., 2:, frame] = np.asarray(m["ser_soft"])
-        var_hist[..., :, frame] = np.asarray(m["var_est"])
-        mi_hist[..., :, frame] = np.asarray(m["mi"])
+        m = _unpack_metrics(np.asarray(packed), _VAE_FIELDS)  # one D2H transfer
+        ser_valid[..., :2, frame] = m["ser_const"]
+        ser_valid[..., 2:, frame] = m["ser_soft"]
+        var_hist[..., :, frame] = m["var_est"]
+        mi_hist[..., :, frame] = m["mi"]
         if progress:
-            progress(frame, jax.tree.map(np.asarray, m))
+            progress(frame, m)
     return {"ser": ser_valid, "var_est": var_hist, "mi": mi_hist, "var": np.asarray(var), "params": params}
 
 
@@ -378,30 +409,23 @@ def run_cma_dp(
         out = cpe_dp(out[:, :, cfg.n_cut : -cfg.n_cut])
         tx_c = tx[:, :, cfg.n_cut : -cfg.n_cut]
 
-        shift_c, r_c = find_shift_symb_dp(out, tx_c, 21)
-        out_r = roll_dp(out, shift_c, r_c)
-        ms_c = jnp.max(jnp.abs(shift_c))
-        w_c = margin_weight_maxshift(n_eval, ms_c)
-        ser_const = ser_constell_shaping(out_r, tx_c, amps, const.nu_sc, var, weight=w_c)
-
         q = soft_demap_dp(out, amps, var, const.nu_sc)
-        shift, r = find_shift_dp(q, tx_c, 21, amps)
-        q_r = roll_dp(q, shift, r)
-        ms = jnp.max(jnp.abs(shift))
-        w_q = margin_weight_maxshift(n_eval, ms)
-        ser_soft = ser_iqflip(q_r, tx_c, weight=w_q)
-        mi = mutual_information_ambiguity(q_r, tx_c, amps, P, weight=w_q)
+        ser_const, ser_soft, mi, _, _ = _dp_frame_eval(
+            q, out, tx_c, amps, P, const.nu_sc, var,
+            lambda s0, ms: margin_weight_maxshift(n_eval, ms),
+        )
+        shift_c, r_c = find_shift_symb_dp(out, tx_c, 21)
 
         metrics = {
             "loss": jnp.sum(e),
             "ser_const": ser_const,
             "ser_soft": ser_soft,
             "mi": mi,
-            "shift": shift_c,
+            "shift": shift_c.astype(jnp.float32),
             "r": r_c,
             "sigma_n": sigma,
         }
-        return h, metrics
+        return h, _pack_metrics(metrics, _CMA_FIELDS)
 
     h = taps_init if taps_init is not None else dirac_taps_dp(cfg.m_est)
     if runs is None:
@@ -420,13 +444,14 @@ def run_cma_dp(
     for frame in range(cfg.num_frames):
         lr = cfg.lr * 0.5 ** (frame // cfg.n_lrhalf)
         key_loop, k = jax.random.split(key_loop)
-        h, m = frame_step(h, splitk(k), jnp.float32(theta), jnp.float32(lr))
+        h, packed = frame_step(h, splitk(k), jnp.float32(theta), jnp.float32(lr))
         theta += cfg.theta_diff
-        ser_valid[..., :2, frame] = np.asarray(m["ser_const"])
-        ser_valid[..., 2:, frame] = np.asarray(m["ser_soft"])
-        mi_hist[..., :, frame] = np.asarray(m["mi"])
+        m = _unpack_metrics(np.asarray(packed), _CMA_FIELDS)  # one D2H transfer
+        ser_valid[..., :2, frame] = m["ser_const"]
+        ser_valid[..., 2:, frame] = m["ser_soft"]
+        mi_hist[..., :, frame] = m["mi"]
         if progress:
-            progress(frame, jax.tree.map(np.asarray, m))
+            progress(frame, m)
     return {
         "ser": ser_valid,
         "var_est": np.zeros(prefix + (2, cfg.num_frames), np.float32),

@@ -25,30 +25,36 @@ __all__ = ["vae_le_dp_forward_pallas"]
 
 
 def _kernel(xph_ref, w_ref, amps_ref, scal_ref, q_ref, out_ref, acc, *, n_out, m, sps, n_lev):
-    """xph: (sps, 4, Lp) polyphase input rows (x_I^x, x_I^y, -x_Q^x, -x_Q^y
-    ordering is built by the wrapper as channel arrangements); w: (2*sps_taps
-    layout) — see wrapper; amps: (1, n_lev) in SMEM-ish VMEM row;
+    """xph: (sps, 8, Lp) polyphase input rows — 4 data rows (x_I^x, x_I^y,
+    -x_Q^x, -x_Q^y arrangement built by the wrapper) + 4 explicit zero rows;
+    w: (8, sps*n_taps*8) per-tap (8, 8) blocks; amps: (1, n_lev) VMEM row;
     scal: (1, 4) SMEM [var_x, var_y, nu_sc, pad].
 
     Outputs: q (4*n_lev, N) rows = (pol, comp, lev); out (4, N) rows =
     (pol*2 + comp).
     """
-    acc[:, :] = jnp.zeros_like(acc)
     n_taps_ph = m // sps + 1
 
-    def tap(j, _):
-        # accumulate one shifted matmul per (phase, tap) pair
-        def phase(p, _):
-            # w row block for phase p, tap j: (8, 4); zero-padded beyond M
-            wj = w_ref[:, pl.ds((j * sps + p) * 4, 4)]  # (8, 4)
-            xj = xph_ref[p, :, pl.ds(j, n_out)]  # (4, N)
-            acc[:, :] += jnp.dot(wj, xj, preferred_element_type=jnp.float32)
-            return 0
+    # statically unrolled (Mosaic only supports 128-aligned *dynamic* lane
+    # slices; static offsets are unrestricted) — sps*n_taps_ph is ~26.
+    # The K=4 contraction runs as VPU outer-product accumulation: this
+    # backend's MXU truncates small matmuls to bf16 regardless of
+    # preferred_element_type/precision, and the demapper softmin amplifies
+    # that 0.3% error.
+    acc[:, :] = jnp.zeros(acc.shape, jnp.float32)
+    for j in range(n_taps_ph):
+        for p in range(sps):
+            wj = w_ref[:, (j * sps + p) * 8 : (j * sps + p) * 8 + 8]  # (8, 8)
+            xj = xph_ref[p, :, j : j + n_out]  # (8, N), rows 4..7 zero
+            # in-place scratch accumulation keeps the live VMEM set constant
+            # (a pure value chain made Mosaic stack-allocate every temporary)
+            acc[:, :] += (
+                wj[:, 0:1] * xj[0:1, :]
+                + wj[:, 1:2] * xj[1:2, :]
+                + wj[:, 2:3] * xj[2:3, :]
+                + wj[:, 3:4] * xj[3:4, :]
+            )
 
-        jax.lax.fori_loop(0, sps, phase, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n_taps_ph, tap, 0)
     out_ref[:, :] = acc[0:4, :]
 
     var_x = scal_ref[0, 0]
@@ -57,20 +63,17 @@ def _kernel(xph_ref, w_ref, amps_ref, scal_ref, q_ref, out_ref, acc, *, n_out, m
     amps = amps_ref[0, :]  # (n_lev,)
     pen = nu_sc * amps * amps  # (n_lev,)
 
-    def demap(row, _):
-        # row = pol*2 + comp; metric (n_lev, N) -> softmin over levels
-        o = acc[pl.ds(row, 1), :]  # (1, N)
-        # accumulator rows are (x_I, y_I, x_Q, y_Q): even rows = pol X
-        var = jnp.where(row % 2 == 0, var_x, var_y)
+    for row in range(4):
+        # metric (n_lev, N) -> softmin over levels; accumulator rows are
+        # (x_I, y_I, x_Q, y_Q): even rows = pol X
+        o = acc[row : row + 1, :]  # (1, N)
+        var = var_x if row % 2 == 0 else var_y
         d = o - amps[:, None]
         metric = d * d / (2.0 * var) + pen[:, None]
         mmin = jnp.min(metric, axis=0, keepdims=True)
         e = jnp.exp(mmin - metric)  # softmin with max-subtraction
         q = e / jnp.sum(e, axis=0, keepdims=True)
-        q_ref[pl.ds(row * n_lev, n_lev), :] = q
-        return 0
-
-    jax.lax.fori_loop(0, 4, demap, 0)
+        q_ref[row * n_lev : (row + 1) * n_lev, :] = q
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "interpret"))
@@ -99,33 +102,31 @@ def vae_le_dp_forward_pallas(w, x, amps, var, nu_sc, sps: int, interpret: bool =
     # 4-row input by exploiting that x_q rows are a signed permutation of
     # x_i rows: x_q = S @ x_i with S = [[0,0,-1,0],[0,0,0,-1],[1,0,0,0],[0,1,0,0]]
     # so W_q' = w @ S acts on x_i directly.
-    s_perm = jnp.array(
-        [[0.0, 0.0, -1.0, 0.0],
-         [0.0, 0.0, 0.0, -1.0],
-         [1.0, 0.0, 0.0, 0.0],
-         [0.0, 1.0, 0.0, 0.0]],
-        jnp.float32,
-    )
-    w_q = jnp.einsum("oim,ij->ojm", w, s_perm)  # acts on x_i
+    # (x_q rows are the signed permutation [-x_i[2], -x_i[3], x_i[0], x_i[1]],
+    # so the Q-path weights on x_i are [w2, w3, -w0, -w1] — built by indexing,
+    # NOT a matmul: this backend's MXU silently rounds small matmuls to bf16)
+    w_q = jnp.concatenate([w[:, 2:3], w[:, 3:4], -w[:, 0:1], -w[:, 1:2]], axis=1)
     # kernel accumulator rows: (x_I, y_I, x_Q, y_Q) then 4 zero-pad rows to
     # keep an (8, N) tile
     w_all = jnp.concatenate([w[0:1], w[1:2], w_q[0:1], w_q[1:2], jnp.zeros((4, 4, m), w.dtype)])
 
-    # polyphase de-interleave of the padded input
+    # polyphase de-interleave of the padded input, + 4 explicit zero rows so
+    # each (8, 8) tap matmul sees fully-initialized K
     xp = jnp.pad(x_i, ((0, 0), (pad, pad)))
     n_taps_ph = m // sps + 1
     lp = n_out + n_taps_ph  # per-phase length with slack
     need = sps * (lp + 1)
     xp = jnp.pad(xp, ((0, 0), (0, max(0, need - xp.shape[-1]))))
     xph = jnp.stack([xp[:, p::sps][:, :lp] for p in range(sps)])  # (sps, 4, lp)
+    xph = jnp.pad(xph, ((0, 0), (0, 4), (0, 0)))  # (sps, 8, lp)
 
-    # weight layout: (8, sps*n_taps_ph*4) where block (j*sps+p) holds the
-    # tap k = j*sps + p as an (8, 4) matrix (zero when k >= M)
-    wk = jnp.zeros((8, sps * n_taps_ph, 4), jnp.float32)
+    # weight layout: (8, sps*n_taps_ph*8) where block (j*sps+p) holds the
+    # tap k = j*sps + p as an (8, 8) matrix (zero-padded K, zero when k >= M)
+    wk = jnp.zeros((8, sps * n_taps_ph, 8), jnp.float32)
     for k in range(m):
         j, p = divmod(k, sps)
-        wk = wk.at[:, j * sps + p, :].set(w_all[:, :, k])
-    wk = wk.reshape(8, sps * n_taps_ph * 4)
+        wk = wk.at[:, j * sps + p, :4].set(w_all[:, :, k])
+    wk = wk.reshape(8, sps * n_taps_ph * 8)
 
     scal = jnp.array([[var[0], var[1], nu_sc, 0.0]], jnp.float32)
     amps_row = amps.reshape(1, n_lev).astype(jnp.float32)

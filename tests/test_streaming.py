@@ -53,3 +53,27 @@ def test_256qam_supported():
     gen = jax.jit(make_awgn_simulator(const, 30.0, h_up, m_orig, 500, 2))
     rx, tx = gen(jax.random.PRNGKey(1))
     assert rx.shape == (2, 1000) and tx.shape == (2, 500)
+
+
+def test_streaming_pallas_matches_xla_interpret(monkeypatch):
+    """use_pallas output pass equals the XLA pass (interpret mode on CPU)."""
+    import vae_equalizer_tpu.ops as ops_mod
+
+    orig = ops_mod.vae_le_dp_forward_pallas
+    monkeypatch.setattr(
+        ops_mod, "vae_le_dp_forward_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    const = make_constellation("4-QAM", 0.0)
+    var = jnp.full((2,), demapper_noise_var(const, 20.0), jnp.float32)
+    kwargs = dict(
+        amps=jnp.asarray(const.amps), P=jnp.asarray(const.P, jnp.float32),
+        var=var, nu_sc=const.nu_sc, block_len=500, lr=2.5e-3, adapt=False,
+    )
+    rx = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2, 1000)).astype(np.float32))
+    a = StreamingReceiver(**kwargs)
+    b = StreamingReceiver(**kwargs, use_pallas=True)
+    sa, qa, oa = a.step(a.init(), rx)
+    sb, qb, ob = b.step(b.init(), rx)
+    np.testing.assert_allclose(np.asarray(ob), np.asarray(oa), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(qa), rtol=5e-4, atol=2e-6)

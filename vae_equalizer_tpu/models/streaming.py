@@ -50,6 +50,7 @@ class StreamingReceiver:
     lr: float = 2.5e-3
     adapt: bool = True
     adapt_batch: int = 100  # symbols per gradient step inside a block
+    use_pallas: bool = False  # fused TPU kernel for the output pass (exact f32, ~2.7x)
 
     def __post_init__(self):
         self._opt = optax.adam(self.lr)
@@ -90,7 +91,14 @@ class StreamingReceiver:
 
         # one seamless overlap-save pass with the adapted taps
         x = jnp.concatenate([tail, block], axis=-1)
-        q, out = vae_le_dp_forward(params["w"], x, self.amps, self.var, self.nu_sc, self.sps)
+        if self.use_pallas:
+            from ..ops import vae_le_dp_forward_pallas
+
+            q, out = vae_le_dp_forward_pallas(
+                params["w"], x, self.amps, self.var, self.nu_sc, self.sps
+            )
+        else:
+            q, out = vae_le_dp_forward(params["w"], x, self.amps, self.var, self.nu_sc, self.sps)
 
         # overlap-save: drop the (M-1)//sps warmup symbols that belong to the
         # previous block's output

@@ -111,7 +111,8 @@ def train_vae_le_awgn(
         w = margin_weight(cfg.n_valid, shift)
         ser = ser_q_siso(q_r, tx, const.num_lev, weight=w)
         mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
-        return ser, mi, shift
+        # one packed D2H transfer per eval (tunnel fetches cost ~10-25 ms each)
+        return jnp.stack([ser, mi, shift.astype(jnp.float32)])
 
     params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
     epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
@@ -124,12 +125,12 @@ def train_vae_le_awgn(
         params, opt_state, loss = epoch_step(params, opt_state, splitk(k1))
         if epoch % cfg.epe == 0:
             key_loop, k2 = jax.random.split(key_loop)
-            ser, mi, shift = eval_step(params, splitk(k2))
+            packed = np.asarray(eval_step(params, splitk(k2)))
+            ser, mi, shift = packed[..., 0], packed[..., 1], packed[..., 2]
             i = epoch // cfg.epe
-            ser_hist[..., i], mi_hist[..., i] = np.asarray(ser), np.asarray(mi)
+            ser_hist[..., i], mi_hist[..., i] = ser, mi
             if progress:
-                progress(epoch, {"loss": np.asarray(loss), "ser": np.asarray(ser),
-                                 "mi": np.asarray(mi), "shift": np.asarray(shift)})
+                progress(epoch, {"loss": np.asarray(loss), "ser": ser, "mi": mi, "shift": shift})
     return {"ser": ser_hist, "mi": mi_hist, "params": params}
 
 
@@ -208,7 +209,8 @@ def train_vae_nn_awgn(
         w = margin_weight(cfg.n_valid, shift)
         ser = ser_q_siso(q_r, tx, const.num_lev, weight=w)
         mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
-        return ser, mi, shift
+        # one packed D2H transfer per eval (tunnel fetches cost ~10-25 ms each)
+        return jnp.stack([ser, mi, shift.astype(jnp.float32)])
 
     params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
     epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
@@ -221,12 +223,12 @@ def train_vae_nn_awgn(
         params, opt_state, loss = epoch_step(params, opt_state, splitk(k1))
         if epoch % cfg.epe == 0:
             key_loop, k2 = jax.random.split(key_loop)
-            ser, mi, shift = eval_step(params, splitk(k2))
+            packed = np.asarray(eval_step(params, splitk(k2)))
+            ser, mi, shift = packed[..., 0], packed[..., 1], packed[..., 2]
             i = epoch // cfg.epe
-            ser_hist[..., i], mi_hist[..., i] = np.asarray(ser), np.asarray(mi)
+            ser_hist[..., i], mi_hist[..., i] = ser, mi
             if progress:
-                progress(epoch, {"loss": np.asarray(loss), "ser": np.asarray(ser),
-                                 "mi": np.asarray(mi), "shift": np.asarray(shift)})
+                progress(epoch, {"loss": np.asarray(loss), "ser": ser, "mi": mi, "shift": shift})
     return {"ser": ser_hist, "mi": mi_hist, "params": params}
 
 
@@ -260,7 +262,8 @@ def run_cma_awgn(
         shift = find_shift_symb_siso(out, tx, 21)
         out_r = roll_time(out, shift)
         w = margin_weight(cfg.n_valid, shift)
-        return ser_const_siso(out_r, tx, amps, weight=w), shift
+        ser = ser_const_siso(out_r, tx, amps, weight=w)
+        return jnp.stack([ser, shift.astype(jnp.float32)])
 
     h = dirac_taps_siso(cfg.m_est)
     if runs is None:
@@ -278,8 +281,8 @@ def run_cma_awgn(
         h, loss = train_step(h, splitk(k1))
         if epoch % cfg.epe == 0:
             key_loop, k2 = jax.random.split(key_loop)
-            ser, shift = eval_step(h, splitk(k2))
-            ser_hist[..., epoch // cfg.epe] = np.asarray(ser)
+            packed = np.asarray(eval_step(h, splitk(k2)))
+            ser_hist[..., epoch // cfg.epe] = packed[..., 0]
             if progress:
-                progress(epoch, {"loss": np.asarray(loss), "ser": np.asarray(ser), "shift": np.asarray(shift)})
+                progress(epoch, {"loss": np.asarray(loss), "ser": packed[..., 0], "shift": packed[..., 1]})
     return {"ser": ser_hist, "taps": h}

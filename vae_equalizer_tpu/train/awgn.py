@@ -66,11 +66,14 @@ def train_vae_le_awgn(
     runs: int | None = None,
     mesh: Mesh | None = None,
     params_init=None,
+    compiled: bool = False,
 ):
     """VAE-LE training on the AWGN ISI channel.
 
     Returns dict with per-eval SER and MI histories and final params.
-    Parity: processing (func_VAELE_MQAM_shaping.py:235-324).
+    Parity: processing (func_VAELE_MQAM_shaping.py:235-324). With
+    ``compiled=True`` the whole experiment runs as one lax.scan inside a
+    single jitted call (eval every ``epe`` epochs stays inside the scan).
     """
     const = make_constellation(cfg.mod, cfg.nu)
     h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
@@ -115,8 +118,36 @@ def train_vae_le_awgn(
         return jnp.stack([ser, mi, shift.astype(jnp.float32)])
 
     params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
-    epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
 
+    if compiled:
+        n_evals = cfg.num_epochs // cfg.epe
+        train_keys = jax.random.split(key, cfg.num_epochs)
+        eval_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), n_evals)
+
+        estep = epoch_step if runs is None else jax.vmap(epoch_step)
+        evstep = eval_step if runs is None else jax.vmap(eval_step)
+
+        def super_step(carry, inp):
+            p, s = carry
+            tks, ek = inp  # (epe, 2) train keys + one eval key
+            # reference ordering: train epoch k*epe, evaluate, train the rest
+            p, s, _ = estep(p, s, splitk(tks[0]))
+            packed = evstep(p, splitk(ek))
+            for i in range(1, cfg.epe):
+                p, s, _ = estep(p, s, splitk(tks[i]))
+            return (p, s), packed
+
+        @jax.jit
+        def run_all(params, opt_state):
+            tk = train_keys[: n_evals * cfg.epe].reshape(n_evals, cfg.epe, 2)
+            return jax.lax.scan(super_step, (params, opt_state), (tk, eval_keys))
+
+        (params, opt_state), packed = run_all(params, opt_state)
+        packed = np.asarray(packed)  # (n_evals, ..., 3), one D2H transfer
+        packed = np.moveaxis(packed, 0, -2)
+        return {"ser": packed[..., 0], "mi": packed[..., 1], "params": params}
+
+    epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
     prefix = () if runs is None else (runs,)
     ser_hist, mi_hist = _hist(prefix, cfg.num_epochs, cfg.epe), _hist(prefix, cfg.num_epochs, cfg.epe)
     key_loop = key

@@ -20,6 +20,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--out", default="results")
     p.add_argument("--no-mesh", action="store_true", help="don't shard runs over devices")
     p.add_argument("--verbose", action="store_true", help="print per-eval progress")
+    p.add_argument("--compiled", action="store_true",
+                   help="whole-experiment lax.scan mode (no per-frame progress)")
     return p
 
 

@@ -57,6 +57,7 @@ def main(argv=None):
     results, axes_values, jsonl = run_sweep(
         args.loss_type, base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
+        compiled=args.compiled,
     )
     ser = assemble_mat(results, axes_values, iters, (4,))
     save_results(args.out, f"{args.loss_type}_DP_{args.mod}_N_lrhalf_170_N_train_{args.n_frame_max}", {

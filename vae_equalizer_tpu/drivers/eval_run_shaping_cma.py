@@ -34,6 +34,7 @@ def main(argv=None):
     results, axes_values, jsonl = run_sweep(
         "CMA-AWGN", base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"CMA_shaping_{args.mod}", progress=make_progress(args.verbose),
+        compiled=args.compiled,
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"CMA_shaping_{args.nu[0]}_{args.channel}_{args.mod}", {

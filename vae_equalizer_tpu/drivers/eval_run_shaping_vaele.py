@@ -35,6 +35,7 @@ def main(argv=None):
     results, axes_values, jsonl = run_sweep(
         "VAE-LE-AWGN", base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"VAELE_shaping_{args.mod}", progress=make_progress(args.verbose),
+        compiled=args.compiled,
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"VAELE_shaping_{args.nu[0]}_{args.channel}_{args.mod}", {

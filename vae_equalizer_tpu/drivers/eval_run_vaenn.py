@@ -40,6 +40,7 @@ def main(argv=None):
     results, axes_values, jsonl = run_sweep(
         "VAE-NN-AWGN", base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.net_type}_{args.mod}", progress=make_progress(args.verbose),
+        compiled=args.compiled,
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"{args.net_type}_{args.channel}_{args.mod}", {

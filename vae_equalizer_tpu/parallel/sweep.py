@@ -72,6 +72,7 @@ def run_sweep(
     progress=None,
     skip_done: bool = False,
     save_params: bool = False,
+    compiled: bool = False,
 ):
     """Run a full grid; returns list of per-point results.
 
@@ -95,7 +96,14 @@ def run_sweep(
             continue
         key, k = jax.random.split(key)
         t0 = time.time()
-        res = runner(cfg, k, runs=iters, mesh=mesh, progress=progress)
+        kwargs = dict(runs=iters, mesh=mesh, progress=progress)
+        if compiled:
+            import inspect
+
+            if "compiled" in inspect.signature(runner).parameters:
+                kwargs["compiled"] = True
+                kwargs.pop("progress")
+        res = runner(cfg, k, **kwargs)
         wall = time.time() - t0
         record = {
             "coords": list(coord),

@@ -127,3 +127,11 @@ def test_mutual_information_limits():
     q_prior = np.concatenate([np.tile(P[:, None], (1, N)), np.tile(P[:, None], (1, N))]).astype(np.float32)
     mi0 = float(mutual_information(jnp.asarray(q_prior), jnp.asarray(tx), jnp.asarray(amps), jnp.asarray(P)))
     assert abs(mi0) < 1e-5
+
+
+def test_ser_symb_siso_golden(golden):
+    from vae_equalizer_tpu.metrics.ser import ser_symb_siso
+
+    g = golden("ser_symb")
+    got = ser_symb_siso(jnp.asarray(g["rx"]), jnp.asarray(g["tx"]), jnp.asarray(g["amps"]), 2)
+    np.testing.assert_allclose(float(got), g["ser"], atol=1e-6)

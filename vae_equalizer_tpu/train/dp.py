@@ -374,8 +374,13 @@ def run_cma_dp(
     runs: int | None = None,
     mesh: Mesh | None = None,
     taps_init=None,
+    use_pallas: bool = False,
 ):
     """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
+
+    ``use_pallas=True`` runs the per-symbol CMA recurrence as the in-VMEM
+    Pallas kernel (ops/cma_kernel.py, ~1.5x the lax.scan path on TPU; only
+    for loss_type="CMA").
 
     Per frame: adapt taps online -> CPE -> sync -> constellation SER; then
     soft demapper -> sync -> posterior SER. The lr halves every n_lrhalf
@@ -393,7 +398,12 @@ def run_cma_dp(
     n_eval = n_sym - 2 * cfg.n_cut
 
     if cfg.loss_type == "CMA":
-        equalize = lambda rx, h, lr: cma_dp(rx, cfg.R, h, lr, cfg.sps, True)
+        if use_pallas:
+            from ..ops import cma_dp_pallas
+
+            equalize = lambda rx, h, lr: cma_dp_pallas(rx, cfg.R, h, lr, cfg.sps, True)
+        else:
+            equalize = lambda rx, h, lr: cma_dp(rx, cfg.R, h, lr, cfg.sps, True)
     elif cfg.loss_type == "CMAbatch":
         equalize = lambda rx, h, lr: cma_batch_dp(rx, cfg.R, h, lr, cfg.batch_len, cfg.sps, True)
     elif cfg.loss_type == "CMAflex":

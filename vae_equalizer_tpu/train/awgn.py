@@ -59,6 +59,35 @@ def _hist(shape_prefix, num_epochs, epe):
     return np.zeros(shape_prefix + (num_epochs // epe,), np.float32)
 
 
+def _run_compiled(params, opt_state, epoch_step, eval_step, key, num_epochs, epe, runs, splitk):
+    """Whole-experiment lax.scan: (epe train epochs + eval) supersteps in one
+    jitted call; one packed D2H transfer at the end. Reference eval ordering:
+    train epoch k*epe, evaluate, train the remaining epe-1 epochs."""
+    n_evals = num_epochs // epe
+    train_keys = jax.random.split(key, num_epochs)
+    eval_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), n_evals)
+    estep = epoch_step if runs is None else jax.vmap(epoch_step)
+    evstep = eval_step if runs is None else jax.vmap(eval_step)
+
+    def super_step(carry, inp):
+        p, s = carry
+        tks, ek = inp  # (epe, 2) train keys + one eval key
+        p, s, _ = estep(p, s, splitk(tks[0]))
+        packed = evstep(p, splitk(ek))
+        for i in range(1, epe):
+            p, s, _ = estep(p, s, splitk(tks[i]))
+        return (p, s), packed
+
+    @jax.jit
+    def run_all(params, opt_state):
+        tk = train_keys[: n_evals * epe].reshape(n_evals, epe, 2)
+        return jax.lax.scan(super_step, (params, opt_state), (tk, eval_keys))
+
+    (params, opt_state), packed = run_all(params, opt_state)
+    return params, np.moveaxis(np.asarray(packed), 0, -2)
+
+
+
 def train_vae_le_awgn(
     cfg: AwgnVaeLeConfig,
     key: jax.Array,
@@ -120,31 +149,9 @@ def train_vae_le_awgn(
     params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
 
     if compiled:
-        n_evals = cfg.num_epochs // cfg.epe
-        train_keys = jax.random.split(key, cfg.num_epochs)
-        eval_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), n_evals)
-
-        estep = epoch_step if runs is None else jax.vmap(epoch_step)
-        evstep = eval_step if runs is None else jax.vmap(eval_step)
-
-        def super_step(carry, inp):
-            p, s = carry
-            tks, ek = inp  # (epe, 2) train keys + one eval key
-            # reference ordering: train epoch k*epe, evaluate, train the rest
-            p, s, _ = estep(p, s, splitk(tks[0]))
-            packed = evstep(p, splitk(ek))
-            for i in range(1, cfg.epe):
-                p, s, _ = estep(p, s, splitk(tks[i]))
-            return (p, s), packed
-
-        @jax.jit
-        def run_all(params, opt_state):
-            tk = train_keys[: n_evals * cfg.epe].reshape(n_evals, cfg.epe, 2)
-            return jax.lax.scan(super_step, (params, opt_state), (tk, eval_keys))
-
-        (params, opt_state), packed = run_all(params, opt_state)
-        packed = np.asarray(packed)  # (n_evals, ..., 3), one D2H transfer
-        packed = np.moveaxis(packed, 0, -2)
+        params, packed = _run_compiled(
+            params, opt_state, epoch_step, eval_step, key, cfg.num_epochs, cfg.epe, runs, splitk
+        )
         return {"ser": packed[..., 0], "mi": packed[..., 1], "params": params}
 
     epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
@@ -171,6 +178,7 @@ def train_vae_nn_awgn(
     progress: Progress = None,
     runs: int | None = None,
     mesh: Mesh | None = None,
+    compiled: bool = False,
 ):
     """VAE-NN (CNN) training on the AWGN ISI channel, uniform constellation.
 
@@ -244,8 +252,14 @@ def train_vae_nn_awgn(
         return jnp.stack([ser, mi, shift.astype(jnp.float32)])
 
     params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
-    epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
 
+    if compiled:
+        params, packed = _run_compiled(
+            params, opt_state, epoch_step, eval_step, key, cfg.num_epochs, cfg.epe, runs, splitk
+        )
+        return {"ser": packed[..., 0], "mi": packed[..., 1], "params": params}
+
+    epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
     prefix = () if runs is None else (runs,)
     ser_hist, mi_hist = _hist(prefix, cfg.num_epochs, cfg.epe), _hist(prefix, cfg.num_epochs, cfg.epe)
     key_loop = key

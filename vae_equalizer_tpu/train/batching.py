@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["broadcast_runs", "shard_runs", "vmap_step", "run_mesh"]
+__all__ = ["broadcast_runs", "shard_runs", "run_mesh"]
 
 
 def run_mesh(n_devices: int | None = None, axis: str = "runs") -> Mesh:
@@ -49,8 +49,3 @@ def shard_runs(tree, mesh: Mesh | None, axis: str = "runs"):
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
-
-def vmap_step(fn, n_state_args: int, n_bcast_args: int = 0):
-    """jit(vmap(fn)) mapping the first n_state_args, broadcasting the rest."""
-    in_axes = (0,) * n_state_args + (None,) * n_bcast_args
-    return jax.jit(jax.vmap(fn, in_axes=in_axes))

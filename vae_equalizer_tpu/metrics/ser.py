@@ -154,7 +154,7 @@ def ser_iqflip(
     variants = _phase_variants(dec, num_lev, comp_axis=1)  # (4, 2, 2, N)
     both_data = jnp.stack([data, data_iqinv])  # (2flip, 2, 2, N)
     err = jnp.any(variants[:, None] != both_data[None], axis=3)  # (4, 2flip, 2pol, N)
-    ser = _wmean(err, None if weight is None else weight, axis=-1)  # (4, 2, 2)
+    ser = _wmean(err, weight, axis=-1)  # (4, 2, 2)
     return jnp.min(ser, axis=(0, 1))
 
 
@@ -199,5 +199,5 @@ def ser_constell_shaping(
     hi = d_hi[both_data]
     ok = (lo[None] <= rx_variants[:, None]) & (rx_variants[:, None] < hi[None])
     err = ~jnp.all(ok, axis=3)  # (4, 2flip, 2pol, N) — both I and Q must be in-bounds
-    ser = _wmean(err, None if weight is None else weight, axis=-1)
+    ser = _wmean(err, weight, axis=-1)
     return jnp.min(ser, axis=(0, 1))

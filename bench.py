@@ -36,6 +36,9 @@ def measure_tpu(frames: int, n_frame: int, runs: int | None = None) -> dict:
     import jax
     import numpy as np
 
+    from vae_equalizer_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from vae_equalizer_tpu.train import train_vae_dp
     from vae_equalizer_tpu.utils.config import DpConfig
 

@@ -39,6 +39,9 @@ def make_progress(verbose: bool):
 
 
 def setup(args):
+    from ..utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     mesh = None if args.no_mesh else run_mesh()
     key = jax.random.PRNGKey(args.seed)
     return mesh, key

@@ -103,3 +103,21 @@ def test_vae_dp_compiled_matches_loop():
     # this 6-frame toy regime bounces by ~0.1 under ulp-level perturbations)
     assert b["ser"].shape == a["ser"].shape and b["mi"].shape == a["mi"].shape
     assert np.all(np.isfinite(b["ser"])) and np.all(b["ser"] <= 1.0)
+
+
+def test_vae_flex_compiled_mode_converges():
+    cfg = DpConfig(loss_type="VAEflex", mod="4-QAM", snr_db=20.0, num_frames=12,
+                   n_frame_max=2000, lr=2.5e-3, batch_len=100, flex_step=10)
+    res = train_vae_flex_dp(cfg, jax.random.PRNGKey(3), compiled=True)
+    assert res["ser"].shape == (4, 12)
+    assert np.all(res["ser"][2:, -1] < 0.05)
+
+
+def test_cma_dp_compiled_matches_loop():
+    """No optimizer state / no gradient reassociation: CMA loop == scan exactly."""
+    cfg = DpConfig(loss_type="CMAbatch", mod="4-QAM", snr_db=20.0, num_frames=5,
+                   n_frame_max=2000, lr=1e-4)
+    a = run_cma_dp(cfg, jax.random.PRNGKey(5))
+    b = run_cma_dp(cfg, jax.random.PRNGKey(5), compiled=True)
+    np.testing.assert_allclose(b["ser"], a["ser"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b["taps"]), np.asarray(a["taps"]), rtol=1e-5)

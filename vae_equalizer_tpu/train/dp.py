@@ -262,6 +262,7 @@ def train_vae_flex_dp(
     runs: int | None = None,
     mesh: Mesh | None = None,
     params_init=None,
+    compiled: bool = False,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop."""
     const, h_up, var = _setup(cfg)
@@ -340,23 +341,56 @@ def train_vae_flex_dp(
         }
         return params, opt_state, _pack_metrics(metrics, _VAE_FIELDS)
 
+    frame_keys = jax.random.split(key, cfg.num_frames)
+    thetas = jnp.float32(cfg.theta) + jnp.float32(cfg.theta_diff) * jnp.arange(
+        cfg.num_frames, dtype=jnp.float32
+    )
+    prefix = () if runs is None else (runs,)
+
+    if compiled:
+        def scan_body(carry, inp):
+            p, s = carry
+            k, th = inp
+            if runs is None:
+                p, s, packed = frame_step(p, s, k, th)
+            else:
+                p, s, packed = jax.vmap(frame_step, in_axes=(0, 0, 0, None))(
+                    p, s, jax.random.split(k, runs), th
+                )
+            return (p, s), packed
+
+        @jax.jit
+        def run_all(params, opt_state):
+            return jax.lax.scan(scan_body, (params, opt_state), (frame_keys, thetas))
+
+        (params, opt_state), packed = run_all(params, opt_state)
+        hist = _unpack_metrics(np.asarray(packed), _VAE_FIELDS)
+
+        def tail(name):
+            return np.moveaxis(np.asarray(hist[name]), 0, -1)
+
+        ser_valid = np.concatenate([tail("ser_const"), tail("ser_soft")], axis=-2)
+        return {
+            "ser": ser_valid,
+            "var_est": tail("var_est"),
+            "mi": tail("mi"),
+            "var": np.asarray(var),
+            "params": params,
+        }
+
     if runs is None:
         frame_step = jax.jit(frame_step)
         splitk = lambda k: k
-        prefix = ()
     else:
         frame_step = jax.jit(jax.vmap(frame_step, in_axes=(0, 0, 0, None)))
         splitk = lambda k: jax.random.split(k, runs)
-        prefix = (runs,)
     ser_valid = np.zeros(prefix + (4, cfg.num_frames), np.float32)
     var_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
     mi_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
-    theta = cfg.theta
-    key_loop = key
     for frame in range(cfg.num_frames):
-        key_loop, k = jax.random.split(key_loop)
-        params, opt_state, packed = frame_step(params, opt_state, splitk(k), jnp.float32(theta))
-        theta += cfg.theta_diff
+        params, opt_state, packed = frame_step(
+            params, opt_state, splitk(frame_keys[frame]), thetas[frame]
+        )
         m = _unpack_metrics(np.asarray(packed), _VAE_FIELDS)  # one D2H transfer
         ser_valid[..., :2, frame] = m["ser_const"]
         ser_valid[..., 2:, frame] = m["ser_soft"]
@@ -375,6 +409,7 @@ def run_cma_dp(
     mesh: Mesh | None = None,
     taps_init=None,
     use_pallas: bool = False,
+    compiled: bool = False,
 ):
     """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
 
@@ -438,24 +473,55 @@ def run_cma_dp(
         return h, _pack_metrics(metrics, _CMA_FIELDS)
 
     h = taps_init if taps_init is not None else dirac_taps_dp(cfg.m_est)
+    frame_keys = jax.random.split(key, cfg.num_frames)
+    thetas = jnp.float32(cfg.theta) + jnp.float32(cfg.theta_diff) * jnp.arange(
+        cfg.num_frames, dtype=jnp.float32
+    )
+    lrs = jnp.float32(cfg.lr) * 0.5 ** (jnp.arange(cfg.num_frames) // cfg.n_lrhalf)
+    prefix = () if runs is None else (runs,)
+    if runs is not None:
+        h = shard_runs(broadcast_runs(h, runs), mesh)
+
+    if compiled:
+        def scan_body(hh, inp):
+            k, th, lr = inp
+            if runs is None:
+                hh, packed = frame_step(hh, k, th, lr)
+            else:
+                hh, packed = jax.vmap(frame_step, in_axes=(0, 0, None, None))(
+                    hh, jax.random.split(k, runs), th, lr
+                )
+            return hh, packed
+
+        @jax.jit
+        def run_all(h):
+            return jax.lax.scan(scan_body, h, (frame_keys, thetas, lrs))
+
+        h, packed = run_all(h)
+        hist = _unpack_metrics(np.asarray(packed), _CMA_FIELDS)
+
+        def tail(name):
+            return np.moveaxis(np.asarray(hist[name]), 0, -1)
+
+        ser_valid = np.concatenate([tail("ser_const"), tail("ser_soft")], axis=-2)
+        return {
+            "ser": ser_valid,
+            "var_est": np.zeros(prefix + (2, cfg.num_frames), np.float32),
+            "mi": tail("mi"),
+            "var": np.asarray(var),
+            "taps": h,
+        }
+
     if runs is None:
         frame_step = jax.jit(frame_step)
         splitk = lambda k: k
-        prefix = ()
     else:
-        h = shard_runs(broadcast_runs(h, runs), mesh)
         frame_step = jax.jit(jax.vmap(frame_step, in_axes=(0, 0, None, None)))
         splitk = lambda k: jax.random.split(k, runs)
-        prefix = (runs,)
     ser_valid = np.zeros(prefix + (4, cfg.num_frames), np.float32)
     mi_hist = np.zeros(prefix + (2, cfg.num_frames), np.float32)
-    theta = cfg.theta
-    key_loop = key
     for frame in range(cfg.num_frames):
-        lr = cfg.lr * 0.5 ** (frame // cfg.n_lrhalf)
-        key_loop, k = jax.random.split(key_loop)
-        h, packed = frame_step(h, splitk(k), jnp.float32(theta), jnp.float32(lr))
-        theta += cfg.theta_diff
+        h, packed = frame_step(h, splitk(frame_keys[frame]), thetas[frame], lrs[frame])
         m = _unpack_metrics(np.asarray(packed), _CMA_FIELDS)  # one D2H transfer
         ser_valid[..., :2, frame] = m["ser_const"]
         ser_valid[..., 2:, frame] = m["ser_soft"]

@@ -120,4 +120,4 @@ def test_cma_dp_compiled_matches_loop():
     a = run_cma_dp(cfg, jax.random.PRNGKey(5))
     b = run_cma_dp(cfg, jax.random.PRNGKey(5), compiled=True)
     np.testing.assert_allclose(b["ser"], a["ser"], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(b["taps"]), np.asarray(a["taps"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b["taps"]), np.asarray(a["taps"]), rtol=1e-4, atol=1e-6)

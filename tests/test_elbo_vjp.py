@@ -58,3 +58,28 @@ def test_bwd_matches_autodiff_64qam():
     gw, gh = vae_dp_loss_bwd(w, h, x, amps, var, nu_sc, P, residuals)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_ref), rtol=5e-4, atol=1e-5)
+
+
+def test_pallas_fused_loss_and_grad_interpret():
+    from vae_equalizer_tpu.ops.elbo_kernel import vae_dp_loss_and_grad_pallas
+
+    for seed, n_sym, m, mod in [(0, 64, 25, "16-QAM"), (3, 100, 11, "64-QAM")]:
+        w, h, x, amps, var, nu_sc, P = _setup(seed=seed, n_sym=n_sym, m=m, mod=mod)
+
+        def ref_loss(w_, h_):
+            return vae_dp_loss_reference(w_, h_, x, amps, var, nu_sc, P)[0]
+
+        loss_ref, var_ref = vae_dp_loss_reference(w, h, x, amps, var, nu_sc, P)
+        gw_ref, gh_ref = jax.grad(ref_loss, argnums=(0, 1))(w, h)
+        loss, var_est, gw, gh, q, out = vae_dp_loss_and_grad_pallas(
+            w, h, x, amps, var, nu_sc, P, interpret=True
+        )
+        from vae_equalizer_tpu.models.vae_le import vae_le_dp_forward
+
+        q_ref, out_ref = vae_le_dp_forward(w, x, amps, var, nu_sc, 2)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=5e-4, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(var_est), np.asarray(var_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=5e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_ref), rtol=5e-4, atol=1e-5)

@@ -113,12 +113,16 @@ def train_vae_dp(
     mesh: Mesh | None = None,
     params_init=None,
     compiled: bool = False,
+    use_pallas: bool = False,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
     With ``compiled=True`` the whole experiment (all frames) runs as one
     lax.scan inside a single jitted call — no per-frame host round trips;
-    ``progress`` is then unavailable.
+    ``progress`` is then unavailable. ``use_pallas=True`` computes each
+    minibatch's loss and gradients with the fused in-VMEM kernel
+    (ops/elbo_kernel.py) — exact f32 on a backend whose XLA matmuls are bf16;
+    requires sps=2 and odd M.
     """
     const, h_up, var = _setup(cfg)
     m_max = cfg.n_frame_max // cfg.batch_len
@@ -155,13 +159,24 @@ def train_vae_dp(
         loss, var_est = elbo_dp(q, rx_mb, p["h"], amps, P)
         return loss, (q, out, var_est)
 
+    if use_pallas:
+        from ..ops.elbo_kernel import vae_dp_loss_and_grad_pallas
+
     def frame_step(params, opt_state, key, theta):
         rx, tx, sigma = gen(key, theta)
 
         def mb(carry, m):
             p, s = carry
             rx_mb = jax.lax.dynamic_slice_in_dim(rx, m * mb_len, mb_len, 2)
-            (loss, (q, out, var_est)), g = jax.value_and_grad(loss_fn, has_aux=True)(p, rx_mb)
+            if use_pallas:
+                loss, var_est, gw, gh, q, out = vae_dp_loss_and_grad_pallas(
+                    p["w"], p["h"], rx_mb, amps, var, const.nu_sc, P
+                )
+                g = {"w": gw, "h": gh}
+            else:
+                (loss, (q, out, var_est)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, rx_mb
+                )
             updates, s = opt.update(g, s, p)
             return (optax.apply_updates(p, updates), s), (loss, q, out, var_est)
 

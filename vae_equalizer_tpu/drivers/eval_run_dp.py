@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--symb-rate", type=float, nargs="+", default=[90e9])
     p.add_argument("--num-frames", type=int, default=170)
     p.add_argument("--n-frame-max", type=int, default=10000)
+    p.add_argument("--pallas", action="store_true",
+                   help="fused exact-f32 train-step kernel (VAE, sps=2, odd M)")
     args = p.parse_args(argv)
 
     iters = args.iters or 5
@@ -58,6 +60,7 @@ def main(argv=None):
         args.loss_type, base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled,
+        runner_kwargs={"use_pallas": True} if args.pallas and args.loss_type == "VAE" else None,
     )
     ser = assemble_mat(results, axes_values, iters, (4,))
     save_results(args.out, f"{args.loss_type}_DP_{args.mod}_N_lrhalf_170_N_train_{args.n_frame_max}", {

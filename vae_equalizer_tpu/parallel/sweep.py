@@ -73,6 +73,7 @@ def run_sweep(
     skip_done: bool = False,
     save_params: bool = False,
     compiled: bool = False,
+    runner_kwargs: dict | None = None,
 ):
     """Run a full grid; returns list of per-point results.
 
@@ -96,7 +97,7 @@ def run_sweep(
             continue
         key, k = jax.random.split(key)
         t0 = time.time()
-        kwargs = dict(runs=iters, mesh=mesh, progress=progress)
+        kwargs = dict(runs=iters, mesh=mesh, progress=progress, **(runner_kwargs or {}))
         if compiled:
             import inspect
 

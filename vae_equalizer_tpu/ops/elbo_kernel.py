@@ -24,7 +24,7 @@ Layouts (rows x lanes):
 Outputs:
   gw8    (8, M)    rows o*4 + i
   gh8    (8, M)    rows chi*4 + nu*2 + c
-  stats  (8, 128)  row 0: [loss, var_x, var_y, c_x, c_y, ...]
+  stats  (8, 128)  row 0: [loss, var_est_x, var_est_y, 0...]
 """
 
 from __future__ import annotations
@@ -91,9 +91,6 @@ def _kernel(
         eq_sc[r : r + 1, :] = jnp.sum(amps[:, None] * q, axis=0, keepdims=True)
         v_sc[r : r + 1, :] = jnp.sum((amps * amps)[:, None] * q, axis=0, keepdims=True)
     v_sc[0:4, :] = v_sc[0:4, :] - eq_sc[0:4, :] * eq_sc[0:4, :]
-
-    # symbol-domain Eq with mh left zero-pad for the u - a correlations
-    # eq_sc rows: 0=(x,I) 1=(y,I) 2=(x,Q) 3=(y,Q); store padded copy in d_sc? use slices
 
     # ---------------- D conv (parity split, symbol domain)
     # D[chi, c, n] for n in [Mh, Nsamp); n = 2u  -> even taps j = 2a

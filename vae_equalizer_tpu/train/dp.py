@@ -160,6 +160,8 @@ def train_vae_dp(
         return loss, (q, out, var_est)
 
     if use_pallas:
+        if cfg.sps != 2 or cfg.m_est % 2 == 0:
+            raise ValueError("use_pallas requires sps=2 and odd M_est")
         from ..ops.elbo_kernel import vae_dp_loss_and_grad_pallas
 
     def frame_step(params, opt_state, key, theta):

@@ -33,10 +33,15 @@ from jax import shard_map
 
 from ..core import make_constellation
 from ..core.constellation import demapper_noise_var
-from ..models import butterfly_init, dirac_taps_dp
+from ..models import butterfly_init, dirac_taps_dp, soft_demap_dp
 from ..models.losses import posterior_moments
 
-__all__ = ["halo_exchange", "make_sp_dp_train_step", "make_mesh_2d"]
+__all__ = [
+    "halo_exchange",
+    "make_sp_dp_train_step",
+    "make_mesh_2d",
+    "train_vae_dp_sharded",
+]
 
 
 def make_mesh_2d(n_dp: int, n_sp: int, devices=None) -> Mesh:
@@ -214,3 +219,124 @@ def make_sp_dp_train_step(
         return params, opt_state
 
     return init, make_step, shard_inputs, {"n_dp": n_dp, "n_sp": n_sp, "const": const, "var": var}
+
+
+def train_vae_dp_sharded(
+    cfg,
+    key: jax.Array,
+    progress=None,
+    runs: int | None = None,
+    mesh: Mesh | None = None,
+    params_init=None,
+    compiled: bool = False,
+):
+    """Full DP VAE online experiment on a dp x sp device mesh.
+
+    The complete frame loop of train/dp.py:train_vae_dp — theta-drift channel
+    generation, the minibatch optimizer scan, and the synchronized SER/MI
+    evaluation — with independent runs sharded over the mesh's ``dp`` axis and
+    every minibatch's sample axis sharded over ``sp`` (halo-exchange butterfly
+    + psum'd ELBO + psum'd gradients). Numerically equivalent to
+    ``train_vae_dp(cfg, key, runs=runs)`` up to float reduction order; one XLA
+    program per frame (or per experiment with ``compiled=True``).
+
+    Channel generation and eval run as ordinary jit code on the mesh (the
+    partitioner places them); only the gradient scan is shard_mapped.
+    """
+    from ..train.dp import (
+        _VAE_FIELDS,
+        _dp_result,
+        _finish_vae_frame,
+        _frame_inputs,
+        _setup,
+        _vae_optimizer,
+    )
+    from ..train.eval_utils import batch_cut_weight
+    from ..train.harness import run_frame_loop
+
+    n_dp, n_sp = mesh.shape["dp"], mesh.shape["sp"]
+    runs = n_dp if runs is None else runs
+    if runs % n_dp != 0:
+        raise ValueError(f"runs={runs} must divide the dp axis ({n_dp})")
+    m_max = cfg.n_frame_max // cfg.batch_len
+    n_frame = m_max * cfg.batch_len
+    const, var, gen, amps, prior = _setup(cfg, n_frame)
+    mb_len = cfg.batch_len * cfg.sps
+    if mb_len % (n_sp * cfg.sps) != 0:
+        raise ValueError(f"minibatch length {mb_len} must split over sp={n_sp} whole symbols")
+    if cfg.m_est % 2 == 0:
+        raise ValueError("sp sharding requires odd M_est (symmetric halo)")
+
+    params0 = params_init or {
+        "w": butterfly_init(cfg.m_est),
+        "h": dirac_taps_dp(cfg.m_est),
+    }
+    opt = _vae_optimizer(cfg, m_max)
+    run_sh = NamedSharding(mesh, P("dp"))
+    params = jax.device_put(
+        jax.tree.map(lambda x: jnp.broadcast_to(x, (runs,) + x.shape), params0), run_sh
+    )
+    opt_state = jax.vmap(opt.init)(params)
+
+    def local_loss(p, rx_loc):
+        out = _sp_butterfly(p["w"], rx_loc, cfg.sps, "sp")
+        q = soft_demap_dp(out, amps, var, const.nu_sc)
+        loss, var_est = _sp_elbo(q, rx_loc, p["h"], amps, prior, cfg.sps, mb_len, "sp")
+        n_lev = amps.shape[0]
+        return loss, (q.reshape(2, 2, n_lev, -1), out, var_est)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp", None, None, None, "sp")),
+        out_specs=(
+            P("dp"),
+            P("dp"),
+            P("dp"),
+            P("dp", None, None, None, None, "sp"),
+            P("dp", None, None, None, "sp"),
+            P("dp"),
+        ),
+    )
+    def train_frame(params, opt_state, rx_mb):
+        def one_run(p, s, x):  # x: (m_max, 2, 2, mb_len / n_sp)
+            def mb(carry, x_m):
+                p, s = carry
+                (loss, (q, out, var_est)), g = jax.value_and_grad(
+                    local_loss, has_aux=True
+                )(p, x_m)
+                g = jax.lax.psum(g, "sp")  # full gradient on every sp shard
+                updates, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, updates), s), (loss, q, out, var_est)
+
+            (p, s), (losses, q_mb, out_mb, var_est) = jax.lax.scan(mb, (p, s), x)
+            return p, s, losses, q_mb, out_mb, var_est
+
+        return jax.vmap(one_run)(params, opt_state, rx_mb)
+
+    def frame_step(carry, key, theta):
+        params, opt_state = carry
+        keys = jax.random.split(key, runs)  # matches the vmapped runs path
+        rx, tx, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
+        rx = jax.lax.with_sharding_constraint(rx, run_sh)
+        # (runs, 2, 2, N) -> (runs, m_max, 2, 2, mb_len): contiguous minibatches
+        rx_mb = jnp.moveaxis(rx.reshape(runs, 2, 2, m_max, mb_len), 3, 1)
+        params, opt_state, losses, q_mb, out_mb, var_est = train_frame(
+            params, opt_state, rx_mb
+        )
+        n_lev = amps.shape[0]
+        q_mb = q_mb.reshape(runs, m_max, 2, 2 * n_lev, cfg.batch_len)
+        packed = jax.vmap(
+            lambda l, q, o, v, t, s: _finish_vae_frame(
+                l, q, o, v, t, const, amps, prior, var,
+                lambda s0, ms: batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut),
+                s,
+            )
+        )(losses, q_mb, out_mb, var_est, tx, sigma)
+        return (params, opt_state), packed
+
+    (params, _), hist = run_frame_loop(
+        frame_step, (params, opt_state), _frame_inputs(cfg, key), _VAE_FIELDS,
+        runs=runs, vmap_runs=False, progress=progress, compiled=compiled,
+    )
+    return _dp_result(hist, var, (runs,), cfg.num_frames, params=params)

@@ -10,11 +10,15 @@ Every loop takes ``runs``/``mesh``: independent repeats (the reference's
 ``iter`` axis) are vmapped into one SPMD program and sharded over the device
 mesh (see train/batching.py). With ``runs=None`` histories are scalars per
 eval; with ``runs=k`` they gain a leading runs axis.
+
+All three experiments share one transport (``_run_epochs``): a jitted
+``epoch_step(carry, key) -> (carry, loss)`` and ``eval_step(carry, key) ->
+packed`` driven either from a Python loop or as one whole-experiment
+lax.scan (``compiled=True``; eval ordering matches the reference — train
+epoch k*epe, evaluate, train the remaining epe-1 epochs).
 """
 
 from __future__ import annotations
-
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +34,7 @@ from ..models import (
     cma_siso,
     dirac_taps_siso,
     siso_fir_init,
+    soft_demap_dp,
     vae_le_siso_forward,
     vae_nn_init,
     vae_nn_forward,
@@ -38,54 +43,94 @@ from ..models.losses import elbo_siso
 from ..utils.config import AwgnCmaConfig, AwgnVaeLeConfig, AwgnVaeNnConfig
 from .batching import broadcast_runs, shard_runs
 from .eval_utils import margin_weight, roll_time
+from .harness import Progress
 
-Progress = Callable[[int, dict], None] | None
-
-
-def _prepare(params, opt, runs, mesh):
-    """(params, opt_state, per-call jit/vmap wrapper, key splitter)."""
-    if runs is None:
-        return params, opt.init(params), jax.jit, (lambda k: k)
-    params = shard_runs(broadcast_runs(params, runs), mesh)
-    opt_state = jax.vmap(opt.init)(params)
-
-    def wrap(fn):
-        return jax.jit(jax.vmap(fn))
-
-    return params, opt_state, wrap, (lambda k: jax.random.split(k, runs))
+# eval_step packs these into ONE float32 vector -> ONE D2H transfer per eval
+# (tunnel fetches cost ~10-25 ms each)
+_EVAL_NAMES = ("ser", "mi", "shift")
 
 
-def _hist(shape_prefix, num_epochs, epe):
-    return np.zeros(shape_prefix + (num_epochs // epe,), np.float32)
+def _run_epochs(
+    epoch_step,
+    eval_step,
+    carry,
+    key: jax.Array,
+    num_epochs: int,
+    epe: int,
+    runs: int | None,
+    progress: Progress,
+    compiled: bool,
+    names=_EVAL_NAMES,
+):
+    """Drive (epoch_step, eval_step) over an experiment; eval every ``epe``.
 
-
-def _run_compiled(params, opt_state, epoch_step, eval_step, key, num_epochs, epe, runs, splitk):
-    """Whole-experiment lax.scan: (epe train epochs + eval) supersteps in one
-    jitted call; one packed D2H transfer at the end. Reference eval ordering:
-    train epoch k*epe, evaluate, train the remaining epe-1 epochs."""
+    Returns (carry, hist) with hist[name] of shape (*runs_prefix, n_evals).
+    """
     n_evals = num_epochs // epe
-    train_keys = jax.random.split(key, num_epochs)
-    eval_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), n_evals)
-    estep = epoch_step if runs is None else jax.vmap(epoch_step)
-    evstep = eval_step if runs is None else jax.vmap(eval_step)
+    if runs is None:
+        estep, evstep = epoch_step, eval_step
+        splitk = lambda k: k
+    else:
+        estep, evstep = jax.vmap(epoch_step), jax.vmap(eval_step)
+        splitk = lambda k: jax.random.split(k, runs)
 
-    def super_step(carry, inp):
-        p, s = carry
-        tks, ek = inp  # (epe, 2) train keys + one eval key
-        p, s, _ = estep(p, s, splitk(tks[0]))
-        packed = evstep(p, splitk(ek))
-        for i in range(1, epe):
-            p, s, _ = estep(p, s, splitk(tks[i]))
-        return (p, s), packed
+    if compiled:
+        # whole-experiment lax.scan: (epe train epochs + eval) supersteps in
+        # one jitted call; one packed D2H transfer at the end
+        train_keys = jax.random.split(key, num_epochs)
+        eval_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), n_evals)
 
-    @jax.jit
-    def run_all(params, opt_state):
-        tk = train_keys[: n_evals * epe].reshape(n_evals, epe, 2)
-        return jax.lax.scan(super_step, (params, opt_state), (tk, eval_keys))
+        def super_step(c, inp):
+            tks, ek = inp  # (epe, 2) train keys + one eval key
+            c, _ = estep(c, splitk(tks[0]))
+            packed = evstep(c, splitk(ek))
+            for i in range(1, epe):
+                c, _ = estep(c, splitk(tks[i]))
+            return c, packed
 
-    (params, opt_state), packed = run_all(params, opt_state)
-    return params, np.moveaxis(np.asarray(packed), 0, -2)
+        @jax.jit
+        def run_all(c):
+            tk = train_keys[: n_evals * epe].reshape(n_evals, epe, 2)
+            return jax.lax.scan(super_step, c, (tk, eval_keys))
 
+        carry, packed = run_all(carry)
+        packed = np.moveaxis(np.asarray(packed), 0, -2)  # (..., n_evals, k)
+        return carry, {n: packed[..., j] for j, n in enumerate(names)}
+
+    estep, evstep = jax.jit(estep), jax.jit(evstep)
+    prefix = () if runs is None else (runs,)
+    hist = {n: np.zeros(prefix + (n_evals,), np.float32) for n in names}
+    key_loop = key
+    for epoch in range(num_epochs):
+        key_loop, k1 = jax.random.split(key_loop)
+        carry, loss = estep(carry, splitk(k1))
+        if epoch % epe == 0:
+            key_loop, k2 = jax.random.split(key_loop)
+            packed = np.asarray(evstep(carry, splitk(k2)))
+            i = epoch // epe
+            for j, n in enumerate(names):
+                hist[n][..., i] = packed[..., j]
+            if progress:
+                progress(epoch, {"loss": np.asarray(loss),
+                                 **{n: packed[..., j] for j, n in enumerate(names)}})
+    return carry, hist
+
+
+def _init_carry(params, opt, runs, mesh):
+    if runs is None:
+        return params, opt.init(params)
+    params = shard_runs(broadcast_runs(params, runs), mesh)
+    return params, jax.vmap(opt.init)(params)
+
+
+def _siso_eval_pack(q, tx, n_valid, const, amps, P):
+    """Shared posterior eval: sync -> roll -> masked SER + MI, packed."""
+    shift = find_shift_siso(q, tx, 21, amps)
+    q_r = roll_time(q, shift)
+    w = margin_weight(n_valid, shift)
+    ser = ser_q_siso(q_r, tx, const.num_lev, weight=w)
+    mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
+    return jnp.stack([ser, mi, shift.astype(jnp.float32)])
 
 
 def train_vae_le_awgn(
@@ -122,7 +167,8 @@ def train_vae_le_awgn(
         q, _ = vae_le_siso_forward(p["w"], rx_mb, amps, amp_mean, var, cfg.sps)
         return elbo_siso(q, rx_mb, p["h"], amps, P)
 
-    def epoch_step(params, opt_state, key):
+    def epoch_step(carry, key):
+        params, opt_state = carry
         rx, _ = gen_train(key)
 
         def mb(carry, m):
@@ -133,43 +179,18 @@ def train_vae_le_awgn(
             return (optax.apply_updates(p, updates), s), loss
 
         (params, opt_state), losses = jax.lax.scan(mb, (params, opt_state), jnp.arange(n_batches))
-        return params, opt_state, losses[-1]
+        return (params, opt_state), losses[-1]
 
-    def eval_step(params, key):
+    def eval_step(carry, key):
         rx, tx = gen_valid(key)
-        q, _ = vae_le_siso_forward(params["w"], rx, amps, amp_mean, var, cfg.sps)
-        shift = find_shift_siso(q, tx, 21, amps)
-        q_r = roll_time(q, shift)
-        w = margin_weight(cfg.n_valid, shift)
-        ser = ser_q_siso(q_r, tx, const.num_lev, weight=w)
-        mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
-        # one packed D2H transfer per eval (tunnel fetches cost ~10-25 ms each)
-        return jnp.stack([ser, mi, shift.astype(jnp.float32)])
+        q, _ = vae_le_siso_forward(carry[0]["w"], rx, amps, amp_mean, var, cfg.sps)
+        return _siso_eval_pack(q, tx, cfg.n_valid, const, amps, P)
 
-    params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
-
-    if compiled:
-        params, packed = _run_compiled(
-            params, opt_state, epoch_step, eval_step, key, cfg.num_epochs, cfg.epe, runs, splitk
-        )
-        return {"ser": packed[..., 0], "mi": packed[..., 1], "params": params}
-
-    epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
-    prefix = () if runs is None else (runs,)
-    ser_hist, mi_hist = _hist(prefix, cfg.num_epochs, cfg.epe), _hist(prefix, cfg.num_epochs, cfg.epe)
-    key_loop = key
-    for epoch in range(cfg.num_epochs):
-        key_loop, k1 = jax.random.split(key_loop)
-        params, opt_state, loss = epoch_step(params, opt_state, splitk(k1))
-        if epoch % cfg.epe == 0:
-            key_loop, k2 = jax.random.split(key_loop)
-            packed = np.asarray(eval_step(params, splitk(k2)))
-            ser, mi, shift = packed[..., 0], packed[..., 1], packed[..., 2]
-            i = epoch // cfg.epe
-            ser_hist[..., i], mi_hist[..., i] = ser, mi
-            if progress:
-                progress(epoch, {"loss": np.asarray(loss), "ser": ser, "mi": mi, "shift": shift})
-    return {"ser": ser_hist, "mi": mi_hist, "params": params}
+    carry = _init_carry(params0, opt, runs, mesh)
+    (params, _), hist = _run_epochs(
+        epoch_step, eval_step, carry, key, cfg.num_epochs, cfg.epe, runs, progress, compiled
+    )
+    return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
 
 
 def train_vae_nn_awgn(
@@ -221,7 +242,8 @@ def train_vae_nn_awgn(
             q, bn = vae_nn_forward(p["net"], rx_mb, cfg.sps), None
         return elbo_siso(q, rx_mb, p["h"], amps, None), bn
 
-    def epoch_step(params, opt_state, key):
+    def epoch_step(carry, key):
+        params, opt_state = carry
         rx, _ = gen_train(key)
 
         def mb(carry, m):
@@ -235,46 +257,22 @@ def train_vae_nn_awgn(
             return (p, s), loss
 
         (params, opt_state), losses = jax.lax.scan(mb, (params, opt_state), jnp.arange(n_batches))
-        return params, opt_state, losses[-1]
+        return (params, opt_state), losses[-1]
 
-    def eval_step(params, key):
+    def eval_step(carry, key):
+        params = carry[0]
         rx, tx = gen_valid(key)
         if cfg.batchnorm:
             q, _ = vae_nn_forward(params["net"], rx, cfg.sps, state=params["bn"], train=False)
         else:
             q = vae_nn_forward(params["net"], rx, cfg.sps)
-        shift = find_shift_siso(q, tx, 21, amps)
-        q_r = roll_time(q, shift)
-        w = margin_weight(cfg.n_valid, shift)
-        ser = ser_q_siso(q_r, tx, const.num_lev, weight=w)
-        mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
-        # one packed D2H transfer per eval (tunnel fetches cost ~10-25 ms each)
-        return jnp.stack([ser, mi, shift.astype(jnp.float32)])
+        return _siso_eval_pack(q, tx, cfg.n_valid, const, amps, P)
 
-    params, opt_state, wrap, splitk = _prepare(params0, opt, runs, mesh)
-
-    if compiled:
-        params, packed = _run_compiled(
-            params, opt_state, epoch_step, eval_step, key, cfg.num_epochs, cfg.epe, runs, splitk
-        )
-        return {"ser": packed[..., 0], "mi": packed[..., 1], "params": params}
-
-    epoch_step, eval_step = wrap(epoch_step), wrap(eval_step)
-    prefix = () if runs is None else (runs,)
-    ser_hist, mi_hist = _hist(prefix, cfg.num_epochs, cfg.epe), _hist(prefix, cfg.num_epochs, cfg.epe)
-    key_loop = key
-    for epoch in range(cfg.num_epochs):
-        key_loop, k1 = jax.random.split(key_loop)
-        params, opt_state, loss = epoch_step(params, opt_state, splitk(k1))
-        if epoch % cfg.epe == 0:
-            key_loop, k2 = jax.random.split(key_loop)
-            packed = np.asarray(eval_step(params, splitk(k2)))
-            ser, mi, shift = packed[..., 0], packed[..., 1], packed[..., 2]
-            i = epoch // cfg.epe
-            ser_hist[..., i], mi_hist[..., i] = ser, mi
-            if progress:
-                progress(epoch, {"loss": np.asarray(loss), "ser": ser, "mi": mi, "shift": shift})
-    return {"ser": ser_hist, "mi": mi_hist, "params": params}
+    carry = _init_carry(params0, opt, runs, mesh)
+    (params, _), hist = _run_epochs(
+        epoch_step, eval_step, carry, key, cfg.num_epochs, cfg.epe, runs, progress, compiled
+    )
+    return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
 
 
 def run_cma_awgn(
@@ -283,19 +281,24 @@ def run_cma_awgn(
     progress: Progress = None,
     runs: int | None = None,
     mesh: Mesh | None = None,
+    compiled: bool = False,
 ):
     """CMA baseline on the AWGN ISI channel (no autograd).
 
     Parity: processing (func_CMA_MQAM_shaping.py:201-256) — per-epoch tap
     adaptation on fresh data; eval on frozen taps + Viterbi-Viterbi CPE.
+    The MI history (soft_dec posteriors on the CPE output, matching the DP
+    CMA path's convention) is a capability the reference lacks for SISO CMA.
     """
     const = make_constellation(cfg.mod, cfg.nu)
     h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
     gen_train = make_awgn_simulator(const, cfg.snr_db, h_up, m_orig, cfg.n_train, cfg.sps)
     gen_valid = make_awgn_simulator(const, cfg.snr_db, h_up, m_orig, cfg.n_valid, cfg.sps)
     amps = jnp.asarray(const.amps)
+    P = jnp.asarray(const.P, jnp.float32)
+    var_q = jnp.full((1,), 10 ** (-cfg.snr_db / 10), jnp.float32)
 
-    def train_step(h, key):
+    def epoch_step(h, key):
         rx, _ = gen_train(key)
         out, h, e = cma_siso(rx, cfg.R, h, cfg.lr, cfg.sps, True)
         return h, jnp.mean(jnp.abs(e))
@@ -308,26 +311,15 @@ def run_cma_awgn(
         out_r = roll_time(out, shift)
         w = margin_weight(cfg.n_valid, shift)
         ser = ser_const_siso(out_r, tx, amps, weight=w)
-        return jnp.stack([ser, shift.astype(jnp.float32)])
+        # soft posteriors on the synchronized output (1-pol soft_dec) -> MI
+        q = soft_demap_dp(out_r[None], amps, var_q, const.nu_sc)[0]
+        mi = mutual_information_ambiguity(q, tx, amps, P, weight=w)
+        return jnp.stack([ser, mi, shift.astype(jnp.float32)])
 
     h = dirac_taps_siso(cfg.m_est)
-    if runs is None:
-        wrap, splitk = jax.jit, (lambda k: k)
-    else:
+    if runs is not None:
         h = shard_runs(broadcast_runs(h, runs), mesh)
-        wrap, splitk = (lambda f: jax.jit(jax.vmap(f))), (lambda k: jax.random.split(k, runs))
-    train_step, eval_step = wrap(train_step), wrap(eval_step)
-
-    prefix = () if runs is None else (runs,)
-    ser_hist = _hist(prefix, cfg.num_epochs, cfg.epe)
-    key_loop = key
-    for epoch in range(cfg.num_epochs):
-        key_loop, k1 = jax.random.split(key_loop)
-        h, loss = train_step(h, splitk(k1))
-        if epoch % cfg.epe == 0:
-            key_loop, k2 = jax.random.split(key_loop)
-            packed = np.asarray(eval_step(h, splitk(k2)))
-            ser_hist[..., epoch // cfg.epe] = packed[..., 0]
-            if progress:
-                progress(epoch, {"loss": np.asarray(loss), "ser": packed[..., 0], "shift": packed[..., 1]})
-    return {"ser": ser_hist, "taps": h}
+    h, hist = _run_epochs(
+        epoch_step, eval_step, h, key, cfg.num_epochs, cfg.epe, runs, progress, compiled
+    )
+    return {"ser": hist["ser"], "mi": hist["mi"], "taps": h}

@@ -1,0 +1,114 @@
+"""Generic frame/epoch experiment harness.
+
+Every online training loop in this package has the same transport shape: a
+jitted ``frame_step(carry, key, *per_frame) -> (carry, packed_metrics)`` is
+driven over frames either from a Python loop (one device call + ONE packed
+D2H metric transfer per frame) or as a single whole-experiment ``lax.scan``
+(``compiled=True``, one D2H at the end).  Independent repeats (the
+reference's ``iter`` axis) are vmapped into the same XLA program and sharded
+over a device mesh by the caller (train/batching.py).
+
+Metric transport: every per-frame scalar/vector is packed into ONE float32
+vector on device (``pack_metrics``) and unpacked on host — on the axon TPU
+transport each host fetch costs ~10-25 ms of tunnel latency, so fetching the
+~13 metric leaves individually dominated the frame time (measured 250 ms vs
+14 ms of device compute per 10000-symbol frame).
+
+This replaces the per-loop copies of the scan/loop/unpack scaffolding that
+the reference repeats in every func_*_shaping.py processing() body.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Progress", "pack_metrics", "unpack_metrics", "run_frame_loop"]
+
+Fields = Sequence[tuple[str, int]]
+Progress = Callable[[int, dict], None] | None
+
+
+def pack_metrics(m: dict, fields: Fields) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.atleast_1d(m[k]).astype(jnp.float32).reshape(-1) for k, _ in fields]
+    )
+
+
+def unpack_metrics(v: np.ndarray, fields: Fields) -> dict:
+    out, i = {}, 0
+    for k, n in fields:
+        out[k] = v[..., i] if n == 1 else v[..., i : i + n]
+        i += n
+    return out
+
+
+def run_frame_loop(
+    frame_step: Callable,
+    carry,
+    per_frame: tuple,
+    fields: Fields,
+    *,
+    runs: int | None = None,
+    vmap_runs: bool = True,
+    progress: Callable[[int, dict], None] | None = None,
+    compiled: bool = False,
+):
+    """Drive ``frame_step`` over an experiment's frames.
+
+    frame_step(carry, key, *rest) -> (carry, packed) with ``packed`` laid out
+    by ``fields``;  per_frame = (frame_keys, *rest_arrays), each indexed by
+    frame.  With ``runs`` set and ``vmap_runs`` (the default), frame_step is
+    vmapped over a leading runs axis of ``carry`` with one key per run and
+    the remaining per-frame inputs broadcast; ``vmap_runs=False`` means the
+    step already handles the runs axis itself (e.g. a shard_mapped step) and
+    receives the unsplit key.
+
+    Returns ``(carry, hist)`` where hist maps field name -> np.float32 array
+    of shape ``(*runs_prefix, [n,] num_frames)``.
+
+    ``compiled=True`` wraps the whole experiment in one lax.scan inside a
+    single jitted call (no per-frame host round trips; ``progress`` is then
+    unavailable).
+    """
+    frame_keys, *rest = per_frame
+    num_frames = len(frame_keys)
+    if runs is not None and vmap_runs:
+        step1 = jax.vmap(frame_step, in_axes=(0, 0) + (None,) * len(rest))
+        splitk = lambda k: jax.random.split(k, runs)
+    else:
+        step1 = frame_step
+        splitk = lambda k: k
+
+    if compiled:
+
+        def scan_body(c, inp):
+            k, *r = inp
+            return step1(c, splitk(k), *r)
+
+        @jax.jit
+        def run_all(c):
+            return jax.lax.scan(scan_body, c, (frame_keys, *rest))
+
+        carry, packed = run_all(carry)
+        hist = unpack_metrics(np.asarray(packed), fields)  # one D2H transfer
+        # stacked (frames, ..., n) -> (..., n, frames)
+        return carry, {k: np.moveaxis(v, 0, -1) for k, v in hist.items()}
+
+    step1 = jax.jit(step1)
+    prefix = () if runs is None else (runs,)
+    hist = {
+        k: np.zeros(prefix + ((n,) if n > 1 else ()) + (num_frames,), np.float32)
+        for k, n in fields
+    }
+    for frame in range(num_frames):
+        carry, packed = step1(carry, splitk(frame_keys[frame]), *(r[frame] for r in rest))
+        m = unpack_metrics(np.asarray(packed), fields)  # one D2H transfer
+        for k, _ in fields:
+            hist[k][..., frame] = m[k]
+        if progress:
+            progress(frame, m)
+    return carry, hist

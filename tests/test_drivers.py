@@ -26,3 +26,25 @@ def test_eval_run_cma_quick(tmp_path):
         "--num-epochs", "10",
     ])
     assert len(list(tmp_path.glob("*.mat"))) == 1
+
+
+def test_eval_run_dp_sp_sharded_quick(tmp_path):
+    """--sp 2: the sequence-parallel runner behind the standard sweep CLI."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vae_equalizer_tpu.drivers import eval_run_dp
+
+    eval_run_dp.main([
+        "--quick", "--loss-type", "VAE", "--sp", "2", "--iters", "2",
+        "--out", str(tmp_path),
+    ])
+    mats = list(tmp_path.glob("*.mat"))
+    assert len(mats) == 1
+    d = sio.loadmat(mats[0], simplify_cells=True)["dict"]
+    ser = np.asarray(d["SER"])
+    assert np.all(np.isfinite(ser))
+    # iters rounded up to the dp axis (4 rows on an 8-device, sp=2 mesh)
+    assert ser.shape[-2] == 4

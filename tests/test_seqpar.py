@@ -79,3 +79,37 @@ def test_sp_dp_step_runs_multiple_iterations(mesh):
         losses.append(np.asarray(loss))
     assert np.all(np.isfinite(np.asarray(losses)))
     assert np.asarray(losses)[-1].mean() < np.asarray(losses)[0].mean()
+
+
+def test_sharded_full_loop_matches_single_device(mesh):
+    """train_vae_dp_sharded drives the WHOLE experiment (channel gen, theta
+    drift, minibatch optimizer scan, synchronized eval) on the dp x sp mesh;
+    the per-frame metric trajectories must match train_vae_dp(runs=...) —
+    exactly for the early frames, within reduction-order float noise after."""
+    from vae_equalizer_tpu.parallel.seqpar import train_vae_dp_sharded
+    from vae_equalizer_tpu.train import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    cfg = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=3, n_frame_max=1000, lr=2.5e-3)
+    key = jax.random.PRNGKey(7)
+    a = train_vae_dp(cfg, key, runs=2)
+    b = train_vae_dp_sharded(cfg, key, runs=2, mesh=mesh)
+    assert b["ser"].shape == a["ser"].shape == (2, 4, 3)
+    # identical channel draws + exact halo/psum algebra: first frames match
+    # to the SER quantum; later frames only to pre-convergence float noise
+    np.testing.assert_allclose(b["ser"][..., :2], a["ser"][..., :2], atol=2e-3)
+    np.testing.assert_allclose(b["mi"][..., :2], a["mi"][..., :2], atol=1e-2)
+    np.testing.assert_allclose(b["var_est"][..., :2], a["var_est"][..., :2], rtol=1e-3)
+    assert np.all(np.isfinite(b["ser"])) and np.all(b["ser"] <= 1.0)
+    for k in ("w", "h"):
+        assert np.all(np.isfinite(np.asarray(b["params"][k])))
+
+
+def test_sharded_full_loop_compiled_runs(mesh):
+    from vae_equalizer_tpu.parallel.seqpar import train_vae_dp_sharded
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    cfg = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=2, n_frame_max=500, lr=2.5e-3)
+    res = train_vae_dp_sharded(cfg, jax.random.PRNGKey(1), runs=2, mesh=mesh, compiled=True)
+    assert res["ser"].shape == (2, 4, 2)
+    assert np.all(np.isfinite(res["ser"]))

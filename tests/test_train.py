@@ -43,6 +43,12 @@ def test_cma_awgn_converges():
                         n_train=4000, lr=1e-3)
     res = run_cma_awgn(cfg, jax.random.PRNGKey(2))
     assert res["ser"][-1] < 0.05
+    # MI (soft_dec posteriors on the CPE output): ~2 bits at converged 4-QAM
+    assert res["mi"].shape == res["ser"].shape
+    assert res["mi"][-1] > 1.8
+    # compiled mode drives the same experiment as one lax.scan
+    res_c = run_cma_awgn(cfg, jax.random.PRNGKey(2), compiled=True)
+    assert res_c["ser"][-1] < 0.05 and res_c["mi"][-1] > 1.8
 
 
 def test_vae_dp_converges():
@@ -121,3 +127,29 @@ def test_cma_dp_compiled_matches_loop():
     b = run_cma_dp(cfg, jax.random.PRNGKey(5), compiled=True)
     np.testing.assert_allclose(b["ser"], a["ser"], atol=1e-6)
     np.testing.assert_allclose(np.asarray(b["taps"]), np.asarray(a["taps"]), rtol=1e-4, atol=1e-6)
+
+
+def test_vae_dp_pallas_trainstep_matches(monkeypatch):
+    """use_pallas (fused loss+grad kernel) reproduces the XLA train loop
+    (interpret mode on CPU) for both the VAE and VAEflex experiments."""
+    from vae_equalizer_tpu.ops import elbo_kernel
+
+    orig = elbo_kernel.vae_dp_loss_and_grad_pallas
+    monkeypatch.setattr(
+        elbo_kernel, "vae_dp_loss_and_grad_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    cfg = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=2, n_frame_max=500, lr=2.5e-3)
+    a = train_vae_dp(cfg, jax.random.PRNGKey(11))
+    b = train_vae_dp(cfg, jax.random.PRNGKey(11), use_pallas=True)
+    np.testing.assert_allclose(b["ser"], a["ser"], atol=2e-3)
+    np.testing.assert_allclose(b["var_est"], a["var_est"], rtol=1e-3)
+
+    cfgf = DpConfig(loss_type="VAEflex", mod="4-QAM", snr_db=20.0, num_frames=2,
+                    n_frame_max=500, lr=2.5e-3, batch_len=100, flex_step=20)
+    af = train_vae_flex_dp(cfgf, jax.random.PRNGKey(12))
+    bf = train_vae_flex_dp(cfgf, jax.random.PRNGKey(12), use_pallas=True)
+    # ulp-level grad drift flips the odd borderline decision over the 24
+    # overlapping windows; allow a few SER quanta (1 symbol ~ 2.7e-3 here)
+    np.testing.assert_allclose(bf["ser"], af["ser"], atol=8e-3)
+    np.testing.assert_allclose(bf["var_est"], af["var_est"], rtol=5e-3)

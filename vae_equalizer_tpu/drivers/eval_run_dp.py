@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--n-frame-max", type=int, default=10000)
     p.add_argument("--pallas", action="store_true",
                    help="fused exact-f32 train-step kernel (VAE, sps=2, odd M)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree: shard each minibatch's time "
+                        "axis over sp devices (VAE only; dp axis = devices/sp)")
     args = p.parse_args(argv)
 
     iters = args.iters or 5
@@ -56,11 +59,30 @@ def main(argv=None):
         flex_step=args.flex_step,
     )
     mesh, key = setup(args)
+    runner_name = args.loss_type
+    if args.sp > 1:
+        if args.loss_type != "VAE":
+            p.error("--sp requires --loss-type VAE")
+        import jax
+
+        from ..parallel.seqpar import make_mesh_2d
+
+        n_dev = len(jax.devices())
+        if n_dev % args.sp != 0:
+            p.error(f"--sp {args.sp} must divide the device count ({n_dev})")
+        n_dp = n_dev // args.sp
+        mesh = make_mesh_2d(n_dp, args.sp)
+        runner_name = "VAE-SP"
+        if iters % n_dp:
+            iters = (iters // n_dp + 1) * n_dp
+            print(f"# --sp: rounding iters up to {iters} (multiple of dp={n_dp})")
     results, axes_values, jsonl = run_sweep(
-        args.loss_type, base, axes, iters, key, mesh=mesh, out_dir=args.out,
+        runner_name, base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled,
-        runner_kwargs={"use_pallas": True} if args.pallas and args.loss_type == "VAE" else None,
+        runner_kwargs={"use_pallas": True}
+        if args.pallas and args.loss_type in ("VAE", "VAEflex")
+        else None,
     )
     ser = assemble_mat(results, axes_values, iters, (4,))
     save_results(args.out, f"{args.loss_type}_DP_{args.mod}_N_lrhalf_170_N_train_{args.n_frame_max}", {

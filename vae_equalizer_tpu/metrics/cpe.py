@@ -12,6 +12,7 @@ Parity: CPE (shared_funcs.py:140-186) for DP (with unwrap) and CPE
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["cpe_dp", "cpe_siso"]
@@ -28,13 +29,18 @@ def _pow4(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _moving_average(x: jnp.ndarray, m: int = M_MA) -> jnp.ndarray:
-    """'same' moving average along the last axis (zero padded), kernel 1/m."""
-    kern = jnp.full((m,), 1.0 / m, x.dtype)
+    """'same' moving average along the last axis (zero padded), kernel 1/m.
+
+    One grouped 'same' convolution over the row axis (each row is its own
+    channel group) — a single fused XLA op instead of a per-row correlate.
+    """
+    rows = x.shape[0]
+    kern = jnp.full((rows, 1, m), 1.0 / m, x.dtype)  # (out_ch, in_ch/group, K)
     pad = m // 2
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
-    # correlate each row with the flat kernel
-    out = jnp.apply_along_axis(lambda r: jnp.correlate(r, kern, mode="valid"), -1, xp)
-    return out
+    return jax.lax.conv_general_dilated(
+        x[None], kern, window_strides=(1,), padding=[(pad, pad)],
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=rows,
+    )[0]
 
 
 def _unwrap_quarter(phi: jnp.ndarray) -> jnp.ndarray:

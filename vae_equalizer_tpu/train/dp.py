@@ -241,12 +241,16 @@ def train_vae_flex_dp(
     mesh: Mesh | None = None,
     params_init=None,
     compiled: bool = False,
+    use_pallas: bool = False,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
     Parity: func_VAEflex_DP_MQAM_shaping.py:16-90 — window m covers symbols
     [m*flex_step, m*flex_step + batch_len); its central flex_step symbols are
-    the recorded output stream.
+    the recorded output stream. ``use_pallas=True`` computes each window's
+    loss and gradients with the same fused in-VMEM kernel as train_vae_dp
+    (the flex window is the identical butterfly+ELBO at a different stride);
+    requires sps=2 and odd M.
     """
     m_max0 = cfg.n_frame_max // cfg.batch_len
     n_frame = m_max0 * cfg.batch_len
@@ -266,6 +270,11 @@ def train_vae_flex_dp(
         loss, var_est = elbo_dp(q, rx_mb, p["h"], amps, P)
         return loss, (q, out, var_est)
 
+    if use_pallas:
+        if cfg.sps != 2 or cfg.m_est % 2 == 0:
+            raise ValueError("use_pallas requires sps=2 and odd M_est")
+        from ..ops.elbo_kernel import vae_dp_loss_and_grad_pallas
+
     def frame_step(carry, key, theta):
         params, opt_state = carry
         rx, tx_full, sigma = gen(key, theta)
@@ -275,7 +284,13 @@ def train_vae_flex_dp(
         def mb(carry, m):
             p, s = carry
             rx_mb = jax.lax.dynamic_slice_in_dim(rx, m * m_step * cfg.sps, mb_len, 2)
-            (loss, (q, out, var_est)), g = jax.value_and_grad(loss_fn, has_aux=True)(p, rx_mb)
+            if use_pallas:
+                loss, var_est, gw, gh, q, out = vae_dp_loss_and_grad_pallas(
+                    p["w"], p["h"], rx_mb, amps, var, const.nu_sc, P
+                )
+                g = {"w": gw, "h": gh}
+            else:
+                (loss, (q, out, var_est)), g = jax.value_and_grad(loss_fn, has_aux=True)(p, rx_mb)
             updates, s = opt.update(g, s, p)
             q_c = jax.lax.dynamic_slice_in_dim(q, crop0, m_step, 2)
             out_c = jax.lax.dynamic_slice_in_dim(out, crop0, m_step, 2)

@@ -73,3 +73,85 @@ def test_sweep_saves_checkpoints(tmp_path):
 
     ck = io.load_checkpoint(results[0]["checkpoint"])
     assert ck["w"].shape[0] == 2  # runs-stacked params
+
+
+def test_mid_experiment_checkpoint_resume(tmp_path):
+    """Kill a frame-loop experiment mid-run; resuming from the periodic
+    training-state checkpoint reproduces the uninterrupted run exactly
+    (params, opt state, frame index and PRNG inputs all round-trip)."""
+    from vae_equalizer_tpu.train import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    cfg = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=10, n_frame_max=1000, lr=2.5e-3)
+    key = jax.random.PRNGKey(21)
+    full = train_vae_dp(cfg, key)
+
+    ckpt = tmp_path / "state.npz"
+
+    class Boom(RuntimeError):
+        pass
+
+    def killer(frame, m):
+        if frame == 5:
+            raise Boom()
+
+    try:
+        train_vae_dp(cfg, key, checkpoint=ckpt, checkpoint_every=3, progress=killer)
+        raise AssertionError("killer did not fire")
+    except Boom:
+        pass
+    assert ckpt.exists()
+    resumed = train_vae_dp(cfg, key, checkpoint=ckpt, checkpoint_every=3)
+    np.testing.assert_allclose(resumed["ser"], full["ser"], atol=1e-7)
+    np.testing.assert_allclose(resumed["mi"], full["mi"], atol=1e-5)
+    for k in ("w", "h"):
+        np.testing.assert_allclose(
+            np.asarray(resumed["params"][k]), np.asarray(full["params"][k]), atol=1e-7
+        )
+
+
+def test_sweep_resume_mid_grid_and_mid_point(tmp_path):
+    """skip_done + checkpoint_every: a killed sweep resumes past finished
+    grid points AND inside the interrupted one, and the final .mat tensor
+    matches an uninterrupted sweep."""
+    from vae_equalizer_tpu.parallel.sweep import run_sweep
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    base = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=6, n_frame_max=1000, lr=2.5e-3)
+    axes = {"lr": [2.5e-3, 2e-3]}
+    key = jax.random.PRNGKey(5)
+
+    ref_results, axes_values, _ = run_sweep(
+        "VAE", base, axes, iters=2, key=key, out_dir=tmp_path / "ref",
+        tag="t", checkpoint_every=2,
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def killer(frame, m):
+        calls["n"] += 1
+        if calls["n"] == 10:  # inside grid point 2 (6 frames each)
+            raise Boom()
+
+    out = tmp_path / "resumable"
+    try:
+        run_sweep("VAE", base, axes, iters=2, key=key, out_dir=out, tag="t",
+                  checkpoint_every=2, progress=killer)
+        raise AssertionError("killer did not fire")
+    except Boom:
+        pass
+    state_files = list(out.glob("state_t_*.npz"))
+    assert len(state_files) == 1  # point 2 left its mid-experiment state
+
+    results, axes_values2, jsonl = run_sweep(
+        "VAE", base, axes, iters=2, key=key, out_dir=out, tag="t",
+        checkpoint_every=2, skip_done=True,
+    )
+    assert len(results) == 2
+    assert not list(out.glob("state_t_*.npz"))  # cleaned up after finishing
+    ref = assemble_mat(ref_results, axes_values, 2, (4,))
+    got = assemble_mat(results, axes_values2, 2, (4,))
+    np.testing.assert_allclose(got, ref, atol=1e-7)

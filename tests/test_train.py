@@ -153,3 +153,19 @@ def test_vae_dp_pallas_trainstep_matches(monkeypatch):
     # overlapping windows; allow a few SER quanta (1 symbol ~ 2.7e-3 here)
     np.testing.assert_allclose(bf["ser"], af["ser"], atol=8e-3)
     np.testing.assert_allclose(bf["var_est"], af["var_est"], rtol=5e-3)
+
+
+def test_flagship_64qam_dp_statistical_band():
+    """Flagship-config regression (Eval_run_DP defaults, 30 frames): the
+    64-QAM DP VAE must land in the documented soft-SER band around the
+    reference's 0.0312 (PARITY_RESULTS.md). A demapper/ELBO/PCS sign or
+    scaling error the easy 4-QAM tests cannot see lands far outside it."""
+    cfg = DpConfig(mod="64-QAM", num_frames=30, n_frame_max=10000, n_lrhalf=10**9)
+    res = train_vae_dp(cfg, jax.random.PRNGKey(0))
+    soft = res["ser"][2:, -10:].mean(axis=-1)  # per-pol mean of last 10 frames
+    assert np.all(soft > 0.015) and np.all(soft < 0.055), soft
+    assert np.all(res["mi"][:, -1] > 5.0)  # ~5.6 bits at nu=0, 23 dB
+    # ELBO noise-variance estimate tracks the channel SNR (residual
+    # equalization error biases it ~2-4 dB below the true 23 dB)
+    snr_est = 10 * np.log10(1.0 / np.mean(res["var_est"][:, -1]) / 2)
+    assert 17 < snr_est < 26, snr_est

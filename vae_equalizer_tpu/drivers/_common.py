@@ -22,7 +22,19 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true", help="print per-eval progress")
     p.add_argument("--compiled", action="store_true",
                    help="whole-experiment lax.scan mode (no per-frame progress)")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse the newest sweep JSONL: skip finished grid "
+                        "points and continue interrupted ones from their "
+                        "training-state checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=0, metavar="K",
+                   help="persist per-point training state every K frames "
+                        "(enables mid-experiment resume after a crash)")
     return p
+
+
+def sweep_resume_kwargs(args) -> dict:
+    """run_sweep kwargs for the shared --resume / --checkpoint-every flags."""
+    return {"skip_done": args.resume, "checkpoint_every": args.checkpoint_every}
 
 
 def make_progress(verbose: bool):

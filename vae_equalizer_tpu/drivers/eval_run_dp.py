@@ -11,7 +11,7 @@ import numpy as np
 
 from ..parallel.sweep import assemble_mat, run_sweep
 from ..utils.config import DpConfig
-from ._common import base_parser, make_progress, save_results, setup
+from ._common import base_parser, make_progress, save_results, setup, sweep_resume_kwargs
 
 
 def main(argv=None):
@@ -79,7 +79,7 @@ def main(argv=None):
     results, axes_values, jsonl = run_sweep(
         runner_name, base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
-        compiled=args.compiled,
+        compiled=args.compiled, **sweep_resume_kwargs(args),
         runner_kwargs={"use_pallas": True}
         if args.pallas and args.loss_type in ("VAE", "VAEflex")
         else None,

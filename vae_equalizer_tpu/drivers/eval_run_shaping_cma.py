@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from ..parallel.sweep import assemble_mat, run_sweep
 from ..utils.config import AwgnCmaConfig
-from ._common import base_parser, make_progress, save_results, setup
+from ._common import base_parser, make_progress, save_results, setup, sweep_resume_kwargs
 
 
 def main(argv=None):
@@ -34,7 +34,7 @@ def main(argv=None):
     results, axes_values, jsonl = run_sweep(
         "CMA-AWGN", base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"CMA_shaping_{args.mod}", progress=make_progress(args.verbose),
-        compiled=args.compiled,
+        compiled=args.compiled, **sweep_resume_kwargs(args),
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"CMA_shaping_{args.nu[0]}_{args.channel}_{args.mod}", {

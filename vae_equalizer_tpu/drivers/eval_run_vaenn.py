@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from ..parallel.sweep import assemble_mat, run_sweep
 from ..utils.config import AwgnVaeNnConfig
-from ._common import base_parser, make_progress, save_results, setup
+from ._common import base_parser, make_progress, save_results, setup, sweep_resume_kwargs
 
 
 def main(argv=None):
@@ -40,7 +40,7 @@ def main(argv=None):
     results, axes_values, jsonl = run_sweep(
         "VAE-NN-AWGN", base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.net_type}_{args.mod}", progress=make_progress(args.verbose),
-        compiled=args.compiled,
+        compiled=args.compiled, **sweep_resume_kwargs(args),
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"{args.net_type}_{args.channel}_{args.mod}", {

@@ -229,6 +229,8 @@ def train_vae_dp_sharded(
     mesh: Mesh | None = None,
     params_init=None,
     compiled: bool = False,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ):
     """Full DP VAE online experiment on a dp x sp device mesh.
 
@@ -338,5 +340,6 @@ def train_vae_dp_sharded(
     (params, _), hist = run_frame_loop(
         frame_step, (params, opt_state), _frame_inputs(cfg, key), _VAE_FIELDS,
         runs=runs, vmap_runs=False, progress=progress, compiled=compiled,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     return _dp_result(hist, var, (runs,), cfg.num_frames, params=params)

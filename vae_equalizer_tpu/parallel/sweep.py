@@ -76,13 +76,25 @@ def run_sweep(
     save_params: bool = False,
     compiled: bool = False,
     runner_kwargs: dict | None = None,
+    checkpoint_every: int = 0,
 ):
     """Run a full grid; returns list of per-point results.
 
     Each result record: {"coords", "config", "ser", ...}. ``ser`` has shape
     (iters, ...) — the runner's history with a leading repeat axis.
+
+    Resume: with ``skip_done`` the newest existing ``sweep_{tag}_*.jsonl`` is
+    reused and its finished grid points are skipped (per-point keys are
+    derived by fold_in, so the remaining points get the same keys an
+    uninterrupted sweep would). With ``checkpoint_every`` > 0 each point also
+    persists its training state every k frames, so a kill mid-point resumes
+    mid-experiment, not just mid-grid; the state file is removed once the
+    point's record is written.
     """
+    import inspect
+
     runner = RUNNERS[runner_name]
+    runner_params = inspect.signature(runner).parameters
     configs, coords, axes_values = expand_grid(base_cfg, **axes)
     out_dir = pathlib.Path(out_dir)
     stamp = time.strftime("%y%m%d%H%M%S")
@@ -90,20 +102,25 @@ def run_sweep(
     jsonl = out_dir / f"sweep_{tag}_{stamp}.jsonl"
 
     done = set()
-    if skip_done and jsonl.exists():
-        done = {tuple(r["coords"]) for r in io.read_jsonl(jsonl)}
-
     results = []
+    if skip_done:
+        prior = sorted(out_dir.glob(f"sweep_{tag}_*.jsonl"))
+        if prior:
+            jsonl = prior[-1]
+            results = io.read_jsonl(jsonl)  # finished points feed the .mat
+            done = {tuple(r["coords"]) for r in results}
     for i, (cfg, coord) in enumerate(zip(configs, coords)):
         if tuple(coord) in done:
             continue
-        key, k = jax.random.split(key)
+        k = jax.random.fold_in(key, i)  # per-point, independent of skips
         t0 = time.time()
         kwargs = dict(runs=iters, mesh=mesh, progress=progress, **(runner_kwargs or {}))
+        state_file = None
+        if checkpoint_every and "checkpoint" in runner_params:
+            state_file = out_dir / f"state_{tag}_{'_'.join(map(str, coord))}.npz"
+            kwargs.update(checkpoint=state_file, checkpoint_every=checkpoint_every)
         if compiled:
-            import inspect
-
-            if "compiled" in inspect.signature(runner).parameters:
+            if "compiled" in runner_params:
                 kwargs["compiled"] = True
                 kwargs.pop("progress")
         res = runner(cfg, k, **kwargs)
@@ -123,6 +140,8 @@ def run_sweep(
                 ckpt = out_dir / f"ckpt_{tag}_{stamp}_{'_'.join(map(str, coord))}.npz"
                 io.save_checkpoint(ckpt, state)
                 record["checkpoint"] = str(ckpt)
+        if state_file is not None and state_file.exists():
+            state_file.unlink()  # the point finished; drop its resume state
         results.append(record)
     return results, axes_values, jsonl
 

@@ -167,6 +167,8 @@ def train_vae_dp(
     params_init=None,
     compiled: bool = False,
     use_pallas: bool = False,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -228,6 +230,7 @@ def train_vae_dp(
     (params, _), hist = run_frame_loop(
         frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
         runs=runs, progress=progress, compiled=compiled,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
@@ -242,6 +245,8 @@ def train_vae_flex_dp(
     params_init=None,
     compiled: bool = False,
     use_pallas: bool = False,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
@@ -308,6 +313,7 @@ def train_vae_flex_dp(
     (params, _), hist = run_frame_loop(
         frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
         runs=runs, progress=progress, compiled=compiled,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
@@ -322,6 +328,8 @@ def run_cma_dp(
     taps_init=None,
     use_pallas: bool = False,
     compiled: bool = False,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ):
     """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
 
@@ -386,6 +394,7 @@ def run_cma_dp(
     h, hist = run_frame_loop(
         frame_step, h, (frame_keys, thetas, lrs), _CMA_FIELDS,
         runs=runs, progress=progress, compiled=compiled,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, taps=h)

@@ -20,6 +20,8 @@ the reference repeats in every func_*_shaping.py processing() body.
 
 from __future__ import annotations
 
+import os
+import pathlib
 from typing import Callable, Sequence
 
 import jax
@@ -46,6 +48,36 @@ def unpack_metrics(v: np.ndarray, fields: Fields) -> dict:
     return out
 
 
+def _save_state(path: pathlib.Path, frame: int, carry, hist: dict) -> None:
+    """Atomically persist (next frame index, carry pytree, metric histories).
+
+    Carry leaves are stored positionally (the treedef is re-derivable from
+    the runner's freshly-built carry on resume), so any optax state —
+    nested namedtuples included — round-trips without pickling.
+    """
+    flat = {f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(jax.tree.leaves(carry))}
+    flat.update({f"hist_{k}": v for k, v in hist.items()})
+    flat["frame"] = np.int64(frame)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
+def _load_state(path: pathlib.Path, carry, hist: dict):
+    d = np.load(path)
+    leaves, treedef = jax.tree.flatten(carry)
+    carry = jax.tree.unflatten(
+        treedef,
+        [jnp.asarray(d[f"leaf_{i:04d}"], l.dtype) for i, l in enumerate(leaves)],
+    )
+    for k in hist:
+        saved = d[f"hist_{k}"]
+        hist[k][...] = saved
+    return int(d["frame"]), carry
+
+
 def run_frame_loop(
     frame_step: Callable,
     carry,
@@ -56,6 +88,8 @@ def run_frame_loop(
     vmap_runs: bool = True,
     progress: Callable[[int, dict], None] | None = None,
     compiled: bool = False,
+    checkpoint: str | os.PathLike | None = None,
+    checkpoint_every: int = 0,
 ):
     """Drive ``frame_step`` over an experiment's frames.
 
@@ -73,6 +107,15 @@ def run_frame_loop(
     ``compiled=True`` wraps the whole experiment in one lax.scan inside a
     single jitted call (no per-frame host round trips; ``progress`` is then
     unavailable).
+
+    ``checkpoint``/``checkpoint_every``: in loop mode, persist (frame index,
+    carry, histories) to ``checkpoint`` every ``checkpoint_every`` frames and
+    resume from it if it exists — a killed 170-frame experiment restarts at
+    the last saved frame instead of frame 0 (mid-experiment counterpart of
+    the sweep engine's per-grid-point JSONL resume). Per-frame inputs are
+    precomputed from the experiment key, so a resumed run is bit-identical
+    to an uninterrupted one. Ignored in compiled mode (one XLA program has
+    no frame boundary to checkpoint at).
     """
     frame_keys, *rest = per_frame
     num_frames = len(frame_keys)
@@ -104,11 +147,17 @@ def run_frame_loop(
         k: np.zeros(prefix + ((n,) if n > 1 else ()) + (num_frames,), np.float32)
         for k, n in fields
     }
-    for frame in range(num_frames):
+    start = 0
+    ckpt = pathlib.Path(checkpoint) if checkpoint else None
+    if ckpt and ckpt.exists():
+        start, carry = _load_state(ckpt, carry, hist)
+    for frame in range(start, num_frames):
         carry, packed = step1(carry, splitk(frame_keys[frame]), *(r[frame] for r in rest))
         m = unpack_metrics(np.asarray(packed), fields)  # one D2H transfer
         for k, _ in fields:
             hist[k][..., frame] = m[k]
+        if ckpt and checkpoint_every and (frame + 1) % checkpoint_every == 0 and frame + 1 < num_frames:
+            _save_state(ckpt, frame + 1, carry, hist)
         if progress:
             progress(frame, m)
     return carry, hist

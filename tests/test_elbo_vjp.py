@@ -83,3 +83,43 @@ def test_pallas_fused_loss_and_grad_interpret():
         np.testing.assert_allclose(np.asarray(var_est), np.asarray(var_ref), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=5e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_ref), rtol=5e-4, atol=1e-5)
+
+
+def test_pallas_siso_fused_loss_and_grad_interpret():
+    """SISO fused kernel (complex FIR + mean-|.|-normalized demapper + shaped
+    ELBO + hand-derived backward incl. the normalization VJP) vs autodiff."""
+    from vae_equalizer_tpu.models import siso_fir_init, dirac_taps_siso, vae_le_siso_forward
+    from vae_equalizer_tpu.models.losses import elbo_siso
+    from vae_equalizer_tpu.ops.elbo_siso_kernel import vae_siso_loss_and_grad_pallas
+
+    for seed, n_sym, m, mod, nu in [(0, 64, 25, "16-QAM", 0.0270955), (3, 100, 11, "64-QAM", 0.0)]:
+        const = make_constellation(mod, nu)
+        rng = np.random.default_rng(seed)
+        w = jnp.asarray(siso_fir_init(m)) + 0.05 * jnp.asarray(
+            rng.normal(size=(1, 2, m)).astype(np.float32)
+        )
+        h = jnp.asarray(dirac_taps_siso(m)) + 0.05 * jnp.asarray(
+            rng.normal(size=(2, m)).astype(np.float32)
+        )
+        x = jnp.asarray(rng.normal(size=(2, 2 * n_sym)).astype(np.float32) * 0.6)
+        amps = jnp.asarray(const.amps)
+        P = jnp.asarray(const.P, jnp.float32)
+        var = 10 ** (-20.0 / 10)
+        amp_mean = const.amp_mean
+
+        def loss_fn(w_, h_):
+            q, _ = vae_le_siso_forward(w_, x, amps, amp_mean, var, 2)
+            return elbo_siso(q, x, h_, amps, P)
+
+        loss_ref = loss_fn(w, h)
+        gw_ref, gh_ref = jax.grad(loss_fn, argnums=(0, 1))(w, h)
+        q_ref, out_ref = vae_le_siso_forward(w, x, amps, amp_mean, var, 2)
+
+        loss, gw, gh, q, out = vae_siso_loss_and_grad_pallas(
+            w, h, x, amps, amp_mean, var, P, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=5e-4, atol=2e-6)
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_ref), rtol=5e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=5e-4, atol=1e-5)

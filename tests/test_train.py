@@ -169,3 +169,20 @@ def test_flagship_64qam_dp_statistical_band():
     # equalization error biases it ~2-4 dB below the true 23 dB)
     snr_est = 10 * np.log10(1.0 / np.mean(res["var_est"][:, -1]) / 2)
     assert 17 < snr_est < 26, snr_est
+
+
+def test_vae_le_awgn_pallas_trainstep_matches(monkeypatch):
+    """SISO use_pallas reproduces the XLA epoch loop (interpret mode)."""
+    from vae_equalizer_tpu.ops import elbo_siso_kernel
+
+    orig = elbo_siso_kernel.vae_siso_loss_and_grad_pallas
+    monkeypatch.setattr(
+        elbo_siso_kernel, "vae_siso_loss_and_grad_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    cfg = AwgnVaeLeConfig(mod="4-QAM", snr_db=18.0, num_epochs=6, epe=3, n_valid=2000,
+                          n_train=600)
+    a = train_vae_le_awgn(cfg, jax.random.PRNGKey(13))
+    b = train_vae_le_awgn(cfg, jax.random.PRNGKey(13), use_pallas=True)
+    np.testing.assert_allclose(b["ser"], a["ser"], atol=5e-3)
+    np.testing.assert_allclose(b["mi"], a["mi"], atol=2e-2)

@@ -1,8 +1,15 @@
 """One-process TPU smoke run: stage-by-stage checks then a quick benchmark.
 
 Run on the real chip (no platform override). Prints PASS/FAIL per stage and
-finishes with bench-style numbers. Designed to never transfer complex arrays
-(axon transport constraint) and to be safe to re-run.
+finishes with bench-style numbers; exits nonzero if any stage failed.
+Designed to never transfer complex arrays (axon transport constraint) and to
+be safe to re-run.
+
+The three Pallas kernels are checked ON-CHIP against exact-f32 references
+computed on the in-process CPU backend at the shapes the real experiments
+use (this backend's XLA silently runs f32 matmuls/convs at bf16, so the CPU
+reference is the ground truth the kernels are supposed to preserve — the
+interpret-mode CPU tests cannot see on-chip Mosaic/MXU quirks).
 
 Usage: python tools/tpu_smoke.py [--full]
 """
@@ -18,6 +25,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+FAILURES: list[str] = []
+
 
 def stage(name, f):
     import jax
@@ -29,6 +38,35 @@ def stage(name, f):
         return r
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+        FAILURES.append(name)
+        return None
+
+
+def check(name, f_tpu, f_ref, pairs):
+    """Run f_tpu on the chip and f_ref on the in-process CPU backend; assert
+    every output pair within (rtol, atol). pairs = [(idx, rtol, atol), ...]"""
+    import jax
+
+    t0 = time.perf_counter()
+    try:
+        got = jax.block_until_ready(f_tpu())
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ref = jax.block_until_ready(f_ref())
+        if not isinstance(got, (tuple, list)):
+            got, ref = (got,), (ref,)
+        worst = 0.0
+        for idx, rtol, atol in pairs:
+            g, r = np.asarray(got[idx]), np.asarray(ref[idx])
+            np.testing.assert_allclose(g, r, rtol=rtol, atol=atol)
+            denom = np.maximum(np.abs(r), atol)
+            worst = max(worst, float(np.max(np.abs(g - r) / denom)))
+        print(f"PASS {name} (worst rel err {worst:.2e}, {time.perf_counter()-t0:.2f}s)",
+              flush=True)
+        return got
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}", flush=True)
+        FAILURES.append(name)
         return None
 
 
@@ -76,10 +114,57 @@ def main():
     stage("elbo grad", lambda: jax.grad(lambda hh: elbo_dp(q, rx, hh, amps, P)[0])(h))
     stage("cma scan", lambda: cma_dp(rx, 1.0, dirac_taps_dp(11), 1e-3, 2, True))
 
+    # ---- on-chip Pallas kernels vs exact-f32 CPU references, experiment
+    # shapes: CMA on a full 10000-symbol frame; butterfly/train-step on the
+    # batch_len=100 minibatch (M=25, 64-QAM) they run at inside training
     from vae_equalizer_tpu.ops import cma_dp_pallas, vae_le_dp_forward_pallas
+    from vae_equalizer_tpu.ops.elbo_kernel import vae_dp_loss_and_grad_pallas
 
-    stage("pallas cma kernel", lambda: cma_dp_pallas(rx, 1.0, dirac_taps_dp(11), 1e-3, 2, True))
-    stage("pallas butterfly+demap kernel", lambda: vae_le_dp_forward_pallas(w, rx, amps, var, 0.0, 2))
+    # np inputs: each lambda converts on ITS backend (committed jax arrays
+    # would drag the CPU reference back onto the chip)
+    amps_np = np.asarray(const.amps, np.float32)
+    p_np = np.asarray(const.P, np.float32)
+    var_np = np.asarray(var)
+    rx_frame = rng.normal(size=(2, 2, 20000)).astype(np.float32) * 0.5
+    h_cma = np.asarray(dirac_taps_dp(25)) + 0.01 * rng.normal(size=(2, 2, 2, 25)).astype(np.float32)
+    check(
+        "pallas cma kernel == scan (full frame)",
+        lambda: cma_dp_pallas(rx_frame, 1.0, jnp.asarray(h_cma), 1e-4, 2, True),
+        lambda: cma_dp(rx_frame, 1.0, jnp.asarray(h_cma), 1e-4, 2, True),
+        # out, taps, error-history: the recurrence is exact-f32 in both
+        pairs=[(0, 2e-4, 2e-5), (1, 2e-4, 2e-5), (2, 5e-4, 5e-5)],
+    )
+
+    rx_mb = rng.normal(size=(2, 2, 200)).astype(np.float32) * 0.5
+    w_p = np.asarray(w) + 0.05 * rng.normal(size=(2, 4, 25)).astype(np.float32)
+    h_p = np.asarray(h) + 0.05 * rng.normal(size=(2, 2, 2, 25)).astype(np.float32)
+    check(
+        "pallas butterfly+demap kernel (minibatch)",
+        lambda: vae_le_dp_forward_pallas(w_p, rx_mb, amps_np, var_np, const.nu_sc, 2),
+        lambda: vae_le_dp_forward(w_p, rx_mb, amps_np, var_np, const.nu_sc, 2),
+        pairs=[(0, 5e-4, 2e-6), (1, 2e-4, 2e-6)],  # q, out
+    )
+
+    def ref_loss_grad():
+        def loss_fn(w_, h_):
+            q_, out_ = vae_le_dp_forward(w_, rx_mb, amps_np, var_np, const.nu_sc, 2)
+            loss_, var_est_ = elbo_dp(q_, rx_mb, h_, amps_np, p_np)
+            return loss_, (var_est_, q_, out_)
+
+        (loss_, (var_est_, q_, out_)), (gw_, gh_) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(w_p, h_p)
+        return loss_, var_est_, gw_, gh_, q_, out_
+
+    check(
+        "pallas fused train-step kernel (minibatch)",
+        lambda: vae_dp_loss_and_grad_pallas(w_p, h_p, rx_mb, amps_np, var_np, const.nu_sc, p_np),
+        ref_loss_grad,
+        # loss, var_est, gw, gh exact-f32 (PARITY_RESULTS: XLA-on-TPU grads
+        # are bf16-corrupted up to 8x; the kernel must stay within 0.5%)
+        pairs=[(0, 1e-4, 0), (1, 1e-4, 0), (2, 5e-3, 1e-4), (3, 5e-3, 1e-4),
+               (4, 5e-4, 2e-6), (5, 2e-4, 2e-6)],
+    )
 
     from vae_equalizer_tpu.metrics import cpe_dp, find_shift_dp, ser_iqflip
 
@@ -93,22 +178,32 @@ def main():
     stage("graft entry forward", lambda: jax.jit(fn)(*eargs))
 
     print("--- bench (quick) ---", flush=True)
-    from bench import measure_tpu, get_baseline
+    from bench import measure_tpu, measure_tpu_compiled, get_baseline
 
     try:
         r = measure_tpu(3, 2000)
         print("quick:", r, flush=True)
+        rc = measure_tpu_compiled(3, 2000)
+        print("quick compiled:", rc, flush=True)
         r8 = measure_tpu(2, 2000, runs=8)
         print("quick aggregate 8 runs:", r8, flush=True)
         if args.full:
             rf = measure_tpu(10, 10000)
             print("FULL:", rf, flush=True)
+            rfc = measure_tpu_compiled(10, 10000)
+            print("FULL compiled:", rfc, flush=True)
             rf8 = measure_tpu(5, 10000, runs=8)
             print("FULL aggregate 8 runs:", rf8, flush=True)
             base = get_baseline(10000)
             print("vs baseline:", rf["symbols_per_sec"] / base["symbols_per_sec"], flush=True)
     except Exception as e:
         print("bench FAIL:", type(e).__name__, str(e)[:200], flush=True)
+        FAILURES.append("bench")
+
+    if FAILURES:
+        print(f"SMOKE FAILED: {len(FAILURES)} stage(s): {FAILURES}", flush=True)
+        sys.exit(1)
+    print("SMOKE OK", flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,8 @@ def main(argv=None):
     p.add_argument("--num-epochs", type=int, default=500)
     p.add_argument("--n-train", type=int, default=1200)
     p.add_argument("--n-valid", type=int, default=15000)
+    p.add_argument("--pallas", action="store_true",
+                   help="fused exact-f32 train-step kernel (sps=2, odd M)")
     args = p.parse_args(argv)
 
     iters = args.iters or 20
@@ -36,6 +38,7 @@ def main(argv=None):
         "VAE-LE-AWGN", base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"VAELE_shaping_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, **sweep_resume_kwargs(args),
+        runner_kwargs={"use_pallas": True} if args.pallas else None,
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"VAELE_shaping_{args.nu[0]}_{args.channel}_{args.mod}", {

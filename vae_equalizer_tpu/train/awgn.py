@@ -141,6 +141,7 @@ def train_vae_le_awgn(
     mesh: Mesh | None = None,
     params_init=None,
     compiled: bool = False,
+    use_pallas: bool = False,
 ):
     """VAE-LE training on the AWGN ISI channel.
 
@@ -148,6 +149,9 @@ def train_vae_le_awgn(
     Parity: processing (func_VAELE_MQAM_shaping.py:235-324). With
     ``compiled=True`` the whole experiment runs as one lax.scan inside a
     single jitted call (eval every ``epe`` epochs stays inside the scan).
+    ``use_pallas=True`` computes each minibatch's loss and gradients with
+    the fused in-VMEM SISO kernel (ops/elbo_siso_kernel.py) — exact f32 on a
+    backend whose XLA matmuls are bf16; requires sps=2 and odd M.
     """
     const = make_constellation(cfg.mod, cfg.nu)
     h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
@@ -167,6 +171,11 @@ def train_vae_le_awgn(
         q, _ = vae_le_siso_forward(p["w"], rx_mb, amps, amp_mean, var, cfg.sps)
         return elbo_siso(q, rx_mb, p["h"], amps, P)
 
+    if use_pallas:
+        if cfg.sps != 2 or cfg.m_est % 2 == 0:
+            raise ValueError("use_pallas requires sps=2 and odd M_est")
+        from ..ops.elbo_siso_kernel import vae_siso_loss_and_grad_pallas
+
     def epoch_step(carry, key):
         params, opt_state = carry
         rx, _ = gen_train(key)
@@ -174,7 +183,13 @@ def train_vae_le_awgn(
         def mb(carry, m):
             p, s = carry
             rx_mb = jax.lax.dynamic_slice_in_dim(rx, m * mb_len, mb_len, 1)
-            loss, g = jax.value_and_grad(loss_fn)(p, rx_mb)
+            if use_pallas:
+                loss, gw, gh, _, _ = vae_siso_loss_and_grad_pallas(
+                    p["w"], p["h"], rx_mb, amps, amp_mean, var, P
+                )
+                g = {"w": gw, "h": gh}
+            else:
+                loss, g = jax.value_and_grad(loss_fn)(p, rx_mb)
             updates, s = opt.update(g, s, p)
             return (optax.apply_updates(p, updates), s), loss
 

@@ -169,6 +169,7 @@ def train_vae_dp(
     use_pallas: bool = False,
     checkpoint=None,
     checkpoint_every: int = 0,
+    timings: dict | None = None,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -230,7 +231,7 @@ def train_vae_dp(
     (params, _), hist = run_frame_loop(
         frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
         runs=runs, progress=progress, compiled=compiled,
-        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, params=params)

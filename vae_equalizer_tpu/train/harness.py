@@ -90,6 +90,7 @@ def run_frame_loop(
     compiled: bool = False,
     checkpoint: str | os.PathLike | None = None,
     checkpoint_every: int = 0,
+    timings: dict | None = None,
 ):
     """Drive ``frame_step`` over an experiment's frames.
 
@@ -136,7 +137,19 @@ def run_frame_loop(
         def run_all(c):
             return jax.lax.scan(scan_body, c, (frame_keys, *rest))
 
-        carry, packed = run_all(carry)
+        if timings is None:
+            carry, packed = run_all(carry)
+        else:
+            # profiling hook: AOT-compile, then time pure execution (bench.py
+            # reports the device-compute ceiling separately from compile)
+            import time
+
+            t0 = time.perf_counter()
+            run_all_c = run_all.lower(carry).compile()
+            timings["compile_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            carry, packed = jax.block_until_ready(run_all_c(carry))
+            timings["run_s"] = time.perf_counter() - t0
         hist = unpack_metrics(np.asarray(packed), fields)  # one D2H transfer
         # stacked (frames, ..., n) -> (..., n, frames)
         return carry, {k: np.moveaxis(v, 0, -1) for k, v in hist.items()}

@@ -186,3 +186,43 @@ def test_vae_le_awgn_pallas_trainstep_matches(monkeypatch):
     b = train_vae_le_awgn(cfg, jax.random.PRNGKey(13), use_pallas=True)
     np.testing.assert_allclose(b["ser"], a["ser"], atol=5e-3)
     np.testing.assert_allclose(b["mi"], a["mi"], atol=2e-2)
+
+
+def test_chunked_loop_matches_per_frame():
+    """chunk_frames=k (k frames per device call) must reproduce per-frame
+    dispatch: exactly for CMA (pure recurrence), early-trajectory for VAE."""
+    cfg = DpConfig(loss_type="CMAbatch", mod="4-QAM", snr_db=20.0, num_frames=5,
+                   n_frame_max=2000, lr=1e-4)
+    a = run_cma_dp(cfg, jax.random.PRNGKey(5))
+    b = run_cma_dp(cfg, jax.random.PRNGKey(5), chunk_frames=2)  # 2+2+1 tail
+    np.testing.assert_allclose(b["ser"], a["ser"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b["taps"]), np.asarray(a["taps"]), rtol=1e-4, atol=1e-6)
+
+    cfgv = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=4, n_frame_max=1000, lr=2.5e-3)
+    av = train_vae_dp(cfgv, jax.random.PRNGKey(9))
+    seen = []
+    bv = train_vae_dp(cfgv, jax.random.PRNGKey(9), chunk_frames=4,
+                      progress=lambda f, m: seen.append(f))
+    assert seen == [0, 1, 2, 3]  # per-frame progress preserved
+    np.testing.assert_allclose(bv["ser"][:, :2], av["ser"][:, :2], atol=1e-6)
+
+
+def test_chunked_checkpoint_resume(tmp_path):
+    """Chunked mode checkpoints at chunk boundaries and resumes exactly."""
+    cfg = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=9, n_frame_max=1000, lr=2.5e-3)
+    key = jax.random.PRNGKey(21)
+    full = train_vae_dp(cfg, key, chunk_frames=3)
+    ckpt = tmp_path / "state.npz"
+
+    class Boom(RuntimeError):
+        pass
+
+    def killer(frame, m):
+        if frame == 7:  # chunks of 3: last save at frame 6
+            raise Boom()
+
+    with pytest.raises(Boom):
+        train_vae_dp(cfg, key, chunk_frames=3, checkpoint=ckpt, checkpoint_every=3,
+                     progress=killer)
+    resumed = train_vae_dp(cfg, key, chunk_frames=3, checkpoint=ckpt, checkpoint_every=3)
+    np.testing.assert_allclose(resumed["ser"], full["ser"], atol=1e-7)

@@ -1,0 +1,80 @@
+"""Measure the three CMA DP variants on the real chip (VERDICT item: record
+on-TPU numbers for CMA / CMAbatch / CMAflex; port the chunked engine to a
+Pallas kernel only if per-chunk dispatch dominates).
+
+Each variant runs the full per-frame pipeline (channel gen -> adaptation ->
+CPE -> sync -> SER/MI) at the reference's full frame size. Timing method:
+progress-callback timestamps, frame 0 (compile) excluded — same protocol as
+bench.py.
+
+Usage: python tools/cma_tpu_bench.py [--frames N] [--n-frame N] [--pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def measure(loss_type: str, frames: int, n_frame: int, use_pallas: bool = False,
+            compiled: bool = False) -> dict:
+    import jax
+
+    from vae_equalizer_tpu.train import run_cma_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    lr = {"CMA": 1e-3, "CMAbatch": 1e-4, "CMAflex": 5e-5}[loss_type]
+    cfg = DpConfig(loss_type=loss_type, mod="64-QAM", n_frame_max=n_frame,
+                   num_frames=frames + 1, lr=lr, n_lrhalf=10**9)
+    times = []
+
+    def progress(frame, m):
+        times.append(time.perf_counter())
+
+    res = run_cma_dp(cfg, jax.random.PRNGKey(0), progress=progress,
+                     use_pallas=use_pallas)
+    dt = times[-1] - times[0]
+    import numpy as np
+
+    return {
+        "loss_type": loss_type + ("+pallas" if use_pallas else ""),
+        "symbols_per_sec": frames * n_frame / dt,
+        "sec_per_frame": dt / frames,
+        "final_ser_const": np.asarray(res["ser"][:2, -1]).tolist(),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--n-frame", type=int, default=10000)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from vae_equalizer_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    print("device:", jax.devices()[0], flush=True)
+    for lt, pallas in [("CMA", False), ("CMA", True), ("CMAbatch", False), ("CMAflex", False)]:
+        try:
+            r = measure(lt, args.frames, args.n_frame, use_pallas=pallas)
+            print(json.dumps(r), flush=True)
+        except Exception as e:
+            print(f"# {lt} pallas={pallas} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

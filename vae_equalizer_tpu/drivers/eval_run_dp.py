@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--n-frame-max", type=int, default=10000)
     p.add_argument("--pallas", action="store_true",
                    help="fused exact-f32 train-step kernel (VAE, sps=2, odd M)")
+    p.add_argument("--frames-per-call", type=int, default=1, metavar="K",
+                   help="run K frames per device call (one lax.scan): cuts "
+                        "the per-call host/tunnel latency K-fold while "
+                        "keeping progress and checkpoint/resume")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel degree: shard each minibatch's time "
                         "axis over sp devices (VAE only; dp axis = devices/sp)")
@@ -80,9 +84,10 @@ def main(argv=None):
         runner_name, base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, **sweep_resume_kwargs(args),
-        runner_kwargs={"use_pallas": True}
-        if args.pallas and args.loss_type in ("VAE", "VAEflex")
-        else None,
+        runner_kwargs={
+            **({"use_pallas": True} if args.pallas and args.loss_type in ("VAE", "VAEflex") else {}),
+            **({"chunk_frames": args.frames_per_call} if args.frames_per_call > 1 else {}),
+        } or None,
     )
     ser = assemble_mat(results, axes_values, iters, (4,))
     save_results(args.out, f"{args.loss_type}_DP_{args.mod}_N_lrhalf_170_N_train_{args.n_frame_max}", {

@@ -231,6 +231,7 @@ def train_vae_dp_sharded(
     compiled: bool = False,
     checkpoint=None,
     checkpoint_every: int = 0,
+    chunk_frames: int = 1,
 ):
     """Full DP VAE online experiment on a dp x sp device mesh.
 
@@ -340,6 +341,7 @@ def train_vae_dp_sharded(
     (params, _), hist = run_frame_loop(
         frame_step, (params, opt_state), _frame_inputs(cfg, key), _VAE_FIELDS,
         runs=runs, vmap_runs=False, progress=progress, compiled=compiled,
+        chunk_frames=chunk_frames,
         checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     return _dp_result(hist, var, (runs,), cfg.num_frames, params=params)

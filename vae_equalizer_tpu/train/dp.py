@@ -170,6 +170,7 @@ def train_vae_dp(
     checkpoint=None,
     checkpoint_every: int = 0,
     timings: dict | None = None,
+    chunk_frames: int = 1,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -230,7 +231,7 @@ def train_vae_dp(
 
     (params, _), hist = run_frame_loop(
         frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
-        runs=runs, progress=progress, compiled=compiled,
+        runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
         checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
     prefix = () if runs is None else (runs,)
@@ -248,6 +249,7 @@ def train_vae_flex_dp(
     use_pallas: bool = False,
     checkpoint=None,
     checkpoint_every: int = 0,
+    chunk_frames: int = 1,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
@@ -313,7 +315,7 @@ def train_vae_flex_dp(
 
     (params, _), hist = run_frame_loop(
         frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
-        runs=runs, progress=progress, compiled=compiled,
+        runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
         checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     prefix = () if runs is None else (runs,)
@@ -331,6 +333,7 @@ def run_cma_dp(
     compiled: bool = False,
     checkpoint=None,
     checkpoint_every: int = 0,
+    chunk_frames: int = 1,
 ):
     """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
 
@@ -394,7 +397,7 @@ def run_cma_dp(
 
     h, hist = run_frame_loop(
         frame_step, h, (frame_keys, thetas, lrs), _CMA_FIELDS,
-        runs=runs, progress=progress, compiled=compiled,
+        runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
         checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     prefix = () if runs is None else (runs,)

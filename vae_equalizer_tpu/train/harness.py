@@ -88,6 +88,7 @@ def run_frame_loop(
     vmap_runs: bool = True,
     progress: Callable[[int, dict], None] | None = None,
     compiled: bool = False,
+    chunk_frames: int = 1,
     checkpoint: str | os.PathLike | None = None,
     checkpoint_every: int = 0,
     timings: dict | None = None,
@@ -109,14 +110,21 @@ def run_frame_loop(
     single jitted call (no per-frame host round trips; ``progress`` is then
     unavailable).
 
+    ``chunk_frames=k`` (loop mode): run k frames per device call as one
+    lax.scan — the middle ground between per-frame dispatch and the fully
+    compiled experiment. On the axon TPU transport each call pays ~10-25 ms
+    of tunnel latency, so k frames per call cut that tax k-fold while
+    keeping ``progress`` (reported per frame, k at a time) and
+    checkpoint/resume (at chunk boundaries).
+
     ``checkpoint``/``checkpoint_every``: in loop mode, persist (frame index,
-    carry, histories) to ``checkpoint`` every ``checkpoint_every`` frames and
-    resume from it if it exists — a killed 170-frame experiment restarts at
-    the last saved frame instead of frame 0 (mid-experiment counterpart of
-    the sweep engine's per-grid-point JSONL resume). Per-frame inputs are
-    precomputed from the experiment key, so a resumed run is bit-identical
-    to an uninterrupted one. Ignored in compiled mode (one XLA program has
-    no frame boundary to checkpoint at).
+    carry, histories) to ``checkpoint`` every ``checkpoint_every`` frames
+    (rounded up to chunk boundaries) and resume from it if it exists — a
+    killed 170-frame experiment restarts at the last saved frame instead of
+    frame 0 (mid-experiment counterpart of the sweep engine's per-grid-point
+    JSONL resume). Per-frame inputs are precomputed from the experiment key,
+    so a resumed run is bit-identical to an uninterrupted one. Ignored in
+    compiled mode (one XLA program has no frame boundary to checkpoint at).
     """
     frame_keys, *rest = per_frame
     num_frames = len(frame_keys)
@@ -154,7 +162,6 @@ def run_frame_loop(
         # stacked (frames, ..., n) -> (..., n, frames)
         return carry, {k: np.moveaxis(v, 0, -1) for k, v in hist.items()}
 
-    step1 = jax.jit(step1)
     prefix = () if runs is None else (runs,)
     hist = {
         k: np.zeros(prefix + ((n,) if n > 1 else ()) + (num_frames,), np.float32)
@@ -164,13 +171,44 @@ def run_frame_loop(
     ckpt = pathlib.Path(checkpoint) if checkpoint else None
     if ckpt and ckpt.exists():
         start, carry = _load_state(ckpt, carry, hist)
-    for frame in range(start, num_frames):
-        carry, packed = step1(carry, splitk(frame_keys[frame]), *(r[frame] for r in rest))
-        m = unpack_metrics(np.asarray(packed), fields)  # one D2H transfer
-        for k, _ in fields:
-            hist[k][..., frame] = m[k]
-        if ckpt and checkpoint_every and (frame + 1) % checkpoint_every == 0 and frame + 1 < num_frames:
-            _save_state(ckpt, frame + 1, carry, hist)
+
+    if chunk_frames <= 1:
+        step1 = jax.jit(step1)
+        for frame in range(start, num_frames):
+            carry, packed = step1(carry, splitk(frame_keys[frame]), *(r[frame] for r in rest))
+            m = unpack_metrics(np.asarray(packed), fields)  # one D2H transfer
+            for k, _ in fields:
+                hist[k][..., frame] = m[k]
+            if ckpt and checkpoint_every and (frame + 1) % checkpoint_every == 0 and frame + 1 < num_frames:
+                _save_state(ckpt, frame + 1, carry, hist)
+            if progress:
+                progress(frame, m)
+        return carry, hist
+
+    @jax.jit  # one compile per distinct chunk length (the tail may differ)
+    def chunk_step(c, keys, *rests):
+        def body(c2, inp):
+            k, *r = inp
+            return step1(c2, splitk(k), *r)
+
+        return jax.lax.scan(body, c, (keys, *rests))
+
+    frame = start
+    since_save = 0
+    while frame < num_frames:
+        c = min(chunk_frames, num_frames - frame)
+        sl = slice(frame, frame + c)
+        carry, packed = chunk_step(carry, frame_keys[sl], *(r[sl] for r in rest))
+        m = unpack_metrics(np.asarray(packed), fields)  # ONE D2H for c frames
+        for k, n in fields:
+            # packed rows are frame-major: (c, ..., n) -> hist (..., n, frames)
+            hist[k][..., frame : frame + c] = np.moveaxis(m[k], 0, -1)
         if progress:
-            progress(frame, m)
+            for i in range(c):
+                progress(frame + i, {k: v[i] for k, v in m.items()})
+        frame += c
+        since_save += c
+        if ckpt and checkpoint_every and since_save >= checkpoint_every and frame < num_frames:
+            _save_state(ckpt, frame, carry, hist)
+            since_save = 0
     return carry, hist

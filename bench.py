@@ -67,7 +67,9 @@ def measure_tpu(frames: int, n_frame: int, runs: int | None = None) -> dict:
     }
 
 
-def measure_tpu_compiled(frames: int, n_frame: int, runs: int | None = None) -> dict:
+def measure_tpu_compiled(
+    frames: int, n_frame: int, runs: int | None = None, use_pallas: bool = False
+) -> dict:
     """Whole-experiment lax.scan mode: ONE jitted call for all frames, one
     packed D2H at the end — no per-frame host round trips. This is the
     device-compute ceiling (the per-frame tunnel tax is the documented
@@ -83,7 +85,8 @@ def measure_tpu_compiled(frames: int, n_frame: int, runs: int | None = None) -> 
     key = jax.random.PRNGKey(0)
     cfg = DpConfig(mod=MOD, n_frame_max=n_frame, num_frames=frames, n_lrhalf=10**9)
     timings: dict = {}
-    train_vae_dp(cfg, key, compiled=True, runs=runs, timings=timings)
+    train_vae_dp(cfg, key, compiled=True, runs=runs, use_pallas=use_pallas,
+                 timings=timings)
     dt = timings["run_s"]  # pure execution of the AOT-compiled program
     sps = (runs or 1) * frames * (n_frame // cfg.batch_len * cfg.batch_len) / dt
     return {"symbols_per_sec": sps, "frames_timed": frames, **timings}
@@ -198,14 +201,22 @@ def main(argv=None):
 
     res = measure_tpu(frames, n_frame)
     # compiled whole-experiment scan: the device-compute ceiling (no per-
-    # frame D2H) — the headline number
+    # frame D2H). The fused Pallas train-step is the headline (measured
+    # 1.4x the XLA step on-chip AND exact-f32); XLA-compiled as fallback.
+    comp_pallas = None
+    if not args.cpu:  # Mosaic kernels don't lower on the CPU backend
+        try:
+            comp_pallas = measure_tpu_compiled(frames, n_frame, use_pallas=True)
+        except Exception as e:
+            print(f"# pallas compiled-mode failed: {e}", flush=True)
     try:
         comp = measure_tpu_compiled(frames, n_frame)
     except Exception as e:
         print(f"# compiled-mode measurement failed: {e}", flush=True)
         comp = None
     # aggregate chip throughput: independent runs vmapped into one program
-    # (compiled mode — measured 1.13M sym/s at 8 runs vs 0.68M loop mode)
+    # (compiled XLA mode — 1.13M sym/s at 8 runs vs 0.68M loop mode and
+    # 1.00M with vmapped Pallas kernels, which serialize across runs)
     try:
         agg = measure_tpu_compiled(max(2, frames // 2), n_frame, runs=args.runs)
     except Exception as e:
@@ -219,7 +230,11 @@ def main(argv=None):
     base_sps = baseline.get("symbols_per_sec")
     # the committed cache holds the full-size baseline; scale mismatch only
     # happens in --quick mode where vs_baseline is still indicative
-    best = max(res["symbols_per_sec"], comp["symbols_per_sec"] if comp else 0.0)
+    best = max(
+        res["symbols_per_sec"],
+        comp["symbols_per_sec"] if comp else 0.0,
+        comp_pallas["symbols_per_sec"] if comp_pallas else 0.0,
+    )
     vs = (best / base_sps) if base_sps else None
     print(
         json.dumps(
@@ -230,6 +245,8 @@ def main(argv=None):
                 "vs_baseline": round(vs, 2) if vs else None,
                 "loop_mode_sps": round(res["symbols_per_sec"], 1),
                 "compiled_mode_sps": round(comp["symbols_per_sec"], 1) if comp else None,
+                "compiled_pallas_sps": round(comp_pallas["symbols_per_sec"], 1)
+                if comp_pallas else None,
                 f"aggregate_{args.runs}runs_sps": round(agg["symbols_per_sec"], 1) if agg else None,
             }
         ),

@@ -188,7 +188,6 @@ def make_sp_dp_train_step(
             mesh=mesh,
             in_specs=(P("dp"), P("dp"), P("dp", None, None, "sp")),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-            check_vma=False,
         )
         def sharded_step(params, opt_state, rx):
             def one_run(p, s, x):

@@ -155,9 +155,16 @@ def run_frame_loop(
             t0 = time.perf_counter()
             run_all_c = run_all.lower(carry).compile()
             timings["compile_s"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            carry, packed = jax.block_until_ready(run_all_c(carry))
-            timings["run_s"] = time.perf_counter() - t0
+            # best-of-3: per-dispatch tunnel/queue latency fluctuates 3x+
+            # day to day; the min is the honest device-compute time
+            best, out = None, None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(run_all_c(carry))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings["run_s"] = best
+            carry, packed = out
         hist = unpack_metrics(np.asarray(packed), fields)  # one D2H transfer
         # stacked (frames, ..., n) -> (..., n, frames)
         return carry, {k: np.moveaxis(v, 0, -1) for k, v in hist.items()}

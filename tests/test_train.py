@@ -226,3 +226,35 @@ def test_chunked_checkpoint_resume(tmp_path):
                      progress=killer)
     resumed = train_vae_dp(cfg, key, chunk_frames=3, checkpoint=ckpt, checkpoint_every=3)
     np.testing.assert_allclose(resumed["ser"], full["ser"], atol=1e-7)
+
+
+def test_awgn_epe_not_dividing_epochs():
+    """Trailing partial epe block trains without an eval slot (no IndexError)."""
+    cfg = AwgnCmaConfig(mod="4-QAM", snr_db=18.0, num_epochs=21, epe=10, n_valid=2000,
+                        n_train=1000, lr=1e-3)
+    res = run_cma_awgn(cfg, jax.random.PRNGKey(2))
+    assert res["ser"].shape == (2,)  # evals at epochs 0 and 10 only
+    assert np.all(np.isfinite(res["ser"]))
+
+
+def test_awgn_checkpoint_resume(tmp_path):
+    """Epoch-loop experiments resume bit-identically from a kill."""
+    cfg = AwgnVaeLeConfig(mod="4-QAM", snr_db=18.0, num_epochs=12, epe=4, n_valid=2000,
+                          n_train=600)
+    key = jax.random.PRNGKey(31)
+    full = train_vae_le_awgn(cfg, key)
+    ckpt = tmp_path / "state.npz"
+
+    class Boom(RuntimeError):
+        pass
+
+    def killer(epoch, m):
+        if epoch == 8:  # saves happened at epochs 3, 6 (every 3)
+            raise Boom()
+
+    with pytest.raises(Boom):
+        train_vae_le_awgn(cfg, key, checkpoint=ckpt, checkpoint_every=3, progress=killer)
+    assert ckpt.exists()
+    resumed = train_vae_le_awgn(cfg, key, checkpoint=ckpt, checkpoint_every=3)
+    np.testing.assert_allclose(resumed["ser"], full["ser"], atol=1e-7)
+    np.testing.assert_allclose(resumed["mi"], full["mi"], atol=1e-5)

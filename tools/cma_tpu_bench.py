@@ -7,7 +7,7 @@ CPE -> sync -> SER/MI) at the reference's full frame size. Timing method:
 progress-callback timestamps, frame 0 (compile) excluded — same protocol as
 bench.py.
 
-Usage: python tools/cma_tpu_bench.py [--frames N] [--n-frame N] [--pallas]
+Usage: python tools/cma_tpu_bench.py [--frames N] [--n-frame N] [--cpu]
 """
 
 from __future__ import annotations
@@ -21,8 +21,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def measure(loss_type: str, frames: int, n_frame: int, use_pallas: bool = False,
-            compiled: bool = False) -> dict:
+def measure(loss_type: str, frames: int, n_frame: int, use_pallas: bool = False) -> dict:
     import jax
 
     from vae_equalizer_tpu.train import run_cma_dp

@@ -166,6 +166,37 @@ def main():
                (4, 5e-4, 2e-6), (5, 2e-4, 2e-6)],
     )
 
+    from vae_equalizer_tpu.models import siso_fir_init, dirac_taps_siso, vae_le_siso_forward
+    from vae_equalizer_tpu.models.losses import elbo_siso
+    from vae_equalizer_tpu.ops.elbo_siso_kernel import vae_siso_loss_and_grad_pallas
+
+    x_s = rng.normal(size=(2, 200)).astype(np.float32) * 0.6
+    ws = np.asarray(siso_fir_init(25)) + 0.05 * rng.normal(size=(1, 2, 25)).astype(np.float32)
+    hs = np.asarray(dirac_taps_siso(25)) + 0.05 * rng.normal(size=(2, 25)).astype(np.float32)
+    var_s = float(10 ** (-24.0 / 10))  # SISO demapper convention
+    amp_mean = const.amp_mean
+
+    def ref_siso_loss_grad():
+        def loss_fn(w_, h_):
+            q_, _ = vae_le_siso_forward(w_, x_s, amps_np, amp_mean, var_s, 2)
+            return elbo_siso(q_, x_s, h_, amps_np, p_np)
+
+        loss_, (gw_, gh_) = jax.value_and_grad(loss_fn, argnums=(0, 1))(ws, hs)
+        q_, out_ = vae_le_siso_forward(ws, x_s, amps_np, amp_mean, var_s, 2)
+        return loss_, gw_, gh_, q_, out_
+
+    check(
+        "pallas fused SISO train-step kernel (minibatch)",
+        lambda: vae_siso_loss_and_grad_pallas(ws, hs, x_s, amps_np, amp_mean, var_s, p_np),
+        ref_siso_loss_grad,
+        # gradient atol 5e-3 against an O(100)-magnitude gradient: the
+        # normalization VJP subtracts near-equal terms, so on-chip reduction
+        # order can move near-zero entries by a few e-3 (14% of a 0.02
+        # entry, measured) while every optimizer-relevant entry is exact
+        pairs=[(0, 1e-4, 0), (1, 5e-3, 5e-3), (2, 5e-3, 5e-3),
+               (3, 5e-4, 2e-6), (4, 2e-4, 2e-6)],  # loss, gw, gh, q, out
+    )
+
     from vae_equalizer_tpu.metrics import cpe_dp, find_shift_dp, ser_iqflip
 
     tx = jnp.asarray(const.amps[rng.integers(0, 8, size=(2, 2, 200))])

@@ -67,6 +67,9 @@ def main(argv=None):
     if args.sp > 1:
         if args.loss_type != "VAE":
             p.error("--sp requires --loss-type VAE")
+        if args.pallas:
+            p.error("--sp and --pallas are mutually exclusive (the sharded "
+                    "step has no fused-kernel path)")
         import jax
 
         from ..parallel.seqpar import make_mesh_2d

@@ -212,7 +212,7 @@ def make_sp_dp_train_step(
         )
 
     def init(n_runs: int):
-        assert n_runs % n_dp == 0, "runs must divide the dp axis"
+        assert n_runs % n_dp == 0, "runs must be a multiple of the dp axis"
         params = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_runs,) + x.shape), params0)
         opt_state = jax.vmap(opt.init)(params)
         return params, opt_state
@@ -259,7 +259,7 @@ def train_vae_dp_sharded(
     n_dp, n_sp = mesh.shape["dp"], mesh.shape["sp"]
     runs = n_dp if runs is None else runs
     if runs % n_dp != 0:
-        raise ValueError(f"runs={runs} must divide the dp axis ({n_dp})")
+        raise ValueError(f"runs={runs} must be a multiple of the dp axis ({n_dp})")
     m_max = cfg.n_frame_max // cfg.batch_len
     n_frame = m_max * cfg.batch_len
     const, var, gen, amps, prior = _setup(cfg, n_frame)

@@ -84,14 +84,20 @@ def run_sweep(
     (iters, ...) — the runner's history with a leading repeat axis.
 
     Resume: with ``skip_done`` the newest existing ``sweep_{tag}_*.jsonl`` is
-    reused and its finished grid points are skipped (per-point keys are
-    derived by fold_in, so the remaining points get the same keys an
-    uninterrupted sweep would). With ``checkpoint_every`` > 0 each point also
-    persists its training state every k frames, so a kill mid-point resumes
-    mid-experiment, not just mid-grid; the state file is removed once the
-    point's record is written.
+    reused and its finished grid points are skipped — a record only counts
+    as done if its stored config matches the current grid point, so a
+    resumed sweep with changed axes/values re-runs (never silently reuses)
+    mismatching points. Per-point keys are derived by fold_in, so the
+    remaining points get the same keys an uninterrupted sweep would. With
+    ``checkpoint_every`` > 0 each point also persists its training state
+    every k frames, so a kill mid-point resumes mid-experiment, not just
+    mid-grid; the state file carries a config hash, is removed once the
+    point's record is written, and stale files are cleared (not resumed)
+    when ``skip_done`` is off.
     """
+    import hashlib
     import inspect
+    import json
 
     runner = RUNNERS[runner_name]
     runner_params = inspect.signature(runner).parameters
@@ -101,14 +107,24 @@ def run_sweep(
     tag = tag or runner_name
     jsonl = out_dir / f"sweep_{tag}_{stamp}.jsonl"
 
-    done = set()
+    def cfg_json(cfg):
+        return io._to_jsonable(dataclasses.asdict(cfg))
+
+    done = {}
     results = []
     if skip_done:
         prior = sorted(out_dir.glob(f"sweep_{tag}_*.jsonl"))
         if prior:
             jsonl = prior[-1]
-            results = io.read_jsonl(jsonl)  # finished points feed the .mat
-            done = {tuple(r["coords"]) for r in results}
+            expected = {tuple(c): cfg_json(cf) for c, cf in zip(coords, configs)}
+            for r in io.read_jsonl(jsonl):
+                c = tuple(r["coords"])
+                if expected.get(c) == r.get("config"):
+                    done[c] = r
+                    results.append(r)  # finished points feed the .mat
+                else:
+                    print(f"# resume: record at {c} has a different config; re-running",
+                          flush=True)
     for i, (cfg, coord) in enumerate(zip(configs, coords)):
         if tuple(coord) in done:
             continue
@@ -117,7 +133,14 @@ def run_sweep(
         kwargs = dict(runs=iters, mesh=mesh, progress=progress, **(runner_kwargs or {}))
         state_file = None
         if checkpoint_every and "checkpoint" in runner_params:
-            state_file = out_dir / f"state_{tag}_{'_'.join(map(str, coord))}.npz"
+            # config hash in the name: a state file can only ever be resumed
+            # by the identical grid point of the identical experiment
+            h = hashlib.sha1(
+                json.dumps((cfg_json(cfg), iters), sort_keys=True).encode()
+            ).hexdigest()[:10]
+            state_file = out_dir / f"state_{tag}_{'_'.join(map(str, coord))}_{h}.npz"
+            if not skip_done and state_file.exists():
+                state_file.unlink()  # fresh sweep: never resume stale state
             kwargs.update(checkpoint=state_file, checkpoint_every=checkpoint_every)
         if compiled:
             if "compiled" in runner_params:

@@ -20,6 +20,8 @@ epoch k*epe, evaluate, train the remaining epe-1 epochs).
 
 from __future__ import annotations
 
+import pathlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,7 +45,7 @@ from ..models.losses import elbo_siso
 from ..utils.config import AwgnCmaConfig, AwgnVaeLeConfig, AwgnVaeNnConfig
 from .batching import broadcast_runs, shard_runs
 from .eval_utils import margin_weight, roll_time
-from .harness import Progress
+from .harness import Progress, _load_state, _save_state, init_carry
 
 # eval_step packs these into ONE float32 vector -> ONE D2H transfer per eval
 # (tunnel fetches cost ~10-25 ms each)
@@ -61,10 +63,19 @@ def _run_epochs(
     progress: Progress,
     compiled: bool,
     names=_EVAL_NAMES,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ):
     """Drive (epoch_step, eval_step) over an experiment; eval every ``epe``.
 
     Returns (carry, hist) with hist[name] of shape (*runs_prefix, n_evals).
+    When ``epe`` does not divide ``num_epochs`` the trailing partial block
+    trains without an eval slot (both modes record exactly n_evals evals).
+
+    ``checkpoint``/``checkpoint_every``: loop-mode epoch counterpart of
+    run_frame_loop's mid-experiment resume — (epoch index, carry, key chain,
+    histories) persist every K epochs and a killed run restarts from the
+    last snapshot bit-identically. Ignored in compiled mode.
     """
     n_evals = num_epochs // epe
     if runs is None:
@@ -101,10 +112,14 @@ def _run_epochs(
     prefix = () if runs is None else (runs,)
     hist = {n: np.zeros(prefix + (n_evals,), np.float32) for n in names}
     key_loop = key
-    for epoch in range(num_epochs):
+    start = 0
+    ckpt = pathlib.Path(checkpoint) if checkpoint else None
+    if ckpt and ckpt.exists():
+        start, (carry, key_loop) = _load_state(ckpt, (carry, key_loop), hist)
+    for epoch in range(start, num_epochs):
         key_loop, k1 = jax.random.split(key_loop)
         carry, loss = estep(carry, splitk(k1))
-        if epoch % epe == 0:
+        if epoch % epe == 0 and epoch // epe < n_evals:
             key_loop, k2 = jax.random.split(key_loop)
             packed = np.asarray(evstep(carry, splitk(k2)))
             i = epoch // epe
@@ -113,14 +128,10 @@ def _run_epochs(
             if progress:
                 progress(epoch, {"loss": np.asarray(loss),
                                  **{n: packed[..., j] for j, n in enumerate(names)}})
+        if (ckpt and checkpoint_every and (epoch + 1) % checkpoint_every == 0
+                and epoch + 1 < num_epochs):
+            _save_state(ckpt, epoch + 1, (carry, key_loop), hist)
     return carry, hist
-
-
-def _init_carry(params, opt, runs, mesh):
-    if runs is None:
-        return params, opt.init(params)
-    params = shard_runs(broadcast_runs(params, runs), mesh)
-    return params, jax.vmap(opt.init)(params)
 
 
 def _siso_eval_pack(q, tx, n_valid, const, amps, P):
@@ -142,6 +153,8 @@ def train_vae_le_awgn(
     params_init=None,
     compiled: bool = False,
     use_pallas: bool = False,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ):
     """VAE-LE training on the AWGN ISI channel.
 
@@ -201,9 +214,10 @@ def train_vae_le_awgn(
         q, _ = vae_le_siso_forward(carry[0]["w"], rx, amps, amp_mean, var, cfg.sps)
         return _siso_eval_pack(q, tx, cfg.n_valid, const, amps, P)
 
-    carry = _init_carry(params0, opt, runs, mesh)
+    carry = init_carry(params0, opt, runs, mesh)
     (params, _), hist = _run_epochs(
-        epoch_step, eval_step, carry, key, cfg.num_epochs, cfg.epe, runs, progress, compiled
+        epoch_step, eval_step, carry, key, cfg.num_epochs, cfg.epe, runs, progress, compiled,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
 
@@ -215,6 +229,8 @@ def train_vae_nn_awgn(
     runs: int | None = None,
     mesh: Mesh | None = None,
     compiled: bool = False,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ):
     """VAE-NN (CNN) training on the AWGN ISI channel, uniform constellation.
 
@@ -283,9 +299,10 @@ def train_vae_nn_awgn(
             q = vae_nn_forward(params["net"], rx, cfg.sps)
         return _siso_eval_pack(q, tx, cfg.n_valid, const, amps, P)
 
-    carry = _init_carry(params0, opt, runs, mesh)
+    carry = init_carry(params0, opt, runs, mesh)
     (params, _), hist = _run_epochs(
-        epoch_step, eval_step, carry, key, cfg.num_epochs, cfg.epe, runs, progress, compiled
+        epoch_step, eval_step, carry, key, cfg.num_epochs, cfg.epe, runs, progress, compiled,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
 
@@ -297,6 +314,8 @@ def run_cma_awgn(
     runs: int | None = None,
     mesh: Mesh | None = None,
     compiled: bool = False,
+    checkpoint=None,
+    checkpoint_every: int = 0,
 ):
     """CMA baseline on the AWGN ISI channel (no autograd).
 
@@ -335,6 +354,7 @@ def run_cma_awgn(
     if runs is not None:
         h = shard_runs(broadcast_runs(h, runs), mesh)
     h, hist = _run_epochs(
-        epoch_step, eval_step, h, key, cfg.num_epochs, cfg.epe, runs, progress, compiled
+        epoch_step, eval_step, h, key, cfg.num_epochs, cfg.epe, runs, progress, compiled,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     return {"ser": hist["ser"], "mi": hist["mi"], "taps": h}

@@ -47,7 +47,7 @@ from ..models.losses import elbo_dp
 from ..utils.config import DpConfig
 from .batching import broadcast_runs, shard_runs
 from .eval_utils import batch_cut_weight, margin_weight_maxshift, roll_dp
-from .harness import Progress, pack_metrics, run_frame_loop
+from .harness import Progress, init_carry, pack_metrics, run_frame_loop
 
 
 def _setup(cfg: DpConfig, n_frame: int):
@@ -85,13 +85,6 @@ def _vae_optimizer(cfg: DpConfig, steps_per_frame: int):
     return optax.multi_transform(
         {"w": optax.adam(lr_w), "h": optax.adam(cfg.lr)}, {"w": "w", "h": "h"}
     )
-
-
-def _init_carry(params, opt, runs, mesh):
-    if runs is None:
-        return params, opt.init(params)
-    params = shard_runs(broadcast_runs(params, runs), mesh)
-    return params, jax.vmap(opt.init)(params)
 
 
 def _dp_frame_eval(q_train, out_const, tx, amps, P, nu_sc, var, weight_fn):
@@ -188,7 +181,7 @@ def train_vae_dp(
 
     params = params_init or {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
     opt = _vae_optimizer(cfg, m_max)
-    carry = _init_carry(params, opt, runs, mesh)
+    carry = init_carry(params, opt, runs, mesh)
 
     def loss_fn(p, rx_mb):
         q, out = vae_le_dp_forward(p["w"], rx_mb, amps, var, const.nu_sc, cfg.sps)
@@ -271,7 +264,7 @@ def train_vae_flex_dp(
 
     params = params_init or {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
     opt = _vae_optimizer(cfg, n_windows)
-    carry = _init_carry(params, opt, runs, mesh)
+    carry = init_carry(params, opt, runs, mesh)
 
     def loss_fn(p, rx_mb):
         q, out = vae_le_dp_forward(p["w"], rx_mb, amps, var, const.nu_sc, cfg.sps)

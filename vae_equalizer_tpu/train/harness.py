@@ -28,10 +28,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Progress", "pack_metrics", "unpack_metrics", "run_frame_loop"]
+__all__ = ["Progress", "init_carry", "pack_metrics", "unpack_metrics", "run_frame_loop"]
 
 Fields = Sequence[tuple[str, int]]
 Progress = Callable[[int, dict], None] | None
+
+
+def init_carry(params, opt, runs, mesh):
+    """(params, opt_state), broadcast over runs and mesh-sharded if asked."""
+    from .batching import broadcast_runs, shard_runs
+
+    if runs is None:
+        return params, opt.init(params)
+    params = shard_runs(broadcast_runs(params, runs), mesh)
+    return params, jax.vmap(opt.init)(params)
 
 
 def pack_metrics(m: dict, fields: Fields) -> jnp.ndarray:

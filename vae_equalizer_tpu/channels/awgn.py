@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import cplx
-from ..core.constellation import Constellation
+from ..core.constellation import Constellation, sample_levels
 from ..core.filters import rcfir, rrcfir
 
 PULSE_T = 8
@@ -77,7 +77,7 @@ def make_awgn_simulator(
     def generate(key: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
         k_sym, k_noise = jax.random.split(key)
         # (2, n_conv) independent I/Q amplitude draws from the MB pmf
-        data = jax.random.choice(k_sym, amps, (2, n_conv), p=P)
+        data = sample_levels(k_sym, amps, P, (2, n_conv))
         tx_up = jnp.zeros((2, up_len), jnp.float32).at[:, ::sps].set(data)
         rx = cplx.conv_valid(tx_up, h_pulse)
         rx = cplx.conv_valid(rx, h_chan)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import cplx
-from ..core.constellation import Constellation
+from ..core.constellation import Constellation, sample_levels
 from ..core.filters import rrcfir
 
 PULSE_T = 8
@@ -121,7 +121,7 @@ def make_dp_simulator(
         k_sym, k_noise = jax.random.split(key)
         # 4 independent amplitude streams: (pol*2, n_conv) like the reference's
         # rng.choice(amps, (pol*2, N_conv), p=P)
-        data = jax.random.choice(k_sym, amps, (pol * 2, n_conv), p=P)
+        data = sample_levels(k_sym, amps, P, (pol * 2, n_conv))
         # (pol, 2, up_len) zero-inserted upsampling
         tx_up = (
             jnp.zeros((pol, 2, up_len), jnp.float32)

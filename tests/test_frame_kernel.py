@@ -1,0 +1,133 @@
+"""Whole-frame fused train kernel vs the step kernel + optax loop.
+
+The frame kernel (ops/frame_kernel.py) must reproduce, in one pallas_call,
+the exact trajectory of the per-minibatch path used by train/dp.py with
+use_pallas=True: ops/elbo_kernel.py loss+grads followed by
+optax.multi_transform(adam) updates with the reference's one-time net-group
+lr halving. Run in interpret mode on CPU; the on-chip check lives in
+tools/tpu_smoke.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vae_equalizer_tpu.core import make_constellation
+from vae_equalizer_tpu.core.constellation import demapper_noise_var
+from vae_equalizer_tpu.models import butterfly_init, dirac_taps_dp
+from vae_equalizer_tpu.ops.elbo_kernel import vae_dp_loss_and_grad_pallas
+from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas
+
+M = 25
+BL = 50  # symbols per minibatch
+M_MAX = 3  # minibatches per frame
+LR = 2.5e-3
+
+
+def _setup(mod):
+    const = make_constellation(mod, 0.0)
+    amps = jnp.asarray(const.amps)
+    P = jnp.asarray(const.P, jnp.float32)
+    var = jnp.full((2,), demapper_noise_var(const, 23.0), jnp.float32)
+    rng = np.random.default_rng(7)
+    w = butterfly_init(M) + 0.01 * jnp.asarray(
+        rng.normal(size=(2, 4, M)).astype(np.float32)
+    )
+    h = dirac_taps_dp(M) + 0.01 * jnp.asarray(
+        rng.normal(size=(2, 2, 2, M)).astype(np.float32)
+    )
+    rx = jnp.asarray(
+        rng.normal(size=(2, 2, 2 * BL * M_MAX)).astype(np.float32) * 0.5
+    )
+    return const, amps, P, var, w, h, rx
+
+
+def _optax_reference(const, amps, P, var, w, h, rx, thresh_steps, n_frames):
+    """The train/dp.py use_pallas=True path: step kernel + multi_transform."""
+
+    def lr_w(step):
+        return LR * jnp.where(step.astype(jnp.float32) >= float(thresh_steps), 0.5, 1.0)
+
+    opt = optax.multi_transform(
+        {"w": optax.adam(lr_w), "h": optax.adam(LR)}, {"w": "w", "h": "h"}
+    )
+    params = {"w": w, "h": h}
+    s = opt.init(params)
+    losses, qs, outs, var_ests = [], [], [], []
+    mb_len = 2 * BL
+    for frame in range(n_frames):
+        for m in range(M_MAX):
+            rx_mb = rx[:, :, m * mb_len : (m + 1) * mb_len]
+            loss, var_est, gw, gh, q, out = vae_dp_loss_and_grad_pallas(
+                params["w"], params["h"], rx_mb, amps, var, const.nu_sc, P,
+                interpret=True,
+            )
+            updates, s = opt.update({"w": gw, "h": gh}, s, params)
+            params = optax.apply_updates(params, updates)
+            losses.append(loss)
+            var_ests.append(var_est)
+            qs.append(q)
+            outs.append(out)
+    return params, losses, var_ests, qs, outs
+
+
+@pytest.mark.parametrize("mod", ["4-QAM", "64-QAM"])
+def test_frame_kernel_matches_step_loop(mod):
+    const, amps, P, var, w, h, rx = _setup(mod)
+    thresh = 10**9  # no halving
+
+    opt0 = {
+        "mw": jnp.zeros_like(w), "vw": jnp.zeros_like(w),
+        "mh": jnp.zeros_like(h), "vh": jnp.zeros_like(h),
+    }
+    w1, h1, opt1, losses, var_est, q, out = vae_dp_frame_train_pallas(
+        w, h, opt0, rx, amps, var, const.nu_sc, P,
+        jnp.float32(LR), jnp.float32(0.0), jnp.float32(thresh),
+        bl_sym=BL, interpret=True,
+    )
+    params_ref, losses_ref, var_ref, qs_ref, outs_ref = _optax_reference(
+        const, amps, P, var, w, h, rx, thresh, 1
+    )
+
+    np.testing.assert_allclose(losses, np.stack(losses_ref), rtol=2e-5)
+    np.testing.assert_allclose(var_est, np.stack(var_ref), rtol=2e-5)
+    np.testing.assert_allclose(q, np.stack(qs_ref), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(out, np.stack(outs_ref), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(w1, params_ref["w"], rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(h1, params_ref["h"], rtol=1e-4, atol=1e-7)
+    # Adam moments must round-trip so the next frame continues exactly
+    assert all(np.all(np.isfinite(v)) for v in jax.tree.leaves(opt1))
+
+
+def test_frame_kernel_multi_frame_lr_halving():
+    """Two frames driven through the kernel (step0 carried) reproduce the
+    optax trajectory including the one-time net-lr halving mid-frame-2."""
+    const, amps, P, var, w, h, rx = _setup("4-QAM")
+    thresh = 4  # halves the net lr at global step 4 (second frame, step 1)
+
+    opt_k = {
+        "mw": jnp.zeros_like(w), "vw": jnp.zeros_like(w),
+        "mh": jnp.zeros_like(h), "vh": jnp.zeros_like(h),
+    }
+    wk, hk = w, h
+    losses_all = []
+    for frame in range(2):
+        wk, hk, opt_k, losses, _, _, _ = vae_dp_frame_train_pallas(
+            wk, hk, opt_k, rx, amps, var, const.nu_sc, P,
+            jnp.float32(LR), jnp.float32(frame * M_MAX), jnp.float32(thresh),
+            bl_sym=BL, interpret=True,
+        )
+        losses_all.append(losses)
+
+    params_ref, losses_ref, *_ = _optax_reference(
+        const, amps, P, var, w, h, rx, thresh, 2
+    )
+    np.testing.assert_allclose(
+        np.concatenate(losses_all), np.stack(losses_ref), rtol=2e-5
+    )
+    # bias correction exp(t*ln b) vs optax's integer pow + 6 steps of Adam
+    # accumulate to ~2e-7 absolute on the smallest taps
+    np.testing.assert_allclose(wk, params_ref["w"], rtol=5e-4, atol=5e-7)
+    np.testing.assert_allclose(hk, params_ref["h"], rtol=5e-4, atol=5e-7)

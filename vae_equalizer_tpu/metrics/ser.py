@@ -183,8 +183,6 @@ def ser_constell_shaping(
     )
 
     d_vec = (1 + 2 * nu_sc * var[0]) * (amps[:-1] + amps[1:]) / 2
-    d_lo = jnp.concatenate([jnp.array([-jnp.inf], amps.dtype), d_vec])
-    d_hi = jnp.concatenate([d_vec, jnp.array([jnp.inf], amps.dtype)])
 
     txf = tx.astype(jnp.float32)
     mag_tx = _wmean(jnp.sqrt(txf[:, 0] ** 2 + txf[:, 1] ** 2), weight, axis=(0, -1))
@@ -195,9 +193,13 @@ def ser_constell_shaping(
     rx_variants = jnp.stack([rx, -rx, rx_pi4, -rx_pi4])  # (4, 2, 2, N)
     both_data = jnp.stack([data, data_iqinv])  # (2flip, 2, 2, N)
 
-    lo = d_lo[both_data]  # (2, 2, 2, N)
-    hi = d_hi[both_data]
-    ok = (lo[None] <= rx_variants[:, None]) & (rx_variants[:, None] < hi[None])
-    err = ~jnp.all(ok, axis=3)  # (4, 2flip, 2pol, N) — both I and Q must be in-bounds
+    # Decision = the boundary bin of rx: bin(x) = #(x >= d_vec[l]), which is
+    # exactly "d_lo[i] <= x < d_hi[i]" for i = bin(x). Per-level compares
+    # instead of a boundary-table gather (XLA's TPU gather costs ~0.4 ms per
+    # 40k lookups; 7 vector compares are ~free).
+    dec = jnp.zeros(rx_variants.shape, jnp.int32)
+    for lev in range(num_lev - 1):
+        dec = dec + (rx_variants >= d_vec[lev]).astype(jnp.int32)
+    err = jnp.any(dec[:, None] != both_data[None], axis=3)  # (4, 2flip, 2pol, N)
     ser = _wmean(err, weight, axis=-1)
     return jnp.min(ser, axis=(0, 1))

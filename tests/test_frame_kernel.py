@@ -131,3 +131,40 @@ def test_frame_kernel_multi_frame_lr_halving():
     # accumulate to ~2e-7 absolute on the smallest taps
     np.testing.assert_allclose(wk, params_ref["w"], rtol=5e-4, atol=5e-7)
     np.testing.assert_allclose(hk, params_ref["h"], rtol=5e-4, atol=5e-7)
+
+
+def test_train_vae_dp_frame_path_matches_step_path(monkeypatch):
+    """use_pallas="frame" reproduces the use_pallas=True experiment
+    (interpret mode, tiny config): same losses/SER trajectory up to matmul
+    precision, optimizer state carried correctly across frames."""
+    import vae_equalizer_tpu.ops.elbo_kernel as ek
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+    from vae_equalizer_tpu.train.dp import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    orig_f = fk.vae_dp_frame_train_pallas
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas",
+        lambda *a, **k: orig_f(*a, **{**k, "interpret": True}),
+    )
+    orig_s = ek.vae_dp_loss_and_grad_pallas
+    monkeypatch.setattr(
+        ek, "vae_dp_loss_and_grad_pallas",
+        lambda *a, **k: orig_s(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = DpConfig(
+        mod="4-QAM", num_frames=2, n_frame_max=200, batch_len=50,
+        n_lrhalf=10**6,
+    )
+    key = jax.random.PRNGKey(3)
+    res_frame = train_vae_dp(cfg, key, use_pallas="frame")
+    res_step = train_vae_dp(cfg, key, use_pallas=True)
+
+    np.testing.assert_allclose(res_frame["ser"], res_step["ser"], atol=1e-6)
+    np.testing.assert_allclose(res_frame["mi"], res_step["mi"], rtol=1e-4)
+    # trajectory check: matmul vs sequential reduction order diverges through
+    # Adam's sqrt(v) division over 8 steps; a layout/sign bug would be O(1)
+    np.testing.assert_allclose(
+        res_frame["params"]["w"], res_step["params"]["w"], rtol=5e-3, atol=5e-6
+    )

@@ -197,6 +197,34 @@ def main():
                (3, 5e-4, 2e-6), (4, 2e-4, 2e-6)],  # loss, gw, gh, q, out
     )
 
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas
+
+    rx_fr = rng.normal(size=(2, 2, 600)).astype(np.float32) * 0.5  # 3 minibatches
+    opt0_np = {
+        "mw": np.zeros_like(w_p), "vw": np.zeros_like(w_p),
+        "mh": np.zeros_like(h_p), "vh": np.zeros_like(h_p),
+    }
+
+    def frame_kernel_run(interpret):
+        return vae_dp_frame_train_pallas(
+            w_p, h_p, {k: jnp.asarray(v) for k, v in opt0_np.items()}, rx_fr,
+            amps_np, var_np, const.nu_sc, p_np,
+            jnp.float32(2.5e-3), jnp.float32(0.0), jnp.float32(1e9),
+            bl_sym=100, interpret=interpret,
+        )
+
+    check(
+        "whole-frame MXU train kernel (3 steps + Adam)",
+        lambda: frame_kernel_run(False),
+        lambda: frame_kernel_run(True),  # interpret mode = exact-f32 reference
+        # w', h', losses, var_est, q, out: on-chip MXU matmuls are multi-pass
+        # bf16 — absolute error stays ~1e-5 on O(1) tensors (measured w
+        # 1.7e-5, out 3.8e-5) but relative error on near-zero elements is
+        # meaningless, so the bounds are atol-led
+        pairs=[(0, 1e-3, 5e-5), (1, 1e-3, 2e-5), (3, 1e-4, 0), (4, 1e-4, 1e-5),
+               (5, 5e-3, 2e-3), (6, 1e-3, 1e-4)],
+    )
+
     from vae_equalizer_tpu.metrics import cpe_dp, find_shift_dp, ser_iqflip
 
     tx = jnp.asarray(const.amps[rng.integers(0, 8, size=(2, 2, 200))])

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--n-frame-max", type=int, default=10000)
     p.add_argument("--pallas", action="store_true",
                    help="fused exact-f32 train-step kernel (VAE, sps=2, odd M)")
+    p.add_argument("--pallas-frame", action="store_true",
+                   help="whole-frame fused train kernel: all minibatch steps "
+                        "+ Adam in one MXU-based pallas call (VAE only; "
+                        "~3.5x the per-step scan on v5e)")
     p.add_argument("--frames-per-call", type=int, default=1, metavar="K",
                    help="run K frames per device call (one lax.scan): cuts "
                         "the per-call host/tunnel latency K-fold while "
@@ -39,6 +43,8 @@ def main(argv=None):
                    help="sequence-parallel degree: shard each minibatch's time "
                         "axis over sp devices (VAE only; dp axis = devices/sp)")
     args = p.parse_args(argv)
+    if args.pallas and args.pallas_frame:
+        p.error("--pallas and --pallas-frame are mutually exclusive")
 
     iters = args.iters or 5
     if args.quick:
@@ -67,9 +73,9 @@ def main(argv=None):
     if args.sp > 1:
         if args.loss_type != "VAE":
             p.error("--sp requires --loss-type VAE")
-        if args.pallas:
-            p.error("--sp and --pallas are mutually exclusive (the sharded "
-                    "step has no fused-kernel path)")
+        if args.pallas or args.pallas_frame:
+            p.error("--sp and --pallas/--pallas-frame are mutually exclusive "
+                    "(the sharded step has no fused-kernel path)")
         import jax
 
         from ..parallel.seqpar import make_mesh_2d
@@ -89,6 +95,7 @@ def main(argv=None):
         compiled=args.compiled, **sweep_resume_kwargs(args),
         runner_kwargs={
             **({"use_pallas": True} if args.pallas and args.loss_type in ("VAE", "VAEflex") else {}),
+            **({"use_pallas": "frame"} if args.pallas_frame and args.loss_type == "VAE" else {}),
             **({"chunk_frames": args.frames_per_call} if args.frames_per_call > 1 else {}),
         } or None,
     )

@@ -8,36 +8,45 @@ grid with the parameters and optimizer moments carried across grid steps in
 VMEM scratch. Minibatch inputs stream HBM->VMEM block by block (Pallas
 double-buffers them); per-step posteriors/outputs stream back out.
 
-Why: profiling (tools/profile_frame.py) shows the per-minibatch train step
-costs ~53 us of which compute is ~1 us — the rest is per-op dispatch of the
-~100 XLA ops (or kernel + optax ops) inside the lax.scan. Fusing the whole
-frame removes that per-step overhead entirely; the optimizer recurrence is
-inherently sequential, so a sequential in-kernel grid loses no parallelism.
+Why fused AND matmul-based: profiling (tools/profile_frame.py) showed the
+per-minibatch step costs ~53 us in every serial formulation — XLA scan,
+step-kernel scan, and a VPU-unrolled in-kernel grid alike — because the cost
+is the *serial instruction stream* on tiny (8, 100) tiles, not dispatch. So
+every tap contraction here is one MXU matmul over an im2col arrangement
+instead of an unrolled tap loop:
 
-Differences from the step kernel (ops/elbo_kernel.py):
-  * weights live in the gradient layout wg (8, M) = w.reshape(8, M), rows
-    o*4+i — the layout the backward writes — so Adam is one elementwise
-    update; the forward reads per-(o,i,k) scalar coefficients instead of the
-    step kernel's per-tap (8,4) blocks (~400 VPU madds, negligible).
-  * Adam (optax.adam semantics: b1=.9, b2=.999, eps=1e-8, eps_root=0, bias
-    correction with t = step+1) runs in-kernel; the net group's lr is halved
-    once when the global step reaches ``lr_half_step`` and the channel
-    estimate keeps the base lr (reference func_VAELE_DP_MQAM_shaping.py:
-    28-31,45-46 via train/dp.py:_vae_optimizer).
+  forward   out   = W (2, 4M) @ X_im2col (4M, N)          per I/Q arrangement
+  D conv    D     = CT (4, 4(mh+1)) @ EQwin               per tap parity
+  E term    S     = Vsum (2, N) @ MASK (N, mh+1)          tap-support masks
+  gh        GH    = gD (4, ne) @ EQwin^T
+  gEq       GEQ   = CT2 (4, 4(mh+1)) @ gDwin
+  gV        gv    = GCO (2, mh+1) @ MASK^T
+  gw        GW    = gout (2, N) @ X_im2col^T
+
+The im2col inputs (X_im2col[i*M+k, n] = x_arr[i, 2n+k], built from the same
+polyphase identity xph[p, i, j] = xpad[i, 2j+p] as ops/elbo_kernel.py) and
+the 0/1 tap-support masks are precomputed on the XLA side; coefficient
+matrices CT/CT2 are lane-concats of rows of the parity-major channel
+estimate, so the kernel never needs a strided lane access (Mosaic cannot
+lower those). Matmuls run at HIGHEST precision (f32-accurate bf16 passes).
+
+Parameter layouts (chosen so Adam is elementwise and every consumer reads
+contiguous lanes):
+  w   (2, 4M)  = w.reshape(2, 4M)      rows o, lanes i*M + k  (im2col layout)
+  h   (8, M)   parity-major: lanes [0:mh+1] even taps, [mh+1:] odd taps,
+               rows chi*4 + nu*2 + c
+
+Adam (optax.adam semantics: b1=.9, b2=.999, eps=1e-8, eps_root=0, bias
+correction with t = step+1) runs in-kernel; the net group's lr is halved
+once when the global step reaches ``lr_half_step`` and the channel estimate
+keeps the base lr (reference func_VAELE_DP_MQAM_shaping.py:28-31,45-46 via
+train/dp.py:_vae_optimizer).
 
 Restrictions: sps == 2 and odd M (the reference operating point, M=25), like
 the step kernel. Parity: tests/test_frame_kernel.py checks the whole-frame
 trajectory against the step kernel + optax loop in interpret mode.
 
-Layouts (rows x lanes), per minibatch block:
-  xph/xqph (1, 2, 8, n_sym + mh + 1)  polyphase I/Q arrangements (+4 zero rows)
-  rx       (1, 4, 2*n_sym)            rows chi*2 + c
-  rxe/rxo  (1, 4, n_sym)              parity planes
-  wg/h8 and Adam moments (8, M)
-  scal     (1, 8) SMEM  [var_x, var_y, nu_sc, eps_kl, lr, lr_half_step, step0, 0]
-Outputs:
-  w/h/moments (8, M); stats (m_max, 128) row m: [loss, var_est_x, var_est_y];
-  q (m_max, 4*n_lev, n_sym); out (m_max, 4, n_sym) rows (x_I, y_I, x_Q, y_Q)
+scal (1, 8) SMEM: [var_x, var_y, nu_sc, eps_kl, lr, lr_half_step, step0, 0]
 """
 
 from __future__ import annotations
@@ -55,14 +64,23 @@ __all__ = ["vae_dp_frame_train_pallas"]
 _B1 = 0.9
 _B2 = 0.999
 _EPS_ADAM = 1e-8
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b, contract=((1,), (0,))):
+    return jax.lax.dot_general(
+        a, b, (contract, ((), ())), preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
 
 
 def _kernel(
-    xph_ref, xqph_ref, rx_ref, rxe_ref, rxo_ref,
+    xi_ref, xq_ref, rx_ref, rxe_ref, rxo_ref,
+    maske_ref, masko_ref, masket_ref, maskot_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, amps_ref, p_ref, scal_ref,
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
-    w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc,
-    q_sc, eq_sc, v_sc, d_sc, gd_sc, gout_sc, gw_sc, gh_sc,
+    w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
+    eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc, gh_sc, ct_e_sc, ct_o_sc,
     *, n_sym, m, n_lev,
 ):
     mi = pl.program_id(0)
@@ -78,34 +96,27 @@ def _kernel(
 
     n_samp = 2 * n_sym
     mh = m // 2
-    mh2 = 2 * mh
-    n_eff = float(n_samp - mh2)
+    mhe = mh + 1  # even-tap count; odd-tap count = mh
+    n_eff = float(n_samp - 2 * mh)
+    ne = n_sym - mh  # positions per tap parity (even == odd count here)
     var_x = scal_ref[0, 0]
     var_y = scal_ref[0, 1]
     nu_sc = scal_ref[0, 2]
     eps = scal_ref[0, 3]
     amps = amps_ref[0, :]  # (n_lev,)
     p_row = p_ref[0, :]
+    xi = xi_ref[0]  # (4M, n_sym) im2col, I arrangement
+    xq = xq_ref[0]
+    h_e = h_sc[:, :mhe]  # (8, mhe) even taps, rows chi*4 + nu*2 + c
+    h_o = h_sc[:, mhe:]  # (8, mh)  odd taps
 
-    # ---------------- forward: butterfly in the wg (8, M) weight layout.
-    # Output rows (x_I, y_I, x_Q, y_Q): row o of the I component consumes the
-    # I arrangement, row o of Q the Q arrangement, with the SAME taps
-    # (models/vae_le.py; step kernel's per-tap blocks unrolled to scalars).
-    rows_i = [jnp.zeros((1, n_sym), jnp.float32) for _ in range(2)]
-    rows_q = [jnp.zeros((1, n_sym), jnp.float32) for _ in range(2)]
-    for k in range(m):
-        a, ph = divmod(k, 2)
-        xj = xph_ref[0, ph, :, a : a + n_sym]  # (8, n_sym), rows 0..3 live
-        xqj = xqph_ref[0, ph, :, a : a + n_sym]
-        for o in range(2):
-            for i in range(4):
-                c = w_sc[o * 4 + i, k]
-                rows_i[o] = rows_i[o] + c * xj[i : i + 1, :]
-                rows_q[o] = rows_q[o] + c * xqj[i : i + 1, :]
-    out = jnp.concatenate([rows_i[0], rows_i[1], rows_q[0], rows_q[1]])  # (4, N)
+    # ---------------- forward: butterfly as two MXU matmuls
+    out_i = _dot(w_sc[:, :], xi)  # (2, N) I outputs (x, y)
+    out_q = _dot(w_sc[:, :], xq)  # (2, N) Q outputs (same taps, Q arrangement)
+    out = jnp.concatenate([out_i, out_q])  # rows (x_I, y_I, x_Q, y_Q)
 
-    # ---------------- demapper + posterior moments
-    # row r of out -> (pol = r % 2, comp = r // 2)
+    # ---------------- demapper + posterior moments (rows r = pol + 2*comp)
+    eqs, vs = [], []
     for r in range(4):
         o = out[r : r + 1, :]
         var = var_x if r % 2 == 0 else var_y
@@ -115,69 +126,62 @@ def _kernel(
         e = jnp.exp(mmin - metric)
         q = e / jnp.sum(e, axis=0, keepdims=True)  # (n_lev, N)
         q_sc[r * n_lev : (r + 1) * n_lev, :] = q
-        eq_sc[r : r + 1, :] = jnp.sum(amps[:, None] * q, axis=0, keepdims=True)
-        v_sc[r : r + 1, :] = jnp.sum((amps * amps)[:, None] * q, axis=0, keepdims=True)
-    v_sc[0:4, :] = v_sc[0:4, :] - eq_sc[0:4, :] * eq_sc[0:4, :]
+        eqs.append(jnp.sum(amps[:, None] * q, axis=0, keepdims=True))
+        vs.append(jnp.sum((amps * amps)[:, None] * q, axis=0, keepdims=True))
+    eq4 = jnp.concatenate(eqs)  # (4, N) rows (x_I, y_I, x_Q, y_Q)
+    v4 = jnp.concatenate(vs) - eq4 * eq4
 
-    # ---------------- D conv (parity split, symbol domain) — see
-    # ops/elbo_kernel.py for the index derivation.
-    ne = n_sym - mh  # even-position count
-    d_sc[:, :] = jnp.zeros(d_sc.shape, jnp.float32)
-    for a in range(mh + 1):
-        j_even = 2 * a
-        sl = eq_sc[0:4, mh - a : n_sym - a]  # rows (xI, yI, xQ, yQ)
-        for chi in range(2):
-            hr = h_sc[chi * 4 + 0, j_even]
-            hr2 = h_sc[chi * 4 + 2, j_even]
-            hi = h_sc[chi * 4 + 1, j_even]
-            hi2 = h_sc[chi * 4 + 3, j_even]
-            d_sc[chi * 2 + 0, 0:ne] += (
-                hr * sl[0] - hi * sl[2] + hr2 * sl[1] - hi2 * sl[3]
-            )
-            d_sc[chi * 2 + 1, 0:ne] += (
-                hi * sl[0] + hr * sl[2] + hi2 * sl[1] + hr2 * sl[3]
-            )
-    no = n_sym - mh  # odd-position count
-    for a in range(mh):
-        j_odd = 2 * a + 1
-        sl = eq_sc[0:4, mh - a : n_sym - a]
-        for chi in range(2):
-            hr = h_sc[chi * 4 + 0, j_odd]
-            hr2 = h_sc[chi * 4 + 2, j_odd]
-            hi = h_sc[chi * 4 + 1, j_odd]
-            hi2 = h_sc[chi * 4 + 3, j_odd]
-            d_sc[chi * 2 + 0, ne : ne + no] += (
-                hr * sl[0] - hi * sl[2] + hr2 * sl[1] - hi2 * sl[3]
-            )
-            d_sc[chi * 2 + 1, ne : ne + no] += (
-                hi * sl[0] + hr * sl[2] + hi2 * sl[1] + hr2 * sl[3]
-            )
+    # ---------------- D conv as matmuls over shifted-window stacks.
+    # EQwin_p[(g, a), t] = eq4[row(g), mh - a + t] for the 4 groups
+    # g = (nu, c') in order (x,I), (x,Q), (y,I), (y,Q); CT rows (chi*2 + c)
+    # hold the matching h coefficients as lane-concats of h_e/h_o rows.
+    # Windows are materialized through scratch stores — Mosaic cannot
+    # sublane-concat vectors whose lane offsets differ.
+    def win_stack(sc, rows4, n_a):
+        r = 0
+        for g in (0, 2, 1, 3):  # eq4 row order (xI, yI, xQ, yQ) -> (nu, c')
+            for a in range(n_a):
+                sc[r : r + 1, :] = rows4[g : g + 1, mh - a : n_sym - a]
+                r += 1
+        return sc[:, :]
 
-    # ---------------- E term
-    vsum_x = v_sc[0:1, :] + v_sc[2:3, :]  # (1, Nsym) pol x
-    vsum_y = v_sc[1:2, :] + v_sc[3:4, :]
-    e_x = jnp.zeros((1, 1), jnp.float32)
-    e_y = jnp.zeros((1, 1), jnp.float32)
-    s_cols = []  # per-tap (S_x, S_y) scalars reused by the backward
-    for j in range(m):
-        lo = max(0, -(-(mh2 - j) // 2))  # ceil((Mh - j)/2)
-        hi_t = (n_samp - j - 1) // 2 + 1
-        hi_t = min(hi_t, n_sym)
-        sx = jnp.sum(vsum_x[:, lo:hi_t])
-        sy = jnp.sum(vsum_y[:, lo:hi_t])
-        s_cols.append((sx, sy))
-        habsq_xx = h_sc[0, j] * h_sc[0, j] + h_sc[1, j] * h_sc[1, j]
-        habsq_xy = h_sc[2, j] * h_sc[2, j] + h_sc[3, j] * h_sc[3, j]
-        habsq_yx = h_sc[4, j] * h_sc[4, j] + h_sc[5, j] * h_sc[5, j]
-        habsq_yy = h_sc[6, j] * h_sc[6, j] + h_sc[7, j] * h_sc[7, j]
-        e_x = e_x + habsq_xx * sx + habsq_xy * sy
-        e_y = e_y + habsq_yx * sx + habsq_yy * sy
+    eqwin_e = win_stack(eqwin_e_sc, eq4, mhe)
+    eqwin_o = win_stack(eqwin_o_sc, eq4, mh)
+
+    def ct_d(sc, h_p, n_a):  # (4, 4*n_a): D coefficients, rows (chi*2 + c)
+        for chi in range(2):
+            hr0, hi0 = h_p[chi * 4 : chi * 4 + 1, :], h_p[chi * 4 + 1 : chi * 4 + 2, :]
+            hr1, hi1 = h_p[chi * 4 + 2 : chi * 4 + 3, :], h_p[chi * 4 + 3 : chi * 4 + 4, :]
+            for b, blk in enumerate((hr0, -hi0, hr1, -hi1)):  # D_re
+                sc[chi * 2 : chi * 2 + 1, b * n_a : (b + 1) * n_a] = blk
+            for b, blk in enumerate((hi0, hr0, hi1, hr1)):  # D_im
+                sc[chi * 2 + 1 : chi * 2 + 2, b * n_a : (b + 1) * n_a] = blk
+        return sc[:, :]
+
+    d_e = _dot(ct_d(ct_e_sc, h_e, mhe), eqwin_e)  # (4, ne) rows (chi*2+c), even
+    d_o = _dot(ct_d(ct_o_sc, h_o, mh), eqwin_o)  # odd positions
+
+    # ---------------- E term: S_p (2, n_a) = Vsum (2, N) @ MASK_p (N, n_a)
+    vsum = jnp.concatenate(
+        [v4[0:1, :] + v4[2:3, :], v4[1:2, :] + v4[3:4, :]]
+    )  # (2, N) per pol
+    s_e = _dot(vsum, maske_ref[:, :])  # (2, mhe)
+    s_o = _dot(vsum, masko_ref[:, :])  # (2, mh)
+    hsq = h_sc[:, :] * h_sc[:, :]
+    # |h|^2 per (chi, nu): explicit row pairs (a stride-2 sublane slice
+    # would lower as an unsupported Mosaic gather)
+    habsq = jnp.concatenate(
+        [hsq[2 * g : 2 * g + 1, :] + hsq[2 * g + 1 : 2 * g + 2, :] for g in range(4)]
+    )  # (4, M) rows chi*2 + nu, parity-major lanes
+    s_cat = jnp.concatenate([s_e, s_o], axis=1)  # (2, M) parity-major
+    e_x = jnp.sum(habsq[0:1, :] * s_cat[0:1, :]) + jnp.sum(habsq[1:2, :] * s_cat[1:2, :])
+    e_y = jnp.sum(habsq[2:3, :] * s_cat[0:1, :]) + jnp.sum(habsq[3:4, :] * s_cat[1:2, :])
 
     # ---------------- C and loss
     rx = rx_ref[0, :, :]
     rx_w2 = rx[:, mh : n_samp - mh]
-    c_base_x = jnp.sum(rx_w2[0:1, :] * rx_w2[0:1, :]) + jnp.sum(rx_w2[1:2, :] * rx_w2[1:2, :])
-    c_base_y = jnp.sum(rx_w2[2:3, :] * rx_w2[2:3, :]) + jnp.sum(rx_w2[3:4, :] * rx_w2[3:4, :])
+    c_base_x = jnp.sum(rx_w2[0:2, :] * rx_w2[0:2, :])
+    c_base_y = jnp.sum(rx_w2[2:4, :] * rx_w2[2:4, :])
     rxe = rxe_ref[0, :, :]  # (4, Nsym) even samples
     rxo = rxo_ref[0, :, :]
     if mh % 2 == 0:
@@ -187,30 +191,23 @@ def _kernel(
         rx_al_e = rxo[:, mh - (mh + 1) // 2 : n_sym - (mh + 1) // 2]
         rx_al_o = rxe[:, mh - mh // 2 : n_sym - mh // 2]
 
-    cross_x = (
-        jnp.sum(rx_al_e[0:1, :] * d_sc[0:1, 0:ne]) + jnp.sum(rx_al_o[0:1, :] * d_sc[0:1, ne : ne + no])
-        + jnp.sum(rx_al_e[1:2, :] * d_sc[1:2, 0:ne]) + jnp.sum(rx_al_o[1:2, :] * d_sc[1:2, ne : ne + no])
-    )
-    cross_y = (
-        jnp.sum(rx_al_e[2:3, :] * d_sc[2:3, 0:ne]) + jnp.sum(rx_al_o[2:3, :] * d_sc[2:3, ne : ne + no])
-        + jnp.sum(rx_al_e[3:4, :] * d_sc[3:4, 0:ne]) + jnp.sum(rx_al_o[3:4, :] * d_sc[3:4, ne : ne + no])
-    )
-    dd_x = jnp.sum(d_sc[0:2, 0 : ne + no] * d_sc[0:2, 0 : ne + no])
-    dd_y = jnp.sum(d_sc[2:4, 0 : ne + no] * d_sc[2:4, 0 : ne + no])
-    c_x = c_base_x - 2.0 * cross_x + dd_x + e_x[0, 0]
-    c_y = c_base_y - 2.0 * cross_y + dd_y + e_y[0, 0]
+    cross_x = jnp.sum(rx_al_e[0:2, :] * d_e[0:2, :]) + jnp.sum(rx_al_o[0:2, :] * d_o[0:2, :])
+    cross_y = jnp.sum(rx_al_e[2:4, :] * d_e[2:4, :]) + jnp.sum(rx_al_o[2:4, :] * d_o[2:4, :])
+    dd_x = jnp.sum(d_e[0:2, :] * d_e[0:2, :]) + jnp.sum(d_o[0:2, :] * d_o[0:2, :])
+    dd_y = jnp.sum(d_e[2:4, :] * d_e[2:4, :]) + jnp.sum(d_o[2:4, :] * d_o[2:4, :])
+    c_x = c_base_x - 2.0 * cross_x + dd_x + e_x
+    c_y = c_base_y - 2.0 * cross_y + dd_y + e_y
 
-    # KL over inner symbols
-    kl = jnp.zeros((1, 1), jnp.float32)
-    for r in range(4):
-        q = q_sc[r * n_lev : (r + 1) * n_lev, mh : n_sym - mh]
-        ratio = q / p_row[:, None]
-        kl = kl + jnp.sum(-q * jnp.log(ratio + eps))
+    # KL over inner symbols, all 4 component rows at once
+    q32 = q_sc[:, :]
+    p32 = jnp.concatenate([jnp.transpose(p_row.reshape(1, n_lev))] * 4)  # (4n, 1)
+    ratio = q32[:, mh : n_sym - mh] / p32
+    kl = jnp.sum(-q32[:, mh : n_sym - mh] * jnp.log(ratio + eps))
 
-    qout_ref[0, :, :] = q_sc[:, :]
+    qout_ref[0, :, :] = q32
     outout_ref[0, :, :] = out
 
-    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl[0, 0]
+    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl
     row = jnp.concatenate(
         [loss.reshape(1, 1), (c_x / n_eff).reshape(1, 1), (c_y / n_eff).reshape(1, 1)],
         axis=1,
@@ -220,101 +217,94 @@ def _kernel(
     # ================ backward ================
     g_cx = n_eff / c_x
     g_cy = n_eff / c_y
-    gd_sc[0:2, 0:ne] = g_cx * (2.0 * d_sc[0:2, 0:ne] - 2.0 * rx_al_e[0:2, :])
-    gd_sc[0:2, ne : ne + no] = g_cx * (2.0 * d_sc[0:2, ne : ne + no] - 2.0 * rx_al_o[0:2, :])
-    gd_sc[2:4, 0:ne] = g_cy * (2.0 * d_sc[2:4, 0:ne] - 2.0 * rx_al_e[2:4, :])
-    gd_sc[2:4, ne : ne + no] = g_cy * (2.0 * d_sc[2:4, ne : ne + no] - 2.0 * rx_al_o[2:4, :])
+    gfac = jnp.concatenate(
+        [jnp.full((2, 1), 0.0, jnp.float32) + g_cx, jnp.full((2, 1), 0.0, jnp.float32) + g_cy]
+    )  # (4, 1) rows (chi*2 + c)
+    gd_e = gfac * (2.0 * d_e - 2.0 * rx_al_e)  # (4, ne)
+    gd_o = gfac * (2.0 * d_o - 2.0 * rx_al_o)
 
-    # ---- gh
-    for j in range(m):
-        a, par = divmod(j, 2)
-        sl = eq_sc[0:4, mh - a : n_sym - a]
-        gdr = gd_sc[:, 0:ne] if par == 0 else gd_sc[:, ne : ne + no]
-        sx, sy = s_cols[j]
+    # ---- gh: GH_p (4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E term
+    gh_e_m = _dot(gd_e, eqwin_e, ((1,), (1,)))  # (4, 4*mhe)
+    gh_o_m = _dot(gd_o, eqwin_o, ((1,), (1,)))
+
+    def gh_assemble(ghm, h_p, s_p, n_a, lane0):
+        # ghm cols grouped (nu, c') in order (x,I)(x,Q)(y,I)(y,Q) like CT;
+        # rows land in the gh scratch (offset-normalizing stores)
         for chi in range(2):
-            gdre = gdr[chi * 2 : chi * 2 + 1, :]
-            gdim = gdr[chi * 2 + 1 : chi * 2 + 2, :]
+            re_row = ghm[chi * 2 : chi * 2 + 1, :]
+            im_row = ghm[chi * 2 + 1 : chi * 2 + 2, :]
             for nu in range(2):
-                eqi = sl[nu : nu + 1, :]
-                eqq = sl[nu + 2 : nu + 3, :]
-                s_nu = sx if nu == 0 else sy
-                ghr = jnp.sum(gdre * eqi) + jnp.sum(gdim * eqq) + 2.0 * (g_cx if chi == 0 else g_cy) * h_sc[chi * 4 + nu * 2 + 0, j] * s_nu
-                ghi = -jnp.sum(gdre * eqq) + jnp.sum(gdim * eqi) + 2.0 * (g_cx if chi == 0 else g_cy) * h_sc[chi * 4 + nu * 2 + 1, j] * s_nu
-                row_r = chi * 4 + nu * 2
-                gh_sc[row_r : row_r + 1, j : j + 1] = ghr.reshape(1, 1)
-                gh_sc[row_r + 1 : row_r + 2, j : j + 1] = ghi.reshape(1, 1)
+                bi = (2 * nu) * n_a  # (nu, I) block
+                bq = (2 * nu + 1) * n_a  # (nu, Q) block
+                ghr = re_row[:, bi : bi + n_a] + im_row[:, bq : bq + n_a]
+                ghi = -re_row[:, bq : bq + n_a] + im_row[:, bi : bi + n_a]
+                g_c = g_cx if chi == 0 else g_cy
+                s_nu = s_p[nu : nu + 1, :]
+                r0 = chi * 4 + nu * 2
+                gh_sc[r0 : r0 + 1, lane0 : lane0 + n_a] = (
+                    ghr + 2.0 * g_c * h_p[r0 : r0 + 1, :] * s_nu
+                )
+                gh_sc[r0 + 1 : r0 + 2, lane0 : lane0 + n_a] = (
+                    ghi + 2.0 * g_c * h_p[r0 + 1 : r0 + 2, :] * s_nu
+                )
 
-    # ---- gEq (symbol domain)
-    geq = jnp.zeros((4, n_sym), jnp.float32)
-    for j in range(m):
-        a, par = divmod(j, 2)
-        blk = slice(0, ne) if par == 0 else slice(ne, ne + no)
-        gdb = gd_sc[:, blk]  # (4, cnt)
-        cnt = ne if par == 0 else no
-        t_lo = mh - a
-        t_hi = t_lo + cnt
-        rows = []
+    gh_assemble(gh_e_m, h_e, s_e, mhe, 0)
+    gh_assemble(gh_o_m, h_o, s_o, mh, mhe)
+    gh = gh_sc[:, :]  # (8, M) parity-major
+
+    # ---- gEq: GEQ (4, N) = CT2 (4, 4*n_a) @ gDwin (4*n_a, N), both parities
+    def gdwin(sc, gd_p, n_a):
+        # padded[m] = gd_p[m - mh]; window a = padded[a : a + N] places
+        # gd_p[b] at t = mh - a + b, so length must reach (n_a-1) + N
+        padded = jnp.pad(gd_p, ((0, 0), (mh, n_a - 1)))
+        r = 0
+        for g in range(4):  # groups (chi, c) in gd row order
+            for a in range(n_a):
+                sc[r : r + 1, :] = padded[g : g + 1, a : a + n_sym]
+                r += 1
+        return sc[:, :]  # (4*n_a, N)
+
+    def ct2(sc, h_p, n_a):  # rows (nu, c') in order (x,I)(x,Q)(y,I)(y,Q)
         for nu in range(2):
-            acc_i = jnp.zeros((1, cnt), jnp.float32)
-            acc_q = jnp.zeros((1, cnt), jnp.float32)
-            for chi in range(2):
-                hr = h_sc[chi * 4 + nu * 2 + 0, j]
-                hi = h_sc[chi * 4 + nu * 2 + 1, j]
-                gdre = gdb[chi * 2 : chi * 2 + 1, :]
-                gdim = gdb[chi * 2 + 1 : chi * 2 + 2, :]
-                acc_i = acc_i + gdre * hr + gdim * hi
-                acc_q = acc_q + -gdre * hi + gdim * hr
-            rows.append((acc_i, acc_q))
-        padded = [
-            jnp.pad(r, ((0, 0), (t_lo, n_sym - t_hi)))
-            for r in (rows[0][0], rows[1][0], rows[0][1], rows[1][1])
-        ]
-        geq = geq + jnp.concatenate(padded)
+            hr0, hi0 = h_p[nu * 2 : nu * 2 + 1, :], h_p[nu * 2 + 1 : nu * 2 + 2, :]
+            hr1, hi1 = h_p[4 + nu * 2 : 4 + nu * 2 + 1, :], h_p[4 + nu * 2 + 1 : 4 + nu * 2 + 2, :]
+            for b, blk in enumerate((hr0, hi0, hr1, hi1)):  # (nu, I)
+                sc[nu * 2 : nu * 2 + 1, b * n_a : (b + 1) * n_a] = blk
+            for b, blk in enumerate((-hi0, hr0, -hi1, hr1)):  # (nu, Q)
+                sc[nu * 2 + 1 : nu * 2 + 2, b * n_a : (b + 1) * n_a] = blk
+        return sc[:, :]
 
-    # ---- gV
-    gv = jnp.zeros((2, n_sym), jnp.float32)
-    for j in range(m):
-        lo = max(0, -(-(mh2 - j) // 2))
-        hi_t = min((n_samp - j - 1) // 2 + 1, n_sym)
-        habsq_xx = h_sc[0, j] * h_sc[0, j] + h_sc[1, j] * h_sc[1, j]
-        habsq_xy = h_sc[2, j] * h_sc[2, j] + h_sc[3, j] * h_sc[3, j]
-        habsq_yx = h_sc[4, j] * h_sc[4, j] + h_sc[5, j] * h_sc[5, j]
-        habsq_yy = h_sc[6, j] * h_sc[6, j] + h_sc[7, j] * h_sc[7, j]
-        ones = jnp.ones((1, hi_t - lo), jnp.float32)
-        row0 = jnp.pad(ones * (g_cx * habsq_xx + g_cy * habsq_yx), ((0, 0), (lo, n_sym - hi_t)))
-        row1 = jnp.pad(ones * (g_cx * habsq_xy + g_cy * habsq_yy), ((0, 0), (lo, n_sym - hi_t)))
-        gv = gv + jnp.concatenate([row0, row1])
+    geq_g = _dot(ct2(ct_e_sc, h_e, mhe), gdwin(gdwin_e_sc, gd_e, mhe)) + _dot(
+        ct2(ct_o_sc, h_o, mh), gdwin(gdwin_o_sc, gd_o, mh)
+    )
+    # rows (x,I)(x,Q)(y,I)(y,Q) -> eq4 order (x,I)(y,I)(x,Q)(y,Q)
+    geq = jnp.concatenate([geq_g[0:1], geq_g[2:3], geq_g[1:2], geq_g[3:4]])
+
+    # ---- gV: gv (2, N) = GCO (2, n_a) @ MASK_p^T per parity
+    gco = g_cx * habsq[0:2, :] + g_cy * habsq[2:4, :]  # (2, M) rows nu
+    gv = _dot(gco[:, :mhe], masket_ref[:, :]) + _dot(gco[:, mhe:], maskot_ref[:, :])
 
     # ---- moments -> gq -> softmin VJP -> gout
-    gout_sc[:, :] = jnp.zeros(gout_sc.shape, jnp.float32)
     t_in = jax.lax.broadcasted_iota(jnp.int32, (1, n_sym), 1)
     t_mask = ((t_in >= mh) & (t_in < n_sym - mh)).astype(jnp.float32)
+    gouts = []
     for r in range(4):
         nu = r % 2
         var = var_x if r % 2 == 0 else var_y
         gvr = gv[nu : nu + 1, :]
-        g_eq_r = geq[r : r + 1, :] - 2.0 * eq_sc[r : r + 1, :] * gvr
-        g_eq2_r = gvr
+        g_eq_r = geq[r : r + 1, :] - 2.0 * eq4[r : r + 1, :] * gvr
         q = q_sc[r * n_lev : (r + 1) * n_lev, :]
-        gq = amps[:, None] * g_eq_r + (amps * amps)[:, None] * g_eq2_r
+        gq = amps[:, None] * g_eq_r + (amps * amps)[:, None] * gvr
         ratio = q / p_row[:, None]
         gq = gq + (jnp.log(ratio + eps) + ratio / (ratio + eps)) * t_mask
         inner = jnp.sum(q * gq, axis=0, keepdims=True)
         gm = -q * (gq - inner)
         o = out[r : r + 1, :]
-        gout_sc[r : r + 1, :] = jnp.sum(gm * (o - amps[:, None]), axis=0, keepdims=True) / var
+        gouts.append(jnp.sum(gm * (o - amps[:, None]), axis=0, keepdims=True) / var)
+    gout = jnp.concatenate(gouts)  # (4, N) rows (x_I, y_I, x_Q, y_Q)
 
-    # ---- gw in the wg (8, M) layout: gw[o*4+i, k]
-    for k in range(m):
-        a, par = divmod(k, 2)
-        xj = xph_ref[0, par, :, a : a + n_sym]
-        xqj = xqph_ref[0, par, :, a : a + n_sym]
-        for o in range(2):
-            gI = gout_sc[o : o + 1, :]
-            gQ = gout_sc[o + 2 : o + 3, :]
-            for i in range(4):
-                val = jnp.sum(gI * xj[i : i + 1, :]) + jnp.sum(gQ * xqj[i : i + 1, :])
-                gw_sc[o * 4 + i : o * 4 + i + 1, k : k + 1] = val.reshape(1, 1)
+    # ---- gw: (2, 4M) = gout_I @ XI^T + gout_Q @ XQ^T
+    gw = _dot(gout[0:2, :], xi, ((1,), (1,))) + _dot(gout[2:4, :], xq, ((1,), (1,)))
 
     # ================ in-kernel Adam (optax.adam semantics) ================
     lr = scal_ref[0, 4]
@@ -327,14 +317,12 @@ def _kernel(
     bc2 = 1.0 - jnp.exp(t * math.log(_B2))
     lr_w = lr * jnp.where(step_f >= lr_half_step, 0.5, 1.0)
 
-    gw = gw_sc[:, :]
     mw_sc[:, :] = _B1 * mw_sc[:, :] + (1.0 - _B1) * gw
     vw_sc[:, :] = _B2 * vw_sc[:, :] + (1.0 - _B2) * gw * gw
     w_sc[:, :] = w_sc[:, :] - lr_w * (mw_sc[:, :] / bc1) / (
         jnp.sqrt(vw_sc[:, :] / bc2) + _EPS_ADAM
     )
 
-    gh = gh_sc[:, :]
     mh_sc[:, :] = _B1 * mh_sc[:, :] + (1.0 - _B1) * gh
     vh_sc[:, :] = _B2 * vh_sc[:, :] + (1.0 - _B2) * gh * gh
     h_sc[:, :] = h_sc[:, :] - lr * (mh_sc[:, :] / bc1) / (
@@ -347,6 +335,34 @@ def _kernel(
     vw_out[:, :] = vw_sc[:, :]
     mh_out[:, :] = mh_sc[:, :]
     vh_out[:, :] = vh_sc[:, :]
+
+
+def _support_masks(m: int, n_sym: int):
+    """0/1 tap-support masks: mask[t, j] = 1 iff ceil((Mh-j)/2) <= t < (Nsamp-j-1)//2+1.
+
+    Parity-split columns (even taps j=2a first); also returns transposes.
+    """
+    import numpy as np
+
+    mh = m // 2
+    n_samp = 2 * n_sym
+    mask = np.zeros((n_sym, m), np.float32)
+    for j in range(m):
+        lo = max(0, -(-(2 * mh - j) // 2))
+        hi = min((n_samp - j - 1) // 2 + 1, n_sym)
+        mask[lo:hi, j] = 1.0
+    return mask[:, 0::2], mask[:, 1::2]
+
+
+def _to_parity_major(h8: jnp.ndarray, mhe: int) -> jnp.ndarray:
+    return jnp.concatenate([h8[:, 0::2], h8[:, 1::2]], axis=1)
+
+
+def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
+    mhe = m // 2 + 1
+    out = jnp.zeros((hpm.shape[0], m), hpm.dtype)
+    out = out.at[:, 0::2].set(hpm[:, :mhe])
+    return out.at[:, 1::2].set(hpm[:, mhe:])
 
 
 @functools.partial(jax.jit, static_argnames=("bl_sym", "interpret"))
@@ -373,10 +389,11 @@ def vae_dp_frame_train_pallas(
     m_max = rx.shape[-1] // n_samp_mb
     n_lev = amps.shape[0]
     mh = m // 2
-    lp = n_sym + mh + 1
+    mhe = mh + 1
 
-    # per-minibatch polyphase arrangements, vectorized over minibatches
-    # (identical construction to ops/elbo_kernel.py's wrapper)
+    # per-minibatch im2col arrangements: X[(i*M + k), n] = xpad[i, 2n + k]
+    # (the polyphase identity xph[p, i, j] = xpad[i, 2j + p] of the step
+    # kernel, flattened over taps), vectorized over minibatches
     rx_mb = jnp.moveaxis(
         rx[:, :, : m_max * n_samp_mb].reshape(2, 2, m_max, n_samp_mb), 2, 0
     )  # (m_max, 2, 2, Nsamp_mb)
@@ -385,24 +402,28 @@ def vae_dp_frame_train_pallas(
         x_i = jnp.concatenate([x[:, 0, :], -x[:, 1, :]])
         x_q = jnp.concatenate([x[:, 1, :], x[:, 0, :]])
 
-        def phases(arr):
-            xp = jnp.pad(arr, ((0, 0), (mh, mh)))
-            need = 2 * (lp + 1)
-            xp = jnp.pad(xp, ((0, 0), (0, max(0, need - xp.shape[-1]))))
-            ph = jnp.stack([xp[:, p::2][:, :lp] for p in range(2)])
-            return jnp.pad(ph, ((0, 0), (0, 4), (0, 0)))  # + explicit zero rows
+        def im2col(arr):
+            xp = jnp.pad(arr, ((0, 0), (mh, mh + m)))
+            cols = jnp.stack(
+                [xp[:, k : k + 2 * n_sym : 2] for k in range(m)], axis=1
+            )  # (4, M, N)
+            return cols.reshape(4 * m, n_sym)
 
         rx4 = x.reshape(4, n_samp_mb)
-        return phases(x_i), phases(x_q), rx4, rx4[:, 0::2], rx4[:, 1::2]
+        return im2col(x_i), im2col(x_q), rx4, rx4[:, 0::2], rx4[:, 1::2]
 
-    xph, xqph, rx4, rxe, rxo = jax.vmap(arrange)(rx_mb)
+    xi, xq, rx4, rxe, rxo = jax.vmap(arrange)(rx_mb)
 
-    wg = w.reshape(8, m)
-    h8 = h.reshape(8, m)
-    mw8 = opt["mw"].reshape(8, m)
-    vw8 = opt["vw"].reshape(8, m)
-    mh8 = opt["mh"].reshape(8, m)
-    vh8 = opt["vh"].reshape(8, m)
+    mask_e, mask_o = _support_masks(m, n_sym)
+    mask_e = jnp.asarray(mask_e)
+    mask_o = jnp.asarray(mask_o)
+
+    w2 = w.reshape(2, 4 * m)
+    h8 = _to_parity_major(h.reshape(8, m), mhe)
+    mw2 = opt["mw"].reshape(2, 4 * m)
+    vw2 = opt["vw"].reshape(2, 4 * m)
+    mh8 = _to_parity_major(opt["mh"].reshape(8, m), mhe)
+    vh8 = _to_parity_major(opt["vh"].reshape(8, m), mhe)
     scal = jnp.stack(
         [var[0], var[1], jnp.float32(nu_sc), jnp.float32(1e-12),
          jnp.float32(lr), jnp.float32(lr_half_step), jnp.float32(step0),
@@ -412,17 +433,19 @@ def vae_dp_frame_train_pallas(
     p_row = P.reshape(1, n_lev).astype(jnp.float32)
 
     kernel = functools.partial(_kernel, n_sym=n_sym, m=m, n_lev=n_lev)
-    full = lambda *ndim: pl.BlockSpec(memory_space=pltpu.VMEM)
-    per_mb3 = lambda c, l: pl.BlockSpec((1, c, l), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    per_mb3 = lambda c, l: pl.BlockSpec(
+        (1, c, l), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM
+    )
 
     (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, q_all, out_all) = pl.pallas_call(
         kernel,
         grid=(m_max,),
         out_shape=(
+            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
             jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
+            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
             jax.ShapeDtypeStruct((8, m), jnp.float32),
             jax.ShapeDtypeStruct((8, m), jnp.float32),
             jax.ShapeDtypeStruct((m_max, 1, 128), jnp.float32),
@@ -430,11 +453,12 @@ def vae_dp_frame_train_pallas(
             jax.ShapeDtypeStruct((m_max, 4, n_sym), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec((1, 2, 8, lp), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, 8, lp), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
+            per_mb3(4 * m, n_sym),
+            per_mb3(4 * m, n_sym),
             per_mb3(4, n_samp_mb),
             per_mb3(4, n_sym),
             per_mb3(4, n_sym),
+            full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
             full(), full(),
             pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
@@ -446,23 +470,27 @@ def vae_dp_frame_train_pallas(
             per_mb3(4, n_sym),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, m), jnp.float32),  # w
-            pltpu.VMEM((8, m), jnp.float32),  # h
-            pltpu.VMEM((8, m), jnp.float32),  # mw
-            pltpu.VMEM((8, m), jnp.float32),  # vw
+            pltpu.VMEM((2, 4 * m), jnp.float32),  # w
+            pltpu.VMEM((8, m), jnp.float32),  # h (parity-major)
+            pltpu.VMEM((2, 4 * m), jnp.float32),  # mw
+            pltpu.VMEM((2, 4 * m), jnp.float32),  # vw
             pltpu.VMEM((8, m), jnp.float32),  # mh
             pltpu.VMEM((8, m), jnp.float32),  # vh
             pltpu.VMEM((4 * n_lev, n_sym), jnp.float32),  # q
-            pltpu.VMEM((8, n_sym), jnp.float32),  # eq
-            pltpu.VMEM((8, n_sym), jnp.float32),  # var moments
-            pltpu.VMEM((8, n_samp_mb), jnp.float32),  # d (parity blocks)
-            pltpu.VMEM((8, n_samp_mb), jnp.float32),  # gd
-            pltpu.VMEM((8, n_sym), jnp.float32),  # gout
-            pltpu.VMEM((8, m), jnp.float32),  # gw
-            pltpu.VMEM((8, m), jnp.float32),  # gh
+            pltpu.VMEM((4 * mhe, n_sym - mh), jnp.float32),  # eqwin even
+            pltpu.VMEM((4 * mh, n_sym - mh), jnp.float32),  # eqwin odd
+            pltpu.VMEM((4 * mhe, n_sym), jnp.float32),  # gdwin even
+            pltpu.VMEM((4 * mh, n_sym), jnp.float32),  # gdwin odd
+            pltpu.VMEM((8, m), jnp.float32),  # gh assembly
+            pltpu.VMEM((4, 4 * mhe), jnp.float32),  # CT coeffs, even taps
+            pltpu.VMEM((4, 4 * mh), jnp.float32),  # CT coeffs, odd taps
         ],
         interpret=interpret,
-    )(xph, xqph, rx4, rxe, rxo, wg, h8, mw8, vw8, mh8, vh8, amps_row, p_row, scal)
+    )(
+        xi, xq, rx4, rxe, rxo, mask_e, mask_o,
+        jnp.transpose(mask_e), jnp.transpose(mask_o),
+        w2, h8, mw2, vw2, mh8, vh8, amps_row, p_row, scal,
+    )
 
     losses = stats[:, 0, 0]
     var_est = stats[:, 0, 1:3]
@@ -484,7 +512,15 @@ def vae_dp_frame_train_pallas(
     opt_new = {
         "mw": mw_o.reshape(2, 4, m),
         "vw": vw_o.reshape(2, 4, m),
-        "mh": mh_o.reshape(2, 2, 2, m),
-        "vh": vh_o.reshape(2, 2, 2, m),
+        "mh": _from_parity_major(mh_o, m).reshape(2, 2, 2, m),
+        "vh": _from_parity_major(vh_o, m).reshape(2, 2, 2, m),
     }
-    return w_o.reshape(2, 4, m), h_o.reshape(2, 2, 2, m), opt_new, losses, var_est, q, out
+    return (
+        w_o.reshape(2, 4, m),
+        _from_parity_major(h_o, m).reshape(2, 2, 2, m),
+        opt_new,
+        losses,
+        var_est,
+        q,
+        out,
+    )

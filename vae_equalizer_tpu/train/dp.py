@@ -172,7 +172,11 @@ def train_vae_dp(
     ``progress`` is then unavailable. ``use_pallas=True`` computes each
     minibatch's loss and gradients with the fused in-VMEM kernel
     (ops/elbo_kernel.py) — exact f32 on a backend whose XLA matmuls are bf16;
-    requires sps=2 and odd M.
+    ``use_pallas="frame"`` runs ALL of a frame's minibatch steps (incl. the
+    Adam updates) as ONE MXU-based kernel call (ops/frame_kernel.py) —
+    measured 3.5x the per-step scan on v5e (15 vs 53 us/step; the scan's
+    cost is its serial per-step instruction stream). Both require sps=2 and
+    odd M.
     """
     m_max = cfg.n_frame_max // cfg.batch_len
     n_frame = m_max * cfg.batch_len
@@ -180,6 +184,44 @@ def train_vae_dp(
     mb_len = cfg.batch_len * cfg.sps
 
     params = params_init or {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    if use_pallas and (cfg.sps != 2 or cfg.m_est % 2 == 0):
+        raise ValueError("use_pallas requires sps=2 and odd M_est")
+
+    if use_pallas == "frame":
+        from ..ops.frame_kernel import vae_dp_frame_train_pallas
+
+        thresh = float(cfg.n_lrhalf) * m_max
+        opt0 = {
+            "mw": jnp.zeros_like(params["w"]), "vw": jnp.zeros_like(params["w"]),
+            "mh": jnp.zeros_like(params["h"]), "vh": jnp.zeros_like(params["h"]),
+        }
+        carry = (params, opt0, jnp.int32(0))
+        if runs is not None:
+            carry = shard_runs(broadcast_runs(carry, runs), mesh)
+
+        def frame_step(carry, key, theta):
+            params, opt, count = carry
+            rx, tx, sigma = gen(key, theta)
+            w, h, opt, losses, var_est, q_mb, out_mb = vae_dp_frame_train_pallas(
+                params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
+                jnp.float32(cfg.lr), count.astype(jnp.float32),
+                jnp.float32(thresh), bl_sym=cfg.batch_len,
+            )
+            packed = _finish_vae_frame(
+                losses, q_mb, out_mb, var_est, tx, const, amps, P, var,
+                lambda s0, ms: batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut),
+                sigma,
+            )
+            return ({"w": w, "h": h}, opt, count + m_max), packed
+
+        (params, _, _), hist = run_frame_loop(
+            frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
+            runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
+            checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
+        )
+        prefix = () if runs is None else (runs,)
+        return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
+
     opt = _vae_optimizer(cfg, m_max)
     carry = init_carry(params, opt, runs, mesh)
 
@@ -189,8 +231,6 @@ def train_vae_dp(
         return loss, (q, out, var_est)
 
     if use_pallas:
-        if cfg.sps != 2 or cfg.m_est % 2 == 0:
-            raise ValueError("use_pallas requires sps=2 and odd M_est")
         from ..ops.elbo_kernel import vae_dp_loss_and_grad_pallas
 
     def frame_step(carry, key, theta):

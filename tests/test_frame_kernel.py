@@ -168,3 +168,39 @@ def test_train_vae_dp_frame_path_matches_step_path(monkeypatch):
     np.testing.assert_allclose(
         res_frame["params"]["w"], res_step["params"]["w"], rtol=5e-3, atol=5e-6
     )
+
+
+def test_train_vae_flex_dp_frame_path_matches_step_path(monkeypatch):
+    """VAEflex use_pallas="frame" (overlapping windows via stride_sym)
+    reproduces the per-window step path in interpret mode."""
+    import vae_equalizer_tpu.ops.elbo_kernel as ek
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+    from vae_equalizer_tpu.train.dp import train_vae_flex_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    orig_f = fk.vae_dp_frame_train_pallas
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas",
+        lambda *a, **k: orig_f(*a, **{**k, "interpret": True}),
+    )
+    orig_s = ek.vae_dp_loss_and_grad_pallas
+    monkeypatch.setattr(
+        ek, "vae_dp_loss_and_grad_pallas",
+        lambda *a, **k: orig_s(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = DpConfig(
+        mod="4-QAM", num_frames=2, n_frame_max=200, batch_len=40,
+        flex_step=20, n_lrhalf=10**6,
+    )
+    key = jax.random.PRNGKey(5)
+    res_frame = train_vae_flex_dp(cfg, key, use_pallas="frame")
+    res_step = train_vae_flex_dp(cfg, key, use_pallas=True)
+
+    np.testing.assert_allclose(res_frame["ser"], res_step["ser"], atol=1e-6)
+    np.testing.assert_allclose(res_frame["mi"], res_step["mi"], rtol=1e-4)
+    # 16 Adam steps of reduction-order drift; a window-alignment bug would
+    # already have broken the SER/MI equality above
+    np.testing.assert_allclose(
+        res_frame["params"]["w"], res_step["params"]["w"], rtol=5e-3, atol=1e-4
+    )

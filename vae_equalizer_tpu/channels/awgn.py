@@ -64,8 +64,10 @@ def make_awgn_simulator(
     """
     pulse_fn = rrcfir if pulse == "rrc" else rcfir
     h_pulse_re = pulse_fn(PULSE_T, sps, PULSE_BETA)
-    h_pulse = jnp.asarray(np.stack([h_pulse_re, np.zeros_like(h_pulse_re)]))
-    h_chan = jnp.asarray(np.stack([h_channel_up.real, h_channel_up.imag]).astype(np.float32))
+    # pulse and channel IR fused into one kernel (conv associativity):
+    # (x * h_pulse) * h_chan == x * (h_pulse * h_chan) — halves the conv work
+    h_comb_c = np.convolve(h_pulse_re.astype(np.complex64), h_channel_up)
+    h_comb = jnp.asarray(np.stack([h_comb_c.real, h_comb_c.imag]).astype(np.float32))
 
     amps = jnp.asarray(const.amps)
     P = jnp.asarray(const.P, dtype=jnp.float32)
@@ -78,9 +80,12 @@ def make_awgn_simulator(
         k_sym, k_noise = jax.random.split(key)
         # (2, n_conv) independent I/Q amplitude draws from the MB pmf
         data = sample_levels(k_sym, amps, P, (2, n_conv))
-        tx_up = jnp.zeros((2, up_len), jnp.float32).at[:, ::sps].set(data)
-        rx = cplx.conv_valid(tx_up, h_pulse)
-        rx = cplx.conv_valid(rx, h_chan)
+        # zero-insertion upsample as interleave+reshape (a strided scatter
+        # costs ~0.1 ms/frame on TPU)
+        tx_up = jnp.concatenate(
+            [data[..., None], jnp.zeros((2, n_conv, sps - 1), jnp.float32)], -1
+        ).reshape(2, n_conv * sps)[:, :up_len]
+        rx = cplx.conv_valid(tx_up, h_comb)
         if fixed_noise:
             sigma = jnp.float32(np.sqrt(1 / 2) / 10 ** (snr_db / 20))
         else:

@@ -86,10 +86,10 @@ def make_dp_simulator(
     """
     pol = 2
     h_pulse_re = rrcfir(PULSE_T, sps, PULSE_BETA)
-    h_pulse = jnp.asarray(np.stack([h_pulse_re, np.zeros_like(h_pulse_re)]))
-    h_chan = jnp.asarray(
-        np.stack([h_channel_up.real, h_channel_up.imag]).astype(np.float32)
-    )
+    # pulse and extra ISI IR fused into one kernel (conv associativity):
+    # (x * h_pulse) * h_chan == x * (h_pulse * h_chan) — halves the conv work
+    h_comb_c = np.convolve(h_pulse_re.astype(np.complex64), h_channel_up)
+    h_comb = jnp.asarray(np.stack([h_comb_c.real, h_comb_c.imag]).astype(np.float32))
 
     amps = jnp.asarray(const.amps)
     P = jnp.asarray(const.P, dtype=jnp.float32)
@@ -122,18 +122,15 @@ def make_dp_simulator(
         # 4 independent amplitude streams: (pol*2, n_conv) like the reference's
         # rng.choice(amps, (pol*2, N_conv), p=P)
         data = sample_levels(k_sym, amps, P, (pol * 2, n_conv))
-        # (pol, 2, up_len) zero-inserted upsampling
-        tx_up = (
-            jnp.zeros((pol, 2, up_len), jnp.float32)
-            .at[:, 0, ::sps].set(data[0::pol])
-            .at[:, 1, ::sps].set(data[1::pol])
-        )
+        # (pol, 2, up_len) zero-inserted upsampling as interleave+reshape
+        # (a strided scatter costs ~0.1 ms/frame on TPU); data row = pol*2+c
+        d4 = data.reshape(pol, 2, n_conv)
+        tx_up = jnp.concatenate(
+            [d4[..., None], jnp.zeros((pol, 2, n_conv, sps - 1), jnp.float32)], -1
+        ).reshape(pol, 2, n_conv * sps)[..., :up_len]
 
-        # per-pol pulse shaping + extra ISI IR ('valid' convs, real planes)
-        def conv_pol(xp):
-            return cplx.conv_valid(cplx.conv_valid(xp, h_pulse), h_chan)
-
-        sig = jax.vmap(conv_pol)(tx_up)  # (pol, 2, sig_len) float32
+        # per-pol fused pulse+ISI shaping ('valid' conv, real planes)
+        sig = jax.vmap(lambda xp: cplx.conv_valid(xp, h_comb))(tx_up)  # (pol, 2, sig_len)
 
         # frequency-domain CD + PMD + rotation + IQ shift; complex64 exists
         # only inside this block (device-internal)

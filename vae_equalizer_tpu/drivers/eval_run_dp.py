@@ -95,7 +95,7 @@ def main(argv=None):
         compiled=args.compiled, **sweep_resume_kwargs(args),
         runner_kwargs={
             **({"use_pallas": True} if args.pallas and args.loss_type in ("VAE", "VAEflex") else {}),
-            **({"use_pallas": "frame"} if args.pallas_frame and args.loss_type == "VAE" else {}),
+            **({"use_pallas": "frame"} if args.pallas_frame and args.loss_type in ("VAE", "VAEflex") else {}),
             **({"chunk_frames": args.frames_per_call} if args.frames_per_call > 1 else {}),
         } or None,
     )

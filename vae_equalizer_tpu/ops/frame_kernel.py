@@ -365,10 +365,10 @@ def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
     return out.at[:, 1::2].set(hpm[:, mhe:])
 
 
-@functools.partial(jax.jit, static_argnames=("bl_sym", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bl_sym", "stride_sym", "interpret"))
 def vae_dp_frame_train_pallas(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
-    *, bl_sym: int, interpret: bool = False,
+    *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
 ):
     """Run one frame's FULL online training (all minibatches + Adam) fused.
 
@@ -378,6 +378,12 @@ def vae_dp_frame_train_pallas(
     index of the frame's first minibatch, so the lr schedule and bias
     correction continue across frames). sps=2, odd M only.
 
+    ``stride_sym`` (default bl_sym = non-overlapping) sets the window
+    stride: the VAEflex overlapping-window scheme trains on
+    ``(Nsym - bl_sym) // stride`` windows starting every ``stride`` symbols
+    (func_VAEflex_DP_MQAM_shaping.py:59-70); requires bl_sym % stride == 0
+    (windows assemble from reshaped chunks — a gather would be slow).
+
     Returns (w', h', opt', losses (m_max,), var_est (m_max, 2),
     q (m_max, 2, 2*n_lev, bl_sym), out (m_max, 2, 2, bl_sym)) — exactly the
     per-frame quantities of the lax.scan step path in train/dp.py.
@@ -386,7 +392,6 @@ def vae_dp_frame_train_pallas(
     assert m % 2 == 1, "odd tap count only"
     n_sym = bl_sym
     n_samp_mb = 2 * bl_sym
-    m_max = rx.shape[-1] // n_samp_mb
     n_lev = amps.shape[0]
     mh = m // 2
     mhe = mh + 1
@@ -394,9 +399,23 @@ def vae_dp_frame_train_pallas(
     # per-minibatch im2col arrangements: X[(i*M + k), n] = xpad[i, 2n + k]
     # (the polyphase identity xph[p, i, j] = xpad[i, 2j + p] of the step
     # kernel, flattened over taps), vectorized over minibatches
-    rx_mb = jnp.moveaxis(
-        rx[:, :, : m_max * n_samp_mb].reshape(2, 2, m_max, n_samp_mb), 2, 0
-    )  # (m_max, 2, 2, Nsamp_mb)
+    if stride_sym is None or stride_sym == bl_sym:
+        m_max = rx.shape[-1] // n_samp_mb
+        rx_mb = jnp.moveaxis(
+            rx[:, :, : m_max * n_samp_mb].reshape(2, 2, m_max, n_samp_mb), 2, 0
+        )  # (m_max, 2, 2, Nsamp_mb)
+    else:
+        fs = stride_sym
+        assert bl_sym % fs == 0, "window length must be a multiple of the stride"
+        k_ch = bl_sym // fs  # chunks per window
+        n_sym_tot = rx.shape[-1] // 2
+        n_ch = n_sym_tot // fs
+        m_max = (n_sym_tot - bl_sym) // fs  # reference's n_windows
+        ch = rx[:, :, : n_ch * 2 * fs].reshape(2, 2, n_ch, 2 * fs)
+        wins = jnp.stack(
+            [ch[:, :, i : i + m_max] for i in range(k_ch)], axis=-2
+        )  # (2, 2, m_max, k_ch, 2*fs): window w = chunks w..w+k_ch-1
+        rx_mb = jnp.moveaxis(wins.reshape(2, 2, m_max, n_samp_mb), 2, 0)
 
     def arrange(x):
         x_i = jnp.concatenate([x[:, 0, :], -x[:, 1, :]])

@@ -282,6 +282,7 @@ def train_vae_flex_dp(
     use_pallas: bool = False,
     checkpoint=None,
     checkpoint_every: int = 0,
+    timings: dict | None = None,
     chunk_frames: int = 1,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
@@ -291,7 +292,9 @@ def train_vae_flex_dp(
     the recorded output stream. ``use_pallas=True`` computes each window's
     loss and gradients with the same fused in-VMEM kernel as train_vae_dp
     (the flex window is the identical butterfly+ELBO at a different stride);
-    requires sps=2 and odd M.
+    ``use_pallas="frame"`` runs all windows + Adam as one MXU kernel call
+    per frame (ops/frame_kernel.py with ``stride_sym=flex_step``). Both
+    require sps=2 and odd M.
     """
     m_max0 = cfg.n_frame_max // cfg.batch_len
     n_frame = m_max0 * cfg.batch_len
@@ -303,6 +306,46 @@ def train_vae_flex_dp(
     crop0 = (cfg.batch_len - m_step) // 2
 
     params = params_init or {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    if use_pallas and (cfg.sps != 2 or cfg.m_est % 2 == 0):
+        raise ValueError("use_pallas requires sps=2 and odd M_est")
+
+    if use_pallas == "frame":
+        from ..ops.frame_kernel import vae_dp_frame_train_pallas
+
+        thresh = float(cfg.n_lrhalf) * n_windows
+        opt0 = {
+            "mw": jnp.zeros_like(params["w"]), "vw": jnp.zeros_like(params["w"]),
+            "mh": jnp.zeros_like(params["h"]), "vh": jnp.zeros_like(params["h"]),
+        }
+        carry = (params, opt0, jnp.int32(0))
+        if runs is not None:
+            carry = shard_runs(broadcast_runs(carry, runs), mesh)
+
+        def frame_step(carry, key, theta):
+            params, opt, count = carry
+            rx, tx_full, sigma = gen(key, theta)
+            tx = jax.lax.dynamic_slice_in_dim(tx_full, cfg.batch_len // 2, m_max, 2)
+            w, h, opt, losses, var_est, q_mb, out_mb = vae_dp_frame_train_pallas(
+                params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
+                jnp.float32(cfg.lr), count.astype(jnp.float32),
+                jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=m_step,
+            )
+            q_c = q_mb[..., crop0 : crop0 + m_step]
+            out_c = out_mb[..., crop0 : crop0 + m_step]
+            packed = _finish_vae_frame(
+                losses, q_c, out_c, var_est, tx, const, amps, P, var,
+                lambda s0, ms: margin_weight_maxshift(m_max, ms), sigma,
+            )
+            return ({"w": w, "h": h}, opt, count + n_windows), packed
+
+        (params, _, _), hist = run_frame_loop(
+            frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
+            runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
+            checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
+        )
+        prefix = () if runs is None else (runs,)
+        return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
+
     opt = _vae_optimizer(cfg, n_windows)
     carry = init_carry(params, opt, runs, mesh)
 
@@ -312,8 +355,6 @@ def train_vae_flex_dp(
         return loss, (q, out, var_est)
 
     if use_pallas:
-        if cfg.sps != 2 or cfg.m_est % 2 == 0:
-            raise ValueError("use_pallas requires sps=2 and odd M_est")
         from ..ops.elbo_kernel import vae_dp_loss_and_grad_pallas
 
     def frame_step(carry, key, theta):
@@ -349,7 +390,7 @@ def train_vae_flex_dp(
     (params, _), hist = run_frame_loop(
         frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
         runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
-        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, params=params)

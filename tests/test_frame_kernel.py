@@ -18,7 +18,7 @@ from vae_equalizer_tpu.core import make_constellation
 from vae_equalizer_tpu.core.constellation import demapper_noise_var
 from vae_equalizer_tpu.models import butterfly_init, dirac_taps_dp
 from vae_equalizer_tpu.ops.elbo_kernel import vae_dp_loss_and_grad_pallas
-from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas
+from vae_equalizer_tpu.ops.frame_kernel import frame_opt_init, vae_dp_frame_train_pallas
 
 M = 25
 BL = 50  # symbols per minibatch
@@ -78,10 +78,7 @@ def test_frame_kernel_matches_step_loop(mod):
     const, amps, P, var, w, h, rx = _setup(mod)
     thresh = 10**9  # no halving
 
-    opt0 = {
-        "mw": jnp.zeros_like(w), "vw": jnp.zeros_like(w),
-        "mh": jnp.zeros_like(h), "vh": jnp.zeros_like(h),
-    }
+    opt0 = frame_opt_init({"w": w, "h": h})
     w1, h1, opt1, losses, var_est, q, out = vae_dp_frame_train_pallas(
         w, h, opt0, rx, amps, var, const.nu_sc, P,
         jnp.float32(LR), jnp.float32(0.0), jnp.float32(thresh),
@@ -107,10 +104,7 @@ def test_frame_kernel_multi_frame_lr_halving():
     const, amps, P, var, w, h, rx = _setup("4-QAM")
     thresh = 4  # halves the net lr at global step 4 (second frame, step 1)
 
-    opt_k = {
-        "mw": jnp.zeros_like(w), "vw": jnp.zeros_like(w),
-        "mh": jnp.zeros_like(h), "vh": jnp.zeros_like(h),
-    }
+    opt_k = frame_opt_init({"w": w, "h": h})
     wk, hk = w, h
     losses_all = []
     for frame in range(2):

@@ -135,3 +135,33 @@ def test_ser_symb_siso_golden(golden):
     g = golden("ser_symb")
     got = ser_symb_siso(jnp.asarray(g["rx"]), jnp.asarray(g["tx"]), jnp.asarray(g["amps"]), 2)
     np.testing.assert_allclose(float(got), g["ser"], atol=1e-6)
+
+
+def test_decode_levels_exact_all_mods():
+    """The level inverse map must be exact for every supported QAM size —
+    the old (L-1)/2-scale form only rounded correctly up to 64-QAM."""
+    from vae_equalizer_tpu.core import make_constellation
+    from vae_equalizer_tpu.metrics.ser import _decode_levels
+
+    for mod in ("4-QAM", "16-QAM", "64-QAM", "256-QAM"):
+        c = make_constellation(mod, 0.0)
+        idx = np.asarray(_decode_levels(jnp.asarray(c.amps), len(c.amps)))
+        np.testing.assert_array_equal(idx, np.arange(len(c.amps)), err_msg=mod)
+
+
+def test_ser_constell_shaping_nonfinite_is_error():
+    """NaN/Inf equalizer output must count as a symbol error (a diverged run
+    reports SER ~1, not 'decoded as the lowest level')."""
+    from vae_equalizer_tpu.core import make_constellation
+    from vae_equalizer_tpu.core.constellation import demapper_noise_var
+
+    c = make_constellation("64-QAM", 0.0)
+    amps = jnp.asarray(c.amps)
+    var = jnp.full((2,), demapper_noise_var(c, 23.0), jnp.float32)
+    rng = np.random.default_rng(0)
+    tx = np.asarray(c.amps)[rng.integers(0, 8, size=(2, 2, 500))].astype(np.float32)
+    ser_clean = ser_constell_shaping(jnp.asarray(tx), jnp.asarray(tx), amps, c.nu_sc, var)
+    assert np.all(np.asarray(ser_clean) < 1e-6)
+    rx_bad = np.full_like(tx, np.nan)
+    ser_nan = ser_constell_shaping(jnp.asarray(rx_bad), jnp.asarray(tx), amps, c.nu_sc, var)
+    assert np.all(np.asarray(ser_nan) == 1.0), ser_nan

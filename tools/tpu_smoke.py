@@ -197,13 +197,10 @@ def main():
                (3, 5e-4, 2e-6), (4, 2e-4, 2e-6)],  # loss, gw, gh, q, out
     )
 
-    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas
+    from vae_equalizer_tpu.ops.frame_kernel import frame_opt_init, vae_dp_frame_train_pallas
 
     rx_fr = rng.normal(size=(2, 2, 600)).astype(np.float32) * 0.5  # 3 minibatches
-    opt0_np = {
-        "mw": np.zeros_like(w_p), "vw": np.zeros_like(w_p),
-        "mh": np.zeros_like(h_p), "vh": np.zeros_like(h_p),
-    }
+    opt0_np = {k: np.asarray(v) for k, v in frame_opt_init({"w": w_p, "h": h_p}).items()}
 
     def frame_kernel_run(interpret):
         return vae_dp_frame_train_pallas(

@@ -45,6 +45,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.pallas and args.pallas_frame:
         p.error("--pallas and --pallas-frame are mutually exclusive")
+    if args.pallas_frame and args.loss_type not in ("VAE", "VAEflex"):
+        p.error(f"--pallas-frame supports VAE/VAEflex, not {args.loss_type}")
+    if args.pallas and args.loss_type not in ("VAE", "VAEflex", "CMA"):
+        p.error(f"--pallas supports VAE/VAEflex/CMA, not {args.loss_type}")
 
     iters = args.iters or 5
     if args.quick:
@@ -94,7 +98,7 @@ def main(argv=None):
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, **sweep_resume_kwargs(args),
         runner_kwargs={
-            **({"use_pallas": True} if args.pallas and args.loss_type in ("VAE", "VAEflex") else {}),
+            **({"use_pallas": True} if args.pallas and args.loss_type in ("VAE", "VAEflex", "CMA") else {}),
             **({"use_pallas": "frame"} if args.pallas_frame and args.loss_type in ("VAE", "VAEflex") else {}),
             **({"chunk_frames": args.frames_per_call} if args.frames_per_call > 1 else {}),
         } or None,

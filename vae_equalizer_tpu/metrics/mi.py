@@ -24,14 +24,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .ser import _decode_levels
+
 __all__ = ["mutual_information", "mutual_information_ambiguity"]
 
 
 def _onehot_levels(tx: jnp.ndarray, num_lev: int) -> jnp.ndarray:
     """tx (..., 2, N) amplitude levels -> one-hot (..., 2, num_lev, N)."""
-    scale = (num_lev - 1) / 2
-    idx = jnp.round(scale * tx.astype(jnp.float32) + scale)
-    lev = jnp.arange(num_lev, dtype=jnp.float32)
+    idx = _decode_levels(tx, num_lev)  # shared exact inverse level map
+    lev = jnp.arange(num_lev, dtype=jnp.int32)
     return (idx[..., None, :] == lev[(None,) * (idx.ndim - 1) + (slice(None), None)]).astype(
         jnp.float32
     )

@@ -18,6 +18,8 @@ TPU-first design choices vs. the reference:
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 __all__ = [
@@ -38,9 +40,15 @@ def _wmean(err: jnp.ndarray, weight: jnp.ndarray | None, axis) -> jnp.ndarray:
 
 
 def _decode_levels(tx: jnp.ndarray, num_lev: int) -> jnp.ndarray:
-    """Map normalized amplitude levels to integer indices 0..num_lev-1."""
-    scale = (num_lev - 1) / 2
-    return jnp.round(scale * tx.astype(jnp.float32) + scale).astype(jnp.int32)
+    """Map normalized amplitude levels to integer indices 0..num_lev-1.
+
+    Levels are the odd integers +-1..+-(L-1) scaled to unit 2D power, so
+    level i sits at (2i - (L-1)) / sqrt(2(L^2-1)/3) exactly — the
+    inverse map is exact for every L (a plain (L-1)/2 * tx + (L-1)/2 only
+    rounds correctly up to L = 8 / 64-QAM)."""
+    half = (num_lev - 1) / 2
+    inv_step = math.sqrt((num_lev**2 - 1) / 6)  # 1 / level spacing / 2
+    return jnp.round(inv_step * tx.astype(jnp.float32) + half).astype(jnp.int32)
 
 
 def _phase_variants(dec: jnp.ndarray, num_lev: int, comp_axis: int) -> jnp.ndarray:
@@ -200,6 +208,11 @@ def ser_constell_shaping(
     dec = jnp.zeros(rx_variants.shape, jnp.int32)
     for lev in range(num_lev - 1):
         dec = dec + (rx_variants >= d_vec[lev]).astype(jnp.int32)
-    err = jnp.any(dec[:, None] != both_data[None], axis=3)  # (4, 2flip, 2pol, N)
+    # non-finite equalizer output must always count as an error (compares
+    # against boundaries are all False for NaN, which would otherwise decode
+    # it as the lowest level — a diverged run must report SER ~= 1, like the
+    # reference's in-bounds check)
+    bad = ~jnp.isfinite(rx_variants)
+    err = jnp.any((dec[:, None] != both_data[None]) | bad[:, None], axis=3)  # (4, 2flip, 2pol, N)
     ser = _wmean(err, weight, axis=-1)
     return jnp.min(ser, axis=(0, 1))

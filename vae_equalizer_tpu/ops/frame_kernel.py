@@ -59,7 +59,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["vae_dp_frame_train_pallas"]
+__all__ = ["frame_opt_init", "vae_dp_frame_train_pallas"]
+
+
+def frame_opt_init(params) -> dict:
+    """Zero Adam moments for the frame kernel's optimizer state.
+
+    params: {"w": (2,4,M), "h": (2,2,2,M)} -> {"mw","vw","mh","vh"} zeros of
+    the matching shapes (the kernel carries them across frames; equivalent to
+    optax.adam's init for the same parameters).
+    """
+    return {
+        "mw": jnp.zeros_like(params["w"]), "vw": jnp.zeros_like(params["w"]),
+        "mh": jnp.zeros_like(params["h"]), "vh": jnp.zeros_like(params["h"]),
+    }
 
 _B1 = 0.9
 _B2 = 0.999

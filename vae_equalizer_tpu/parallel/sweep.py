@@ -134,9 +134,15 @@ def run_sweep(
         state_file = None
         if checkpoint_every and "checkpoint" in runner_params:
             # config hash in the name: a state file can only ever be resumed
-            # by the identical grid point of the identical experiment
+            # by the identical grid point of the identical experiment.
+            # runner_kwargs are part of the identity: use_pallas="frame"
+            # changes the carry pytree, so resuming across a mode toggle
+            # would positionally load incompatible leaves.
             h = hashlib.sha1(
-                json.dumps((cfg_json(cfg), iters), sort_keys=True).encode()
+                json.dumps(
+                    (cfg_json(cfg), iters, runner_kwargs or {}),
+                    sort_keys=True, default=str,
+                ).encode()
             ).hexdigest()[:10]
             state_file = out_dir / f"state_{tag}_{'_'.join(map(str, coord))}_{h}.npz"
             if not skip_done and state_file.exists():

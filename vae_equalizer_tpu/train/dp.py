@@ -188,14 +188,10 @@ def train_vae_dp(
         raise ValueError("use_pallas requires sps=2 and odd M_est")
 
     if use_pallas == "frame":
-        from ..ops.frame_kernel import vae_dp_frame_train_pallas
+        from ..ops.frame_kernel import frame_opt_init, vae_dp_frame_train_pallas
 
         thresh = float(cfg.n_lrhalf) * m_max
-        opt0 = {
-            "mw": jnp.zeros_like(params["w"]), "vw": jnp.zeros_like(params["w"]),
-            "mh": jnp.zeros_like(params["h"]), "vh": jnp.zeros_like(params["h"]),
-        }
-        carry = (params, opt0, jnp.int32(0))
+        carry = (params, frame_opt_init(params), jnp.int32(0))
         if runs is not None:
             carry = shard_runs(broadcast_runs(carry, runs), mesh)
 
@@ -310,14 +306,10 @@ def train_vae_flex_dp(
         raise ValueError("use_pallas requires sps=2 and odd M_est")
 
     if use_pallas == "frame":
-        from ..ops.frame_kernel import vae_dp_frame_train_pallas
+        from ..ops.frame_kernel import frame_opt_init, vae_dp_frame_train_pallas
 
         thresh = float(cfg.n_lrhalf) * n_windows
-        opt0 = {
-            "mw": jnp.zeros_like(params["w"]), "vw": jnp.zeros_like(params["w"]),
-            "mh": jnp.zeros_like(params["h"]), "vh": jnp.zeros_like(params["h"]),
-        }
-        carry = (params, opt0, jnp.int32(0))
+        carry = (params, frame_opt_init(params), jnp.int32(0))
         if runs is not None:
             carry = shard_runs(broadcast_runs(carry, runs), mesh)
 

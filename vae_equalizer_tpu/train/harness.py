@@ -78,6 +78,16 @@ def _save_state(path: pathlib.Path, frame: int, carry, hist: dict) -> None:
 def _load_state(path: pathlib.Path, carry, hist: dict):
     d = np.load(path)
     leaves, treedef = jax.tree.flatten(carry)
+    saved = [k for k in d.files if k.startswith("leaf_")]
+    if len(saved) != len(leaves) or any(
+        d[f"leaf_{i:04d}"].shape != tuple(l.shape) for i, l in enumerate(leaves)
+    ):
+        raise ValueError(
+            f"checkpoint {path} holds {len(saved)} training-state leaves that "
+            f"do not match this runner's carry ({len(leaves)} leaves) — it was "
+            "written by a different runner mode (e.g. use_pallas toggled) or "
+            "configuration; delete it or rerun with the original settings"
+        )
     carry = jax.tree.unflatten(
         treedef,
         [jnp.asarray(d[f"leaf_{i:04d}"], l.dtype) for i, l in enumerate(leaves)],

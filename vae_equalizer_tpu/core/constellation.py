@@ -133,13 +133,26 @@ def sample_levels(key, amps, P, shape) -> "jax.Array":
     2.5 ms per (4, 10033) draw inside a compiled frame scan on v5e — choice's
     trailing level axis and index gather both hit pathological TPU layouts.
     Replaces the reference's host-side ``rng.choice`` (shared_funcs.py:75).
+
+    The CDF is precomputed with NumPy when amps/P are concrete (the usual
+    case — they're setup-time constants): a ``jnp.cumsum`` on a closed-over
+    constant makes jax's LOWERING evaluate that constant subgraph on the
+    backend, which on the axon tunnel stalls the first lowering of every
+    containing program by minutes (measured 80-640 s; host-side constants
+    lower in ~0.1 s).
     """
     import jax as _jax
     import jax.numpy as _jnp
 
-    cum = _jnp.cumsum(P)
+    try:  # concrete inputs: build the per-level constants on the host
+        amps_h = np.asarray(amps)
+        cum = np.cumsum(np.asarray(P, dtype=np.float32))
+        steps = np.diff(amps_h)
+    except Exception:  # traced inputs: stay in the graph
+        amps_h, cum = amps, _jnp.cumsum(P)
+        steps = amps[1:] - amps[:-1]
     u = _jax.random.uniform(key, shape)
-    a = _jnp.full(shape, amps[0], _jnp.result_type(amps))
+    a = _jnp.full(shape, amps_h[0], _jnp.result_type(amps))
     for lev in range(1, amps.shape[0]):
-        a = a + _jnp.where(u >= cum[lev - 1], amps[lev] - amps[lev - 1], 0.0)
+        a = a + _jnp.where(u >= cum[lev - 1], steps[lev - 1], 0.0)
     return a

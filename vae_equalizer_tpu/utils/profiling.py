@@ -41,10 +41,16 @@ def timed(fn, *args, warmup: int = 1, reps: int = 5, **kwargs):
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache (big win on this backend:
-    remote compiles take 30-90 s and are fully reusable across processes)."""
+    remote compiles take 30-90 s and are fully reusable across processes).
+
+    min_compile_time_secs=0: EVERY compile is persisted. On the axon tunnel
+    even a trivial eager op (convert_element_type, threefry_seed, ...)
+    costs a ~0.4 s remote compile, and a cold experiment setup triggers
+    hundreds of them — measured ~455 s of tracing stalls per fresh process
+    when sub-second compiles were excluded from the cache."""
     import pathlib as _pl
 
     cache = path or str(_pl.Path.home() / ".cache" / "vae_equalizer_tpu" / "xla")
     _pl.Path(cache).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -127,14 +127,10 @@ def test_frame_kernel_multi_frame_lr_halving():
     np.testing.assert_allclose(hk, params_ref["h"], rtol=5e-4, atol=5e-7)
 
 
-def test_train_vae_dp_frame_path_matches_step_path(monkeypatch):
-    """use_pallas="frame" reproduces the use_pallas=True experiment
-    (interpret mode, tiny config): same losses/SER trajectory up to matmul
-    precision, optimizer state carried correctly across frames."""
+def _interpret_kernels(monkeypatch):
+    """Force both fused kernels into interpret mode (CPU test backend)."""
     import vae_equalizer_tpu.ops.elbo_kernel as ek
     import vae_equalizer_tpu.ops.frame_kernel as fk
-    from vae_equalizer_tpu.train.dp import train_vae_dp
-    from vae_equalizer_tpu.utils.config import DpConfig
 
     orig_f = fk.vae_dp_frame_train_pallas
     monkeypatch.setattr(
@@ -146,6 +142,16 @@ def test_train_vae_dp_frame_path_matches_step_path(monkeypatch):
         ek, "vae_dp_loss_and_grad_pallas",
         lambda *a, **k: orig_s(*a, **{**k, "interpret": True}),
     )
+
+
+def test_train_vae_dp_frame_path_matches_step_path(monkeypatch):
+    """use_pallas="frame" reproduces the use_pallas=True experiment
+    (interpret mode, tiny config): same losses/SER trajectory up to matmul
+    precision, optimizer state carried correctly across frames."""
+    from vae_equalizer_tpu.train.dp import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    _interpret_kernels(monkeypatch)
 
     cfg = DpConfig(
         mod="4-QAM", num_frames=2, n_frame_max=200, batch_len=50,
@@ -167,21 +173,10 @@ def test_train_vae_dp_frame_path_matches_step_path(monkeypatch):
 def test_train_vae_flex_dp_frame_path_matches_step_path(monkeypatch):
     """VAEflex use_pallas="frame" (overlapping windows via stride_sym)
     reproduces the per-window step path in interpret mode."""
-    import vae_equalizer_tpu.ops.elbo_kernel as ek
-    import vae_equalizer_tpu.ops.frame_kernel as fk
     from vae_equalizer_tpu.train.dp import train_vae_flex_dp
     from vae_equalizer_tpu.utils.config import DpConfig
 
-    orig_f = fk.vae_dp_frame_train_pallas
-    monkeypatch.setattr(
-        fk, "vae_dp_frame_train_pallas",
-        lambda *a, **k: orig_f(*a, **{**k, "interpret": True}),
-    )
-    orig_s = ek.vae_dp_loss_and_grad_pallas
-    monkeypatch.setattr(
-        ek, "vae_dp_loss_and_grad_pallas",
-        lambda *a, **k: orig_s(*a, **{**k, "interpret": True}),
-    )
+    _interpret_kernels(monkeypatch)
 
     cfg = DpConfig(
         mod="4-QAM", num_frames=2, n_frame_max=200, batch_len=40,

@@ -83,8 +83,14 @@ class Constellation:
 
     @property
     def scale(self) -> float:
-        """Integer-decode scale: level index = round(scale*a_norm + scale)."""
-        return (self.num_lev - 1) / 2
+        """Exact integer-decode scale: index = round(scale*a_norm + (L-1)/2).
+
+        Levels are odd integers scaled to unit 2D power, so the inverse
+        spacing is sqrt((L^2-1)/6) exactly — NOT (L-1)/2, which only rounds
+        correctly up to L=8 (see metrics/ser.py _decode_levels)."""
+        import math
+
+        return math.sqrt((self.num_lev**2 - 1) / 6)
 
 
 def make_constellation(mod: str, nu: float = 0.0) -> Constellation:

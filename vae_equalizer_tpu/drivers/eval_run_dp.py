@@ -33,8 +33,8 @@ def main(argv=None):
                    help="fused exact-f32 train-step kernel (VAE, sps=2, odd M)")
     p.add_argument("--pallas-frame", action="store_true",
                    help="whole-frame fused train kernel: all minibatch steps "
-                        "+ Adam in one MXU-based pallas call (VAE only; "
-                        "~3.5x the per-step scan on v5e)")
+                        "+ Adam in one MXU-based pallas call (VAE/VAEflex, "
+                        "sps=2, odd M; ~5-10x the per-step scan on v5e)")
     p.add_argument("--frames-per-call", type=int, default=1, metavar="K",
                    help="run K frames per device call (one lax.scan): cuts "
                         "the per-call host/tunnel latency K-fold while "
@@ -47,6 +47,11 @@ def main(argv=None):
         p.error("--pallas and --pallas-frame are mutually exclusive")
     if args.pallas_frame and args.loss_type not in ("VAE", "VAEflex"):
         p.error(f"--pallas-frame supports VAE/VAEflex, not {args.loss_type}")
+    if args.pallas_frame and args.loss_type == "VAEflex" and any(
+        b % f for b in args.batch_len for f in args.flex_step
+    ):
+        p.error("--pallas-frame (VAEflex) needs batch-len divisible by "
+                "flex-step (windows assemble from reshaped chunks)")
     if args.pallas and args.loss_type not in ("VAE", "VAEflex", "CMA"):
         p.error(f"--pallas supports VAE/VAEflex/CMA, not {args.loss_type}")
 

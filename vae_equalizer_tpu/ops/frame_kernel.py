@@ -367,7 +367,7 @@ def _support_masks(m: int, n_sym: int):
     return mask[:, 0::2], mask[:, 1::2]
 
 
-def _to_parity_major(h8: jnp.ndarray, mhe: int) -> jnp.ndarray:
+def _to_parity_major(h8: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([h8[:, 0::2], h8[:, 1::2]], axis=1)
 
 
@@ -451,11 +451,11 @@ def vae_dp_frame_train_pallas(
     mask_o = jnp.asarray(mask_o)
 
     w2 = w.reshape(2, 4 * m)
-    h8 = _to_parity_major(h.reshape(8, m), mhe)
+    h8 = _to_parity_major(h.reshape(8, m))
     mw2 = opt["mw"].reshape(2, 4 * m)
     vw2 = opt["vw"].reshape(2, 4 * m)
-    mh8 = _to_parity_major(opt["mh"].reshape(8, m), mhe)
-    vh8 = _to_parity_major(opt["vh"].reshape(8, m), mhe)
+    mh8 = _to_parity_major(opt["mh"].reshape(8, m))
+    vh8 = _to_parity_major(opt["vh"].reshape(8, m))
     scal = jnp.stack(
         [var[0], var[1], jnp.float32(nu_sc), jnp.float32(1e-12),
          jnp.float32(lr), jnp.float32(lr_half_step), jnp.float32(step0),

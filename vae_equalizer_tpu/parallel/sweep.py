@@ -117,14 +117,18 @@ def run_sweep(
         if prior:
             jsonl = prior[-1]
             expected = {tuple(c): cfg_json(cf) for c, cf in zip(coords, configs)}
+            # runner_kwargs are part of a record's identity (like the
+            # state-file hash): a point finished with use_pallas="frame"
+            # must not satisfy a resume of the plain path, and vice versa
+            rk_now = io._to_jsonable(runner_kwargs or {})
             for r in io.read_jsonl(jsonl):
                 c = tuple(r["coords"])
-                if expected.get(c) == r.get("config"):
+                if expected.get(c) == r.get("config") and r.get("runner_kwargs", {}) == rk_now:
                     done[c] = r
                     results.append(r)  # finished points feed the .mat
                 else:
-                    print(f"# resume: record at {c} has a different config; re-running",
-                          flush=True)
+                    print(f"# resume: record at {c} has a different config or "
+                          "runner mode; re-running", flush=True)
     for i, (cfg, coord) in enumerate(zip(configs, coords)):
         if tuple(coord) in done:
             continue
@@ -157,6 +161,7 @@ def run_sweep(
         record = {
             "coords": list(coord),
             "config": dataclasses.asdict(cfg),
+            "runner_kwargs": io._to_jsonable(runner_kwargs or {}),
             "wall_s": wall,
             **{m: res[m] for m in ("ser", "mi", "var_est") if m in res},
         }

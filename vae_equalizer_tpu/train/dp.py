@@ -151,6 +151,53 @@ def _dp_result(hist: dict, var, prefix: tuple, num_frames: int, **extra) -> dict
     }
 
 
+def _run_frame_kernel_experiment(
+    cfg, key, gen, const, amps, P, var, *, steps_per_frame, stride_sym,
+    tx_of, weight_fn, params, runs, mesh, progress, compiled, chunk_frames,
+    checkpoint, checkpoint_every, timings,
+):
+    """Shared use_pallas="frame" experiment driver for VAE and VAEflex.
+
+    One fused MXU kernel call per frame (ops/frame_kernel.py); the carry is
+    (params, Adam moments, global step count) so the lr schedule and bias
+    correction continue across frames exactly like the optax paths.
+    tx_of(tx_full) selects the ground truth for the recorded stream;
+    weight_fn(shift0, max_shift) builds the eval mask.
+    """
+    from ..ops.frame_kernel import frame_opt_init, vae_dp_frame_train_pallas
+
+    thresh = float(cfg.n_lrhalf) * steps_per_frame
+    carry = (params, frame_opt_init(params), jnp.int32(0))
+    if runs is not None:
+        carry = shard_runs(broadcast_runs(carry, runs), mesh)
+
+    def frame_step(carry, key, theta):
+        params, opt, count = carry
+        rx, tx_full, sigma = gen(key, theta)
+        w, h, opt, losses, var_est, q_mb, out_mb = vae_dp_frame_train_pallas(
+            params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
+            jnp.float32(cfg.lr), count.astype(jnp.float32),
+            jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
+        )
+        if stride_sym is not None:  # VAEflex: central crop of each window
+            crop0 = (cfg.batch_len - stride_sym) // 2
+            q_mb = q_mb[..., crop0 : crop0 + stride_sym]
+            out_mb = out_mb[..., crop0 : crop0 + stride_sym]
+        packed = _finish_vae_frame(
+            losses, q_mb, out_mb, var_est, tx_of(tx_full), const, amps, P, var,
+            weight_fn, sigma,
+        )
+        return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
+
+    (params, _, _), hist = run_frame_loop(
+        frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
+        runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
+    )
+    prefix = () if runs is None else (runs,)
+    return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
+
+
 def train_vae_dp(
     cfg: DpConfig,
     key: jax.Array,
@@ -188,35 +235,16 @@ def train_vae_dp(
         raise ValueError("use_pallas requires sps=2 and odd M_est")
 
     if use_pallas == "frame":
-        from ..ops.frame_kernel import frame_opt_init, vae_dp_frame_train_pallas
-
-        thresh = float(cfg.n_lrhalf) * m_max
-        carry = (params, frame_opt_init(params), jnp.int32(0))
-        if runs is not None:
-            carry = shard_runs(broadcast_runs(carry, runs), mesh)
-
-        def frame_step(carry, key, theta):
-            params, opt, count = carry
-            rx, tx, sigma = gen(key, theta)
-            w, h, opt, losses, var_est, q_mb, out_mb = vae_dp_frame_train_pallas(
-                params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
-                jnp.float32(cfg.lr), count.astype(jnp.float32),
-                jnp.float32(thresh), bl_sym=cfg.batch_len,
-            )
-            packed = _finish_vae_frame(
-                losses, q_mb, out_mb, var_est, tx, const, amps, P, var,
-                lambda s0, ms: batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut),
-                sigma,
-            )
-            return ({"w": w, "h": h}, opt, count + m_max), packed
-
-        (params, _, _), hist = run_frame_loop(
-            frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
-            runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
-            checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
+        return _run_frame_kernel_experiment(
+            cfg, key, gen, const, amps, P, var, steps_per_frame=m_max,
+            stride_sym=None, tx_of=lambda tx: tx,
+            weight_fn=lambda s0, ms: batch_cut_weight(
+                m_max, cfg.batch_len, s0, ms, cfg.n_cut
+            ),
+            params=params, runs=runs, mesh=mesh, progress=progress,
+            compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
+            checkpoint_every=checkpoint_every, timings=timings,
         )
-        prefix = () if runs is None else (runs,)
-        return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
 
     opt = _vae_optimizer(cfg, m_max)
     carry = init_carry(params, opt, runs, mesh)
@@ -306,37 +334,17 @@ def train_vae_flex_dp(
         raise ValueError("use_pallas requires sps=2 and odd M_est")
 
     if use_pallas == "frame":
-        from ..ops.frame_kernel import frame_opt_init, vae_dp_frame_train_pallas
-
-        thresh = float(cfg.n_lrhalf) * n_windows
-        carry = (params, frame_opt_init(params), jnp.int32(0))
-        if runs is not None:
-            carry = shard_runs(broadcast_runs(carry, runs), mesh)
-
-        def frame_step(carry, key, theta):
-            params, opt, count = carry
-            rx, tx_full, sigma = gen(key, theta)
-            tx = jax.lax.dynamic_slice_in_dim(tx_full, cfg.batch_len // 2, m_max, 2)
-            w, h, opt, losses, var_est, q_mb, out_mb = vae_dp_frame_train_pallas(
-                params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
-                jnp.float32(cfg.lr), count.astype(jnp.float32),
-                jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=m_step,
-            )
-            q_c = q_mb[..., crop0 : crop0 + m_step]
-            out_c = out_mb[..., crop0 : crop0 + m_step]
-            packed = _finish_vae_frame(
-                losses, q_c, out_c, var_est, tx, const, amps, P, var,
-                lambda s0, ms: margin_weight_maxshift(m_max, ms), sigma,
-            )
-            return ({"w": w, "h": h}, opt, count + n_windows), packed
-
-        (params, _, _), hist = run_frame_loop(
-            frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
-            runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
-            checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
+        return _run_frame_kernel_experiment(
+            cfg, key, gen, const, amps, P, var, steps_per_frame=n_windows,
+            stride_sym=m_step,
+            tx_of=lambda tx_full: jax.lax.dynamic_slice_in_dim(
+                tx_full, cfg.batch_len // 2, m_max, 2
+            ),
+            weight_fn=lambda s0, ms: margin_weight_maxshift(m_max, ms),
+            params=params, runs=runs, mesh=mesh, progress=progress,
+            compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
+            checkpoint_every=checkpoint_every, timings=timings,
         )
-        prefix = () if runs is None else (runs,)
-        return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
 
     opt = _vae_optimizer(cfg, n_windows)
     carry = init_carry(params, opt, runs, mesh)

@@ -155,3 +155,55 @@ def test_sweep_resume_mid_grid_and_mid_point(tmp_path):
     ref = assemble_mat(ref_results, axes_values, 2, (4,))
     got = assemble_mat(results, axes_values2, 2, (4,))
     np.testing.assert_allclose(got, ref, atol=1e-7)
+
+
+def test_sweep_resume_rejects_other_runner_mode(tmp_path):
+    """A grid point finished in one runner mode (e.g. plain XLA) must not
+    satisfy a skip_done resume in another (e.g. use_pallas) — the record's
+    runner_kwargs are part of its identity, like the state-file hash."""
+    from vae_equalizer_tpu.parallel.sweep import run_sweep
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    base = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=2, n_frame_max=500)
+    axes = {"lr": [2.5e-3]}
+    key = jax.random.PRNGKey(6)
+    out = tmp_path / "s"
+
+    r1, _, jsonl1 = run_sweep("VAE", base, axes, iters=1, key=key,
+                              out_dir=out, tag="t")
+    assert r1[0]["runner_kwargs"] == {}
+
+    # same grid, same mode -> skipped (resumed from the record)
+    r2, _, jsonl2 = run_sweep("VAE", base, axes, iters=1, key=key,
+                              out_dir=out, tag="t", skip_done=True)
+    assert jsonl2 == jsonl1 and r2[0] is not r1[0] and r2[0]["coords"] == [0]
+    assert r2[0]["wall_s"] == r1[0]["wall_s"]  # not re-run
+
+    # same grid, different runner mode -> re-run, record updated
+    r3, _, _ = run_sweep(
+        "VAE", base, axes, iters=1, key=key, out_dir=out, tag="t",
+        skip_done=True, runner_kwargs={"chunk_frames": 2},
+    )
+    assert r3[0]["runner_kwargs"] == {"chunk_frames": 2}
+    assert r3[0]["wall_s"] != r1[0]["wall_s"]  # actually executed again
+
+
+def test_load_state_rejects_other_carry_structure(tmp_path):
+    """A mid-experiment checkpoint written by a different runner mode (its
+    carry pytree differs) must fail with a clear error, not a positional
+    leaf cast (train/harness.py:_load_state)."""
+    import pytest
+
+    from vae_equalizer_tpu.train.harness import _load_state, _save_state
+
+    carry_a = ({"w": np.zeros((2, 3), np.float32)}, np.zeros((4,), np.float32))
+    carry_b = ({"w": np.zeros((2, 3), np.float32)},
+               np.zeros((4,), np.float32), np.int32(0))
+    hist = {"x": np.zeros(3, np.float32)}
+    path = tmp_path / "state.npz"
+    _save_state(path, 1, carry_a, hist)
+    with pytest.raises(ValueError, match="different runner mode"):
+        _load_state(path, carry_b, dict(hist))
+    # matching structure loads fine
+    frame, carry = _load_state(path, carry_a, dict(hist))
+    assert frame == 1

@@ -15,6 +15,15 @@ def test_eval_run_dp_vaeflex_quick(tmp_path):
     assert len(mats) == 1
     d = sio.loadmat(mats[0], simplify_cells=True)["dict"]
     assert np.all(np.isfinite(np.asarray(d["SER"])))
+    # archive keys are a superset of the reference's save_dict
+    # (Eval_run_DP.py:99-113): Var_est per frame, var_real per point
+    ser = np.asarray(d["SER"])
+    var_est = np.asarray(d["Var_est"])
+    var_real = np.asarray(d["var_real"])
+    assert var_est.shape == (2,) + ser.shape[1:]
+    # loadmat squeezes the trailing length-1 history axis of var_real
+    assert var_real.shape == (2,) + ser.shape[1:-1]
+    assert np.all(np.isfinite(var_est)) and np.all(var_real > 0)
     assert len(list(tmp_path.glob("sweep_*.jsonl"))) == 1
 
 

@@ -45,15 +45,23 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.pallas and args.pallas_frame:
         p.error("--pallas and --pallas-frame are mutually exclusive")
-    if args.pallas_frame and args.loss_type not in ("VAE", "VAEflex"):
-        p.error(f"--pallas-frame supports VAE/VAEflex, not {args.loss_type}")
+    # kernel-path support comes from the runners' own table so the CLI can
+    # never accept a combination the runner would reject (train/modes.py)
+    from ..train.modes import PALLAS_MODES
+
+    if args.pallas_frame and "frame" not in PALLAS_MODES[args.loss_type]:
+        p.error(f"--pallas-frame supports "
+                f"{'/'.join(k for k, v in PALLAS_MODES.items() if 'frame' in v)}, "
+                f"not {args.loss_type}")
     if args.pallas_frame and args.loss_type == "VAEflex" and any(
         b % f for b in args.batch_len for f in args.flex_step
     ):
         p.error("--pallas-frame (VAEflex) needs batch-len divisible by "
                 "flex-step (windows assemble from reshaped chunks)")
-    if args.pallas and args.loss_type not in ("VAE", "VAEflex", "CMA"):
-        p.error(f"--pallas supports VAE/VAEflex/CMA, not {args.loss_type}")
+    if args.pallas and True not in PALLAS_MODES[args.loss_type]:
+        p.error(f"--pallas supports "
+                f"{'/'.join(k for k, v in PALLAS_MODES.items() if True in v)}, "
+                f"not {args.loss_type}")
 
     iters = args.iters or 5
     if args.quick:
@@ -103,14 +111,21 @@ def main(argv=None):
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, **sweep_resume_kwargs(args),
         runner_kwargs={
-            **({"use_pallas": True} if args.pallas and args.loss_type in ("VAE", "VAEflex", "CMA") else {}),
-            **({"use_pallas": "frame"} if args.pallas_frame and args.loss_type in ("VAE", "VAEflex") else {}),
+            **({"use_pallas": True} if args.pallas else {}),
+            **({"use_pallas": "frame"} if args.pallas_frame else {}),
             **({"chunk_frames": args.frames_per_call} if args.frames_per_call > 1 else {}),
         } or None,
     )
     ser = assemble_mat(results, axes_values, iters, (4,))
+    # per-frame noise-variance estimate + the true per-pol variance, in the
+    # reference's archive layout (Eval_run_DP.py:53-54,99-101: Var_est
+    # (2, grid, iter, frames), var_real (2, grid, iter, 1))
+    var_est = assemble_mat(results, axes_values, iters, (2,), key="var_est")
+    var_real = assemble_mat(results, axes_values, iters, (2,), key="var")
     save_results(args.out, f"{args.loss_type}_DP_{args.mod}_N_lrhalf_170_N_train_{args.n_frame_max}", {
         "SER": ser,
+        **({"Var_est": var_est} if var_est is not None else {}),
+        **({"var_real": var_real} if var_real is not None else {}),
         "SNR": args.snr,
         "nu": args.nu,
         "theta_diff": args.theta_diff,

@@ -391,6 +391,15 @@ def vae_dp_frame_train_pallas(
     index of the frame's first minibatch, so the lr schedule and bias
     correction continue across frames). sps=2, odd M only.
 
+    Step-count limit: the global step is carried in-kernel as float32
+    (scal[0,6] + program_id), so past 2**24 total minibatch steps the +1
+    increments are lost and Adam's bias correction / the lr-half compare
+    freeze at their 2**24-step values. The reference workload is 17k steps
+    per experiment (~1000x headroom); at 2**24 steps bc1/bc2 are 1.0 to
+    float32 precision and any reachable lr threshold is long past, so the
+    frozen values equal the exact ones — provided lr_half_step < 2**24
+    (it must stay exactly representable).
+
     ``stride_sym`` (default bl_sym = non-overlapping) sets the window
     stride: the VAEflex overlapping-window scheme trains on
     ``(Nsym - bl_sym) // stride`` windows starting every ``stride`` symbols

@@ -244,6 +244,10 @@ def train_vae_dp_sharded(
 
     Channel generation and eval run as ordinary jit code on the mesh (the
     partitioner places them); only the gradient scan is shard_mapped.
+
+    ``mesh`` defaults to a dp x sp mesh over all devices with sp=2 when the
+    device count is even (sp=1 otherwise) — pass an explicit
+    ``make_mesh_2d(n_dp, n_sp)`` to control the split.
     """
     from ..train.dp import (
         _VAE_FIELDS,
@@ -256,6 +260,9 @@ def train_vae_dp_sharded(
     from ..train.eval_utils import batch_cut_weight
     from ..train.harness import run_frame_loop
 
+    if mesh is None:
+        n_dev = len(jax.devices())
+        mesh = make_mesh_2d(n_dev // 2, 2) if n_dev % 2 == 0 else make_mesh_2d(n_dev, 1)
     n_dp, n_sp = mesh.shape["dp"], mesh.shape["sp"]
     runs = n_dp if runs is None else runs
     if runs % n_dp != 0:

@@ -142,11 +142,13 @@ def run_sweep(
             # runner_kwargs are part of the identity: use_pallas="frame"
             # changes the carry pytree, so resuming across a mode toggle
             # would positionally load incompatible leaves.
+            # with no runner_kwargs, hash (cfg, iters) exactly as before the
+            # runner_kwargs-identity change, so state files written by older
+            # versions still resume for the (default-mode) sweeps they came from
+            ident = (cfg_json(cfg), iters) if not runner_kwargs else (
+                cfg_json(cfg), iters, runner_kwargs)
             h = hashlib.sha1(
-                json.dumps(
-                    (cfg_json(cfg), iters, runner_kwargs or {}),
-                    sort_keys=True, default=str,
-                ).encode()
+                json.dumps(ident, sort_keys=True, default=str).encode()
             ).hexdigest()[:10]
             state_file = out_dir / f"state_{tag}_{'_'.join(map(str, coord))}_{h}.npz"
             if not skip_done and state_file.exists():
@@ -163,7 +165,7 @@ def run_sweep(
             "config": dataclasses.asdict(cfg),
             "runner_kwargs": io._to_jsonable(runner_kwargs or {}),
             "wall_s": wall,
-            **{m: res[m] for m in ("ser", "mi", "var_est") if m in res},
+            **{m: res[m] for m in ("ser", "mi", "var_est", "var") if m in res},
         }
         io.append_jsonl(jsonl, record)
         if save_params:
@@ -180,19 +182,34 @@ def run_sweep(
     return results, axes_values, jsonl
 
 
-def assemble_mat(results, axes_values, iters: int, lead_shape: tuple[int, ...]):
-    """Scatter per-point SER histories into the reference's tensor layout.
+def assemble_mat(results, axes_values, iters: int, lead_shape: tuple[int, ...],
+                 key: str = "ser"):
+    """Scatter per-point metric histories into the reference's tensor layout.
 
-    lead_shape: leading dims of one run's history (e.g. (4,) rows for DP,
-    () for AWGN). Returns ndarray of shape lead_shape + grid_dims + (iters,
-    history_len).
+    lead_shape: leading dims of one run's history (e.g. (4,) rows for DP SER,
+    (2,) for Var_est, () for AWGN). Returns ndarray of shape
+    lead_shape + grid_dims + (iters, history_len). A per-point constant (a
+    record value with no iters/history axes, e.g. the true noise variance
+    ``var`` -> the reference's ``var_real`` with history length 1,
+    Eval_run_DP.py:54) is broadcast over the iters axis. Returns None when no
+    record carries ``key`` (e.g. resuming a JSONL written before the key
+    existed).
     """
     grid_dims = tuple(len(v) for v in axes_values.values())
-    hist_len = np.asarray(results[0]["ser"]).shape[-1]
+    first = next((np.asarray(r[key]) for r in results if key in r), None)
+    if first is None:
+        return None
+    per_point_const = first.ndim == len(lead_shape)
+    hist_len = 1 if per_point_const else first.shape[-1]
     out = np.full(lead_shape + grid_dims + (iters, hist_len), np.nan, np.float32)
     for rec in results:
-        ser = np.asarray(rec["ser"])  # (iters, *lead_shape, hist)
-        ser = np.moveaxis(ser, 0, -2) if ser.ndim > 2 else ser  # lead axes first
+        if key not in rec:
+            continue
+        arr = np.asarray(rec[key])  # (iters, *lead_shape, hist)
+        if per_point_const:
+            arr = arr.reshape(lead_shape + (1, 1))  # broadcasts over iters
+        else:
+            arr = np.moveaxis(arr, 0, -2) if arr.ndim > 2 else arr  # lead axes first
         idx = (slice(None),) * len(lead_shape) + tuple(rec["coords"])
-        out[idx] = ser
+        out[idx] = arr
     return out

@@ -48,6 +48,7 @@ from ..utils.config import DpConfig
 from .batching import broadcast_runs, shard_runs
 from .eval_utils import batch_cut_weight, margin_weight_maxshift, roll_dp
 from .harness import Progress, init_carry, pack_metrics, run_frame_loop
+from .modes import check_pallas_mode
 
 
 def _setup(cfg: DpConfig, n_frame: int):
@@ -231,6 +232,7 @@ def train_vae_dp(
     mb_len = cfg.batch_len * cfg.sps
 
     params = params_init or {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    check_pallas_mode("VAE", use_pallas)
     if use_pallas and (cfg.sps != 2 or cfg.m_est % 2 == 0):
         raise ValueError("use_pallas requires sps=2 and odd M_est")
 
@@ -330,6 +332,7 @@ def train_vae_flex_dp(
     crop0 = (cfg.batch_len - m_step) // 2
 
     params = params_init or {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    check_pallas_mode("VAEflex", use_pallas)
     if use_pallas and (cfg.sps != 2 or cfg.m_est % 2 == 0):
         raise ValueError("use_pallas requires sps=2 and odd M_est")
 
@@ -423,6 +426,7 @@ def run_cma_dp(
     const, var, gen, amps, P = _setup(cfg, n_frame)
     n_eval = n_frame - 2 * cfg.n_cut  # symbols per frame after downsampling
 
+    check_pallas_mode(cfg.loss_type, use_pallas)
     if cfg.loss_type == "CMA":
         if use_pallas:
             from ..ops import cma_dp_pallas

@@ -54,3 +54,16 @@ def enable_compilation_cache(path: str | None = None) -> None:
     _pl.Path(cache).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # the every-compile policy would otherwise grow the directory without
+    # bound across processes; cap it with LRU eviction (measured ~440 MB
+    # after two full rounds of bench + test campaigns, so 1 GiB keeps every
+    # hot program while bounding the footprint)
+    jax.config.update("jax_compilation_cache_max_size", 1 << 30)
+    # jax's LRUCache assumes every *-cache entry has a *-atime sentinel and
+    # errors on entries written before the cap was enabled — backfill them
+    # once (their mtime approximates last use well enough for LRU)
+    for f in _pl.Path(cache).glob("*-cache"):
+        atime = f.with_name(f.name[: -len("-cache")] + "-atime")
+        if not atime.exists():
+            ns = int(f.stat().st_mtime * 1e9)
+            atime.write_bytes(ns.to_bytes(8, "little"))

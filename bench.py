@@ -68,7 +68,8 @@ def measure_tpu(frames: int, n_frame: int, runs: int | None = None) -> dict:
 
 
 def measure_tpu_compiled(
-    frames: int, n_frame: int, runs: int | None = None, use_pallas: bool = False
+    frames: int, n_frame: int, runs: int | None = None, use_pallas: bool = False,
+    runs_batch: int | None = None,
 ) -> dict:
     """Whole-experiment lax.scan mode: ONE jitted call for all frames, one
     packed D2H at the end — no per-frame host round trips. This is the
@@ -85,8 +86,9 @@ def measure_tpu_compiled(
     key = jax.random.PRNGKey(0)
     cfg = DpConfig(mod=MOD, n_frame_max=n_frame, num_frames=frames, n_lrhalf=10**9)
     timings: dict = {}
+    kw = {} if runs_batch is None else {"runs_batch": runs_batch}
     train_vae_dp(cfg, key, compiled=True, runs=runs, use_pallas=use_pallas,
-                 timings=timings)
+                 timings=timings, **kw)
     dt = timings["run_s"]  # pure execution of the AOT-compiled program
     sps = (runs or 1) * frames * (n_frame // cfg.batch_len * cfg.batch_len) / dt
     return {"symbols_per_sec": sps, "frames_timed": frames, **timings}
@@ -222,25 +224,32 @@ def main(argv=None):
     except Exception as e:
         print(f"# compiled-mode measurement failed: {e}", flush=True)
         comp = None
-    # aggregate chip throughput: independent runs vmapped into one program.
-    # vmap BATCHES the frame kernel's tiles (sublanes x runs), so the
-    # aggregate rides the same kernel: 16.1M sym/s at 8 runs / 22.4M at 32
-    # (vs 2.7M for the XLA step path). XLA mode as fallback.
-    agg = None
-    agg_attempts = (
-        [] if args.cpu else [{"use_pallas": "frame"}]
-    ) + [{}]  # frame kernel first (TPU), then plain XLA compiled mode
-    for kw in agg_attempts:
+    # aggregate chip throughput: independent runs batched INSIDE the frame
+    # kernel (runs_batch, ops/frame_kernel.py) — vmap of a pallas_call
+    # would prepend a serial grid dimension, which is why round-2 saturated
+    # at 1.8x one run. Measured at the FULL workload (same AOT program as
+    # the headline, so the aggregate can never under-amortize below it).
+    aggs = {}
+    if not args.quick:
+        for nruns in (8, 32, 128):
+            try:
+                a = measure_tpu_compiled(
+                    frames if args.quick else max(frames, 170), n_frame,
+                    runs=nruns, use_pallas=False if args.cpu else "frame",
+                )
+                aggs[nruns] = a
+                print(f"# aggregate {nruns} runs: "
+                      f"{a['symbols_per_sec']:,.0f} sym/s", flush=True)
+            except Exception as e:
+                print(f"# aggregate {nruns} runs failed: {e}", flush=True)
+                break
+    else:
         try:
-            agg = measure_tpu_compiled(max(2, frames // 2), n_frame, runs=args.runs, **kw)
-            break
+            aggs[args.runs] = measure_tpu_compiled(
+                frames, n_frame, runs=args.runs,
+                use_pallas=False if args.cpu else "frame")
         except Exception as e:
-            print(f"# compiled aggregate {kw} failed: {e}", flush=True)
-    if agg is None:
-        try:
-            agg = measure_tpu(max(2, frames // 2), n_frame, runs=args.runs)
-        except Exception as e2:
-            print(f"# aggregate measurement failed: {e2}", flush=True)
+            print(f"# quick aggregate failed: {e}", flush=True)
     baseline = get_baseline(n_frame, force=args.measure_baseline)
     base_sps = baseline.get("symbols_per_sec")
     # the committed cache holds the full-size baseline; scale mismatch only
@@ -262,7 +271,10 @@ def main(argv=None):
                 "compiled_mode_sps": round(comp["symbols_per_sec"], 1) if comp else None,
                 "compiled_pallas_sps": round(comp_pallas["symbols_per_sec"], 1)
                 if comp_pallas else None,
-                f"aggregate_{args.runs}runs_sps": round(agg["symbols_per_sec"], 1) if agg else None,
+                **{
+                    f"aggregate_{n}runs_sps": round(a["symbols_per_sec"], 1)
+                    for n, a in aggs.items()
+                },
             }
         ),
         flush=True,

@@ -34,11 +34,14 @@ def _tiny_cfg(loss_type):
 def _interpret_kernels(monkeypatch):
     """Force every fused kernel into interpret mode (CPU test backend)."""
     import vae_equalizer_tpu.ops as ops
+    import vae_equalizer_tpu.ops.cma_frame_kernel as cfk
     import vae_equalizer_tpu.ops.elbo_kernel as ek
     import vae_equalizer_tpu.ops.frame_kernel as fk
 
     for mod, name in ((fk, "vae_dp_frame_train_pallas"),
+                      (fk, "vae_dp_frame_train_pallas_rb"),
                       (ek, "vae_dp_loss_and_grad_pallas"),
+                      (cfk, "cma_chunked_frame_pallas"),
                       (ops, "cma_dp_pallas")):
         orig = getattr(mod, name)
         monkeypatch.setattr(

@@ -21,7 +21,8 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def measure(loss_type: str, frames: int, n_frame: int, use_pallas: bool = False) -> dict:
+def measure(loss_type: str, frames: int, n_frame: int, use_pallas=False,
+            compiled: bool = False) -> dict:
     import jax
 
     from vae_equalizer_tpu.train import run_cma_dp
@@ -29,7 +30,26 @@ def measure(loss_type: str, frames: int, n_frame: int, use_pallas: bool = False)
 
     lr = {"CMA": 1e-3, "CMAbatch": 1e-4, "CMAflex": 5e-5}[loss_type]
     cfg = DpConfig(loss_type=loss_type, mod="64-QAM", n_frame_max=n_frame,
-                   num_frames=frames + 1, lr=lr, n_lrhalf=10**9)
+                   num_frames=frames + (0 if compiled else 1), lr=lr,
+                   n_lrhalf=10**9)
+    import numpy as np
+
+    if compiled:
+        # whole-experiment lax.scan, AOT-compiled, best-of-3 pure execution
+        # via the harness timings hook — the device-compute ceiling (the
+        # per-frame-dispatch mode below pays a 10-30 ms tunnel round trip
+        # per frame, which dominates at these frame times; train/harness.py)
+        timings: dict = {}
+        res = run_cma_dp(cfg, jax.random.PRNGKey(0), compiled=True,
+                         use_pallas=use_pallas, timings=timings)
+        return {
+            "loss_type": loss_type + ("+pallas" if use_pallas else "") + "+compiled",
+            "symbols_per_sec": frames * n_frame / timings["run_s"],
+            "sec_per_frame": timings["run_s"] / frames,
+            "compile_s": timings["compile_s"],
+            "final_ser_const": np.asarray(res["ser"][:2, -1]).tolist(),
+        }
+
     times = []
 
     def progress(frame, m):
@@ -38,7 +58,6 @@ def measure(loss_type: str, frames: int, n_frame: int, use_pallas: bool = False)
     res = run_cma_dp(cfg, jax.random.PRNGKey(0), progress=progress,
                      use_pallas=use_pallas)
     dt = times[-1] - times[0]
-    import numpy as np
 
     return {
         "loss_type": loss_type + ("+pallas" if use_pallas else ""),
@@ -66,13 +85,22 @@ def main():
     import jax
 
     print("device:", jax.devices()[0], flush=True)
-    for lt, pallas in [("CMA", False), ("CMA", True), ("CMAbatch", False), ("CMAflex", False)]:
+    cases = [
+        ("CMA", False, False), ("CMA", True, False),
+        ("CMAbatch", False, False), ("CMAflex", False, False),
+        # compiled mode: the honest device-compute numbers (VERDICT round-2:
+        # the per-frame-dispatch rows above are tunnel-tax-dominated)
+        ("CMA", False, True), ("CMA", True, True),
+        ("CMAbatch", False, True), ("CMAflex", False, True),
+    ]
+    for lt, pallas, comp in cases:
         try:
-            r = measure(lt, args.frames, args.n_frame, use_pallas=pallas)
+            r = measure(lt, args.frames, args.n_frame, use_pallas=pallas,
+                        compiled=comp)
             print(json.dumps(r), flush=True)
         except Exception as e:
-            print(f"# {lt} pallas={pallas} FAILED: {type(e).__name__}: {str(e)[:200]}",
-                  flush=True)
+            print(f"# {lt} pallas={pallas} compiled={comp} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
-"""Whole-frame fused DP VAE training kernel: ALL minibatch steps in one call.
+"""Whole-frame fused DP VAE training kernel: ALL minibatch steps in one call,
+for a BATCH of independent runs at once.
 
 One ``pallas_call`` runs the full frame's online training — for each of the
 ``m_max`` minibatches: butterfly forward -> PCS soft demapper -> ELBO ->
@@ -15,26 +16,38 @@ is the *serial instruction stream* on tiny (8, 100) tiles, not dispatch. So
 every tap contraction here is one MXU matmul over an im2col arrangement
 instead of an unrolled tap loop:
 
-  forward   out   = W (2, 4M) @ X_im2col (4M, N)          per I/Q arrangement
-  D conv    D     = CT (4, 4(mh+1)) @ EQwin               per tap parity
-  E term    S     = Vsum (2, N) @ MASK (N, mh+1)          tap-support masks
-  gh        GH    = gD (4, ne) @ EQwin^T
-  gEq       GEQ   = CT2 (4, 4(mh+1)) @ gDwin
-  gV        gv    = GCO (2, mh+1) @ MASK^T
-  gw        GW    = gout (2, N) @ X_im2col^T
+  forward   out   = W (R, 2, 4M) @ X_im2col (R, 4M, N)     per I/Q arrangement
+  D conv    D     = CT (R, 4, 4(mh+1)) @ EQwin             per tap parity
+  E term    S     = Vsum (R, 2, N) @ MASK (N, mh+1)        tap-support masks
+  gh        GH    = gD (R, 4, ne) @ EQwin^T
+  gEq       GEQ   = CT2 (R, 4, 4(mh+1)) @ gDwin
+  gV        gv    = GCO (R, 2, mh+1) @ MASK^T
+  gw        GW    = gout (R, 2, N) @ X_im2col^T
 
-The im2col inputs (X_im2col[i*M+k, n] = x_arr[i, 2n+k], built from the same
-polyphase identity xph[p, i, j] = xpad[i, 2j+p] as ops/elbo_kernel.py) and
-the 0/1 tap-support masks are precomputed on the XLA side; coefficient
+Why runs-batched (round 3): a sweep's independent repeats used to ride
+``jax.vmap`` of the single-run kernel, which prepends a serial grid
+dimension — 128 runs executed 128x the grid steps and aggregate throughput
+saturated at 1.8x one run. Measured on this backend (tools/mosaic_probe2.py)
+a leading batch dimension is nearly free instead: elementwise ops on
+(R, s, l) tiles cost the same as (s, l) up to R~32, and batched
+``dot_general`` over R=8 runs costs the same as one small dot (independent
+MXU passes pipeline). So every tensor here carries a leading runs axis R and
+every contraction is a batched matmul: one grid step trains ONE minibatch of
+ALL R runs. The scratch-store assembly loops (windows, coefficient matrices)
+keep their single-run op count — each store covers all R runs.
+
+The im2col inputs (X_im2col[r, i*M+k, n] = x_arr[r, i, 2n+k], built from the
+same polyphase identity xph[p, i, j] = xpad[i, 2j+p] as ops/elbo_kernel.py)
+and the 0/1 tap-support masks are precomputed on the XLA side; coefficient
 matrices CT/CT2 are lane-concats of rows of the parity-major channel
 estimate, so the kernel never needs a strided lane access (Mosaic cannot
 lower those). Matmuls run at HIGHEST precision (f32-accurate bf16 passes).
 
 Parameter layouts (chosen so Adam is elementwise and every consumer reads
 contiguous lanes):
-  w   (2, 4M)  = w.reshape(2, 4M)      rows o, lanes i*M + k  (im2col layout)
-  h   (8, M)   parity-major: lanes [0:mh+1] even taps, [mh+1:] odd taps,
-               rows chi*4 + nu*2 + c
+  w   (R, 2, 4M)  = w.reshape(R, 2, 4M)   rows o, lanes i*M + k (im2col layout)
+  h   (R, 8, M)   parity-major: lanes [0:mh+1] even taps, [mh+1:] odd taps,
+                  rows chi*4 + nu*2 + c
 
 Adam (optax.adam semantics: b1=.9, b2=.999, eps=1e-8, eps_root=0, bias
 correction with t = step+1) runs in-kernel; the net group's lr is halved
@@ -44,9 +57,11 @@ train/dp.py:_vae_optimizer).
 
 Restrictions: sps == 2 and odd M (the reference operating point, M=25), like
 the step kernel. Parity: tests/test_frame_kernel.py checks the whole-frame
-trajectory against the step kernel + optax loop in interpret mode.
+trajectory against the step kernel + optax loop in interpret mode, and the
+runs-batched call against a stack of single-run calls.
 
 scal (1, 8) SMEM: [var_x, var_y, nu_sc, eps_kl, lr, lr_half_step, step0, 0]
+(shared across the R runs — a batch is R repeats of ONE grid point).
 """
 
 from __future__ import annotations
@@ -59,15 +74,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["frame_opt_init", "vae_dp_frame_train_pallas"]
+__all__ = [
+    "frame_opt_init",
+    "vae_dp_frame_train_pallas",
+    "vae_dp_frame_train_pallas_rb",
+]
 
 
 def frame_opt_init(params) -> dict:
     """Zero Adam moments for the frame kernel's optimizer state.
 
-    params: {"w": (2,4,M), "h": (2,2,2,M)} -> {"mw","vw","mh","vh"} zeros of
-    the matching shapes (the kernel carries them across frames; equivalent to
-    optax.adam's init for the same parameters).
+    params: {"w": (..., 2, 4, M), "h": (..., 2, 2, 2, M)} -> {"mw","vw","mh",
+    "vh"} zeros of the matching shapes (the kernel carries them across
+    frames; equivalent to optax.adam's init for the same parameters).
     """
     return {
         "mw": jnp.zeros_like(params["w"]), "vw": jnp.zeros_like(params["w"]),
@@ -80,9 +99,10 @@ _EPS_ADAM = 1e-8
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _dot(a, b, contract=((1,), (0,))):
+def _bdot(a, b, contract=((2,), (1,))):
+    """Runs-batched matmul: contract over given dims, batch over dim 0."""
     return jax.lax.dot_general(
-        a, b, (contract, ((), ())), preferred_element_type=jnp.float32,
+        a, b, (contract, ((0,), (0,))), preferred_element_type=jnp.float32,
         precision=_HI,
     )
 
@@ -94,18 +114,19 @@ def _kernel(
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
     eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc, gh_sc, ct_e_sc, ct_o_sc,
-    *, n_sym, m, n_lev,
+    *, n_sym, m, n_lev, n_rb,
 ):
     mi = pl.program_id(0)
+    rb = n_rb
 
     @pl.when(mi == 0)
     def _():
-        w_sc[:, :] = w_in[:, :]
-        h_sc[:, :] = h_in[:, :]
-        mw_sc[:, :] = mw_in[:, :]
-        vw_sc[:, :] = vw_in[:, :]
-        mh_sc[:, :] = mh_in[:, :]
-        vh_sc[:, :] = vh_in[:, :]
+        w_sc[...] = w_in[...]
+        h_sc[...] = h_in[...]
+        mw_sc[...] = mw_in[...]
+        vw_sc[...] = vw_in[...]
+        mh_sc[...] = mh_in[...]
+        vh_sc[...] = vh_in[...]
 
     n_samp = 2 * n_sym
     mh = m // 2
@@ -116,208 +137,228 @@ def _kernel(
     var_y = scal_ref[0, 1]
     nu_sc = scal_ref[0, 2]
     eps = scal_ref[0, 3]
-    amps = amps_ref[0, :]  # (n_lev,)
-    p_row = p_ref[0, :]
-    xi = xi_ref[0]  # (4M, n_sym) im2col, I arrangement
+    # rank-3 broadcast operands: Mosaic's layout inference crashes on
+    # rank-1/2 values broadcast against (R, s, l) tensors when R > 1, so
+    # every constant the batched math touches is materialized as (1, n, 1)
+    ampc = jnp.transpose(amps_ref[...])[None]  # (1, n_lev, 1)
+    amp2c = ampc * ampc
+    pc = jnp.transpose(p_ref[...])[None]  # (1, n_lev, 1)
+    xi = xi_ref[0]  # (R, 4M, n_sym) im2col, I arrangement
     xq = xq_ref[0]
-    h_e = h_sc[:, :mhe]  # (8, mhe) even taps, rows chi*4 + nu*2 + c
-    h_o = h_sc[:, mhe:]  # (8, mh)  odd taps
+    h_e = h_sc[:, :, :mhe]  # (R, 8, mhe) even taps, rows chi*4 + nu*2 + c
+    h_o = h_sc[:, :, mhe:]  # (R, 8, mh)  odd taps
 
-    # ---------------- forward: butterfly as two MXU matmuls
-    out_i = _dot(w_sc[:, :], xi)  # (2, N) I outputs (x, y)
-    out_q = _dot(w_sc[:, :], xq)  # (2, N) Q outputs (same taps, Q arrangement)
-    out = jnp.concatenate([out_i, out_q])  # rows (x_I, y_I, x_Q, y_Q)
+    # ---------------- forward: butterfly as two batched MXU matmuls
+    out_i = _bdot(w_sc[...], xi)  # (R, 2, N) I outputs (x, y)
+    out_q = _bdot(w_sc[...], xq)  # (R, 2, N) Q outputs (same taps, Q arrangement)
+    out = jnp.concatenate([out_i, out_q], axis=1)  # rows (x_I, y_I, x_Q, y_Q)
 
     # ---------------- demapper + posterior moments (rows r = pol + 2*comp)
     eqs, vs = [], []
     for r in range(4):
-        o = out[r : r + 1, :]
+        o = out[:, r : r + 1, :]  # (R, 1, N)
         var = var_x if r % 2 == 0 else var_y
-        dlt = o - amps[:, None]
-        metric = dlt * dlt / (2.0 * var) + nu_sc * (amps * amps)[:, None]
-        mmin = jnp.min(metric, axis=0, keepdims=True)
+        dlt = o - ampc  # (R, n_lev, N)
+        metric = dlt * dlt / (2.0 * var) + nu_sc * amp2c
+        mmin = jnp.min(metric, axis=1, keepdims=True)
         e = jnp.exp(mmin - metric)
-        q = e / jnp.sum(e, axis=0, keepdims=True)  # (n_lev, N)
-        q_sc[r * n_lev : (r + 1) * n_lev, :] = q
-        eqs.append(jnp.sum(amps[:, None] * q, axis=0, keepdims=True))
-        vs.append(jnp.sum((amps * amps)[:, None] * q, axis=0, keepdims=True))
-    eq4 = jnp.concatenate(eqs)  # (4, N) rows (x_I, y_I, x_Q, y_Q)
-    v4 = jnp.concatenate(vs) - eq4 * eq4
+        q = e / jnp.sum(e, axis=1, keepdims=True)  # (R, n_lev, N)
+        q_sc[:, r * n_lev : (r + 1) * n_lev, :] = q
+        eqs.append(jnp.sum(ampc * q, axis=1, keepdims=True))
+        vs.append(jnp.sum(amp2c * q, axis=1, keepdims=True))
+    eq4 = jnp.concatenate(eqs, axis=1)  # (R, 4, N) rows (x_I, y_I, x_Q, y_Q)
+    v4 = jnp.concatenate(vs, axis=1) - eq4 * eq4
 
-    # ---------------- D conv as matmuls over shifted-window stacks.
-    # EQwin_p[(g, a), t] = eq4[row(g), mh - a + t] for the 4 groups
+    # ---------------- D conv as batched matmuls over shifted-window stacks.
+    # EQwin_p[r, (g, a), t] = eq4[r, row(g), mh - a + t] for the 4 groups
     # g = (nu, c') in order (x,I), (x,Q), (y,I), (y,Q); CT rows (chi*2 + c)
     # hold the matching h coefficients as lane-concats of h_e/h_o rows.
     # Windows are materialized through scratch stores — Mosaic cannot
-    # sublane-concat vectors whose lane offsets differ.
+    # sublane-concat vectors whose lane offsets differ; one store covers
+    # all R runs (leading dim).
     def win_stack(sc, rows4, n_a):
         r = 0
         for g in (0, 2, 1, 3):  # eq4 row order (xI, yI, xQ, yQ) -> (nu, c')
             for a in range(n_a):
-                sc[r : r + 1, :] = rows4[g : g + 1, mh - a : n_sym - a]
+                sc[:, r : r + 1, :] = rows4[:, g : g + 1, mh - a : n_sym - a]
                 r += 1
-        return sc[:, :]
+        return sc[...]
 
     eqwin_e = win_stack(eqwin_e_sc, eq4, mhe)
     eqwin_o = win_stack(eqwin_o_sc, eq4, mh)
 
-    def ct_d(sc, h_p, n_a):  # (4, 4*n_a): D coefficients, rows (chi*2 + c)
+    def ct_d(sc, h_p, n_a):  # (R, 4, 4*n_a): D coefficients, rows (chi*2 + c)
         for chi in range(2):
-            hr0, hi0 = h_p[chi * 4 : chi * 4 + 1, :], h_p[chi * 4 + 1 : chi * 4 + 2, :]
-            hr1, hi1 = h_p[chi * 4 + 2 : chi * 4 + 3, :], h_p[chi * 4 + 3 : chi * 4 + 4, :]
+            hr0 = h_p[:, chi * 4 : chi * 4 + 1, :]
+            hi0 = h_p[:, chi * 4 + 1 : chi * 4 + 2, :]
+            hr1 = h_p[:, chi * 4 + 2 : chi * 4 + 3, :]
+            hi1 = h_p[:, chi * 4 + 3 : chi * 4 + 4, :]
             for b, blk in enumerate((hr0, -hi0, hr1, -hi1)):  # D_re
-                sc[chi * 2 : chi * 2 + 1, b * n_a : (b + 1) * n_a] = blk
+                sc[:, chi * 2 : chi * 2 + 1, b * n_a : (b + 1) * n_a] = blk
             for b, blk in enumerate((hi0, hr0, hi1, hr1)):  # D_im
-                sc[chi * 2 + 1 : chi * 2 + 2, b * n_a : (b + 1) * n_a] = blk
-        return sc[:, :]
+                sc[:, chi * 2 + 1 : chi * 2 + 2, b * n_a : (b + 1) * n_a] = blk
+        return sc[...]
 
-    d_e = _dot(ct_d(ct_e_sc, h_e, mhe), eqwin_e)  # (4, ne) rows (chi*2+c), even
-    d_o = _dot(ct_d(ct_o_sc, h_o, mh), eqwin_o)  # odd positions
+    d_e = _bdot(ct_d(ct_e_sc, h_e, mhe), eqwin_e)  # (R, 4, ne) rows (chi*2+c)
+    d_o = _bdot(ct_d(ct_o_sc, h_o, mh), eqwin_o)  # odd positions
 
-    # ---------------- E term: S_p (2, n_a) = Vsum (2, N) @ MASK_p (N, n_a)
+    # ---------------- E term: S_p (R, 2, n_a) = Vsum (R, 2, N) @ MASK_p (N, n_a)
     vsum = jnp.concatenate(
-        [v4[0:1, :] + v4[2:3, :], v4[1:2, :] + v4[3:4, :]]
-    )  # (2, N) per pol
-    s_e = _dot(vsum, maske_ref[:, :])  # (2, mhe)
-    s_o = _dot(vsum, masko_ref[:, :])  # (2, mh)
-    hsq = h_sc[:, :] * h_sc[:, :]
+        [v4[:, 0:1, :] + v4[:, 2:3, :], v4[:, 1:2, :] + v4[:, 3:4, :]], axis=1
+    )  # (R, 2, N) per pol
+    # broadcast the shared mask over runs (zeros+x: Mosaic-safe broadcast)
+    mask_e3 = jnp.zeros((rb, 1, 1), jnp.float32) + maske_ref[...]
+    mask_o3 = jnp.zeros((rb, 1, 1), jnp.float32) + masko_ref[...]
+    s_e = _bdot(vsum, mask_e3)  # (R, 2, mhe)
+    s_o = _bdot(vsum, mask_o3)  # (R, 2, mh)
+    hsq = h_sc[...] * h_sc[...]
     # |h|^2 per (chi, nu): explicit row pairs (a stride-2 sublane slice
     # would lower as an unsupported Mosaic gather)
     habsq = jnp.concatenate(
-        [hsq[2 * g : 2 * g + 1, :] + hsq[2 * g + 1 : 2 * g + 2, :] for g in range(4)]
-    )  # (4, M) rows chi*2 + nu, parity-major lanes
-    s_cat = jnp.concatenate([s_e, s_o], axis=1)  # (2, M) parity-major
-    e_x = jnp.sum(habsq[0:1, :] * s_cat[0:1, :]) + jnp.sum(habsq[1:2, :] * s_cat[1:2, :])
-    e_y = jnp.sum(habsq[2:3, :] * s_cat[0:1, :]) + jnp.sum(habsq[3:4, :] * s_cat[1:2, :])
+        [hsq[:, 2 * g : 2 * g + 1, :] + hsq[:, 2 * g + 1 : 2 * g + 2, :] for g in range(4)],
+        axis=1,
+    )  # (R, 4, M) rows chi*2 + nu, parity-major lanes
+    s_cat = jnp.concatenate([s_e, s_o], axis=2)  # (R, 2, M) parity-major
+    e_x = jnp.sum(habsq[:, 0:1, :] * s_cat[:, 0:1, :], axis=(1, 2), keepdims=True) + jnp.sum(
+        habsq[:, 1:2, :] * s_cat[:, 1:2, :], axis=(1, 2), keepdims=True
+    )  # (R, 1, 1)
+    e_y = jnp.sum(habsq[:, 2:3, :] * s_cat[:, 0:1, :], axis=(1, 2), keepdims=True) + jnp.sum(
+        habsq[:, 3:4, :] * s_cat[:, 1:2, :], axis=(1, 2), keepdims=True
+    )
 
     # ---------------- C and loss
-    rx = rx_ref[0, :, :]
-    rx_w2 = rx[:, mh : n_samp - mh]
-    c_base_x = jnp.sum(rx_w2[0:2, :] * rx_w2[0:2, :])
-    c_base_y = jnp.sum(rx_w2[2:4, :] * rx_w2[2:4, :])
-    rxe = rxe_ref[0, :, :]  # (4, Nsym) even samples
-    rxo = rxo_ref[0, :, :]
+    rx = rx_ref[0]  # (R, 4, n_samp)
+    rx_w2 = rx[:, :, mh : n_samp - mh]
+    c_base_x = jnp.sum(rx_w2[:, 0:2, :] * rx_w2[:, 0:2, :], axis=(1, 2), keepdims=True)
+    c_base_y = jnp.sum(rx_w2[:, 2:4, :] * rx_w2[:, 2:4, :], axis=(1, 2), keepdims=True)
+    rxe = rxe_ref[0]  # (R, 4, Nsym) even samples
+    rxo = rxo_ref[0]
     if mh % 2 == 0:
-        rx_al_e = rxe[:, mh - mh // 2 : n_sym - mh // 2]  # (4, ne)
-        rx_al_o = rxo[:, mh - mh // 2 : n_sym - mh // 2]
+        rx_al_e = rxe[:, :, mh - mh // 2 : n_sym - mh // 2]  # (R, 4, ne)
+        rx_al_o = rxo[:, :, mh - mh // 2 : n_sym - mh // 2]
     else:
-        rx_al_e = rxo[:, mh - (mh + 1) // 2 : n_sym - (mh + 1) // 2]
-        rx_al_o = rxe[:, mh - mh // 2 : n_sym - mh // 2]
+        rx_al_e = rxo[:, :, mh - (mh + 1) // 2 : n_sym - (mh + 1) // 2]
+        rx_al_o = rxe[:, :, mh - mh // 2 : n_sym - mh // 2]
 
-    cross_x = jnp.sum(rx_al_e[0:2, :] * d_e[0:2, :]) + jnp.sum(rx_al_o[0:2, :] * d_o[0:2, :])
-    cross_y = jnp.sum(rx_al_e[2:4, :] * d_e[2:4, :]) + jnp.sum(rx_al_o[2:4, :] * d_o[2:4, :])
-    dd_x = jnp.sum(d_e[0:2, :] * d_e[0:2, :]) + jnp.sum(d_o[0:2, :] * d_o[0:2, :])
-    dd_y = jnp.sum(d_e[2:4, :] * d_e[2:4, :]) + jnp.sum(d_o[2:4, :] * d_o[2:4, :])
-    c_x = c_base_x - 2.0 * cross_x + dd_x + e_x
+    def _rsum(x):  # (R, s, l) -> (R, 1, 1)
+        return jnp.sum(x, axis=(1, 2), keepdims=True)
+
+    cross_x = _rsum(rx_al_e[:, 0:2, :] * d_e[:, 0:2, :]) + _rsum(rx_al_o[:, 0:2, :] * d_o[:, 0:2, :])
+    cross_y = _rsum(rx_al_e[:, 2:4, :] * d_e[:, 2:4, :]) + _rsum(rx_al_o[:, 2:4, :] * d_o[:, 2:4, :])
+    dd_x = _rsum(d_e[:, 0:2, :] * d_e[:, 0:2, :]) + _rsum(d_o[:, 0:2, :] * d_o[:, 0:2, :])
+    dd_y = _rsum(d_e[:, 2:4, :] * d_e[:, 2:4, :]) + _rsum(d_o[:, 2:4, :] * d_o[:, 2:4, :])
+    c_x = c_base_x - 2.0 * cross_x + dd_x + e_x  # (R, 1, 1)
     c_y = c_base_y - 2.0 * cross_y + dd_y + e_y
 
     # KL over inner symbols, all 4 component rows at once
-    q32 = q_sc[:, :]
-    p32 = jnp.concatenate([jnp.transpose(p_row.reshape(1, n_lev))] * 4)  # (4n, 1)
-    ratio = q32[:, mh : n_sym - mh] / p32
-    kl = jnp.sum(-q32[:, mh : n_sym - mh] * jnp.log(ratio + eps))
+    q32 = q_sc[...]  # (R, 4*n_lev, N)
+    p32 = jnp.concatenate([pc] * 4, axis=1)  # (1, 4n, 1)
+    ratio = q32[:, :, mh : n_sym - mh] / p32
+    kl = _rsum(-q32[:, :, mh : n_sym - mh] * jnp.log(ratio + eps))
 
-    qout_ref[0, :, :] = q32
-    outout_ref[0, :, :] = out
+    qout_ref[0] = q32
+    outout_ref[0] = out
 
-    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl
-    row = jnp.concatenate(
-        [loss.reshape(1, 1), (c_x / n_eff).reshape(1, 1), (c_y / n_eff).reshape(1, 1)],
-        axis=1,
-    )
-    stats_ref[0, :, :] = jnp.pad(row, ((0, 0), (0, 125)))
+    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl  # (R, 1, 1)
+    row = jnp.concatenate([loss, c_x / n_eff, c_y / n_eff], axis=2)  # (R, 1, 3)
+    stats_ref[0] = jnp.pad(row, ((0, 0), (0, 0), (0, 125)))
 
     # ================ backward ================
-    g_cx = n_eff / c_x
+    g_cx = n_eff / c_x  # (R, 1, 1)
     g_cy = n_eff / c_y
-    gfac = jnp.concatenate(
-        [jnp.full((2, 1), 0.0, jnp.float32) + g_cx, jnp.full((2, 1), 0.0, jnp.float32) + g_cy]
-    )  # (4, 1) rows (chi*2 + c)
-    gd_e = gfac * (2.0 * d_e - 2.0 * rx_al_e)  # (4, ne)
+    zer2 = jnp.zeros((rb, 2, 1), jnp.float32)
+    gfac = jnp.concatenate([zer2 + g_cx, zer2 + g_cy], axis=1)  # (R, 4, 1)
+    gd_e = gfac * (2.0 * d_e - 2.0 * rx_al_e)  # (R, 4, ne)
     gd_o = gfac * (2.0 * d_o - 2.0 * rx_al_o)
 
-    # ---- gh: GH_p (4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E term
-    gh_e_m = _dot(gd_e, eqwin_e, ((1,), (1,)))  # (4, 4*mhe)
-    gh_o_m = _dot(gd_o, eqwin_o, ((1,), (1,)))
+    # ---- gh: GH_p (R, 4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E
+    gh_e_m = _bdot(gd_e, eqwin_e, ((2,), (2,)))  # (R, 4, 4*mhe)
+    gh_o_m = _bdot(gd_o, eqwin_o, ((2,), (2,)))
 
     def gh_assemble(ghm, h_p, s_p, n_a, lane0):
         # ghm cols grouped (nu, c') in order (x,I)(x,Q)(y,I)(y,Q) like CT;
         # rows land in the gh scratch (offset-normalizing stores)
         for chi in range(2):
-            re_row = ghm[chi * 2 : chi * 2 + 1, :]
-            im_row = ghm[chi * 2 + 1 : chi * 2 + 2, :]
+            re_row = ghm[:, chi * 2 : chi * 2 + 1, :]
+            im_row = ghm[:, chi * 2 + 1 : chi * 2 + 2, :]
             for nu in range(2):
                 bi = (2 * nu) * n_a  # (nu, I) block
                 bq = (2 * nu + 1) * n_a  # (nu, Q) block
-                ghr = re_row[:, bi : bi + n_a] + im_row[:, bq : bq + n_a]
-                ghi = -re_row[:, bq : bq + n_a] + im_row[:, bi : bi + n_a]
-                g_c = g_cx if chi == 0 else g_cy
-                s_nu = s_p[nu : nu + 1, :]
+                ghr = re_row[:, :, bi : bi + n_a] + im_row[:, :, bq : bq + n_a]
+                ghi = -re_row[:, :, bq : bq + n_a] + im_row[:, :, bi : bi + n_a]
+                g_c = g_cx if chi == 0 else g_cy  # (R, 1, 1)
+                s_nu = s_p[:, nu : nu + 1, :]
                 r0 = chi * 4 + nu * 2
-                gh_sc[r0 : r0 + 1, lane0 : lane0 + n_a] = (
-                    ghr + 2.0 * g_c * h_p[r0 : r0 + 1, :] * s_nu
+                gh_sc[:, r0 : r0 + 1, lane0 : lane0 + n_a] = (
+                    ghr + 2.0 * g_c * h_p[:, r0 : r0 + 1, :] * s_nu
                 )
-                gh_sc[r0 + 1 : r0 + 2, lane0 : lane0 + n_a] = (
-                    ghi + 2.0 * g_c * h_p[r0 + 1 : r0 + 2, :] * s_nu
+                gh_sc[:, r0 + 1 : r0 + 2, lane0 : lane0 + n_a] = (
+                    ghi + 2.0 * g_c * h_p[:, r0 + 1 : r0 + 2, :] * s_nu
                 )
 
     gh_assemble(gh_e_m, h_e, s_e, mhe, 0)
     gh_assemble(gh_o_m, h_o, s_o, mh, mhe)
-    gh = gh_sc[:, :]  # (8, M) parity-major
+    gh = gh_sc[...]  # (R, 8, M) parity-major
 
-    # ---- gEq: GEQ (4, N) = CT2 (4, 4*n_a) @ gDwin (4*n_a, N), both parities
+    # ---- gEq: GEQ (R, 4, N) = CT2 (R, 4, 4*n_a) @ gDwin (R, 4*n_a, N)
     def gdwin(sc, gd_p, n_a):
         # padded[m] = gd_p[m - mh]; window a = padded[a : a + N] places
         # gd_p[b] at t = mh - a + b, so length must reach (n_a-1) + N
-        padded = jnp.pad(gd_p, ((0, 0), (mh, n_a - 1)))
+        padded = jnp.pad(gd_p, ((0, 0), (0, 0), (mh, n_a - 1)))
         r = 0
         for g in range(4):  # groups (chi, c) in gd row order
             for a in range(n_a):
-                sc[r : r + 1, :] = padded[g : g + 1, a : a + n_sym]
+                sc[:, r : r + 1, :] = padded[:, g : g + 1, a : a + n_sym]
                 r += 1
-        return sc[:, :]  # (4*n_a, N)
+        return sc[...]  # (R, 4*n_a, N)
 
     def ct2(sc, h_p, n_a):  # rows (nu, c') in order (x,I)(x,Q)(y,I)(y,Q)
         for nu in range(2):
-            hr0, hi0 = h_p[nu * 2 : nu * 2 + 1, :], h_p[nu * 2 + 1 : nu * 2 + 2, :]
-            hr1, hi1 = h_p[4 + nu * 2 : 4 + nu * 2 + 1, :], h_p[4 + nu * 2 + 1 : 4 + nu * 2 + 2, :]
+            hr0 = h_p[:, nu * 2 : nu * 2 + 1, :]
+            hi0 = h_p[:, nu * 2 + 1 : nu * 2 + 2, :]
+            hr1 = h_p[:, 4 + nu * 2 : 4 + nu * 2 + 1, :]
+            hi1 = h_p[:, 4 + nu * 2 + 1 : 4 + nu * 2 + 2, :]
             for b, blk in enumerate((hr0, hi0, hr1, hi1)):  # (nu, I)
-                sc[nu * 2 : nu * 2 + 1, b * n_a : (b + 1) * n_a] = blk
+                sc[:, nu * 2 : nu * 2 + 1, b * n_a : (b + 1) * n_a] = blk
             for b, blk in enumerate((-hi0, hr0, -hi1, hr1)):  # (nu, Q)
-                sc[nu * 2 + 1 : nu * 2 + 2, b * n_a : (b + 1) * n_a] = blk
-        return sc[:, :]
+                sc[:, nu * 2 + 1 : nu * 2 + 2, b * n_a : (b + 1) * n_a] = blk
+        return sc[...]
 
-    geq_g = _dot(ct2(ct_e_sc, h_e, mhe), gdwin(gdwin_e_sc, gd_e, mhe)) + _dot(
+    geq_g = _bdot(ct2(ct_e_sc, h_e, mhe), gdwin(gdwin_e_sc, gd_e, mhe)) + _bdot(
         ct2(ct_o_sc, h_o, mh), gdwin(gdwin_o_sc, gd_o, mh)
     )
     # rows (x,I)(x,Q)(y,I)(y,Q) -> eq4 order (x,I)(y,I)(x,Q)(y,Q)
-    geq = jnp.concatenate([geq_g[0:1], geq_g[2:3], geq_g[1:2], geq_g[3:4]])
+    geq = jnp.concatenate(
+        [geq_g[:, 0:1], geq_g[:, 2:3], geq_g[:, 1:2], geq_g[:, 3:4]], axis=1
+    )
 
-    # ---- gV: gv (2, N) = GCO (2, n_a) @ MASK_p^T per parity
-    gco = g_cx * habsq[0:2, :] + g_cy * habsq[2:4, :]  # (2, M) rows nu
-    gv = _dot(gco[:, :mhe], masket_ref[:, :]) + _dot(gco[:, mhe:], maskot_ref[:, :])
+    # ---- gV: gv (R, 2, N) = GCO (R, 2, n_a) @ MASK_p^T per parity
+    gco = g_cx * habsq[:, 0:2, :] + g_cy * habsq[:, 2:4, :]  # (R, 2, M) rows nu
+    maskt_e3 = jnp.zeros((rb, 1, 1), jnp.float32) + masket_ref[...]
+    maskt_o3 = jnp.zeros((rb, 1, 1), jnp.float32) + maskot_ref[...]
+    gv = _bdot(gco[:, :, :mhe], maskt_e3) + _bdot(gco[:, :, mhe:], maskt_o3)
 
     # ---- moments -> gq -> softmin VJP -> gout
-    t_in = jax.lax.broadcasted_iota(jnp.int32, (1, n_sym), 1)
-    t_mask = ((t_in >= mh) & (t_in < n_sym - mh)).astype(jnp.float32)
+    t_in = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_sym), 2)
+    t_mask = ((t_in >= mh) & (t_in < n_sym - mh)).astype(jnp.float32)  # (1, 1, N)
     gouts = []
     for r in range(4):
         nu = r % 2
         var = var_x if r % 2 == 0 else var_y
-        gvr = gv[nu : nu + 1, :]
-        g_eq_r = geq[r : r + 1, :] - 2.0 * eq4[r : r + 1, :] * gvr
-        q = q_sc[r * n_lev : (r + 1) * n_lev, :]
-        gq = amps[:, None] * g_eq_r + (amps * amps)[:, None] * gvr
-        ratio = q / p_row[:, None]
+        gvr = gv[:, nu : nu + 1, :]  # (R, 1, N)
+        g_eq_r = geq[:, r : r + 1, :] - 2.0 * eq4[:, r : r + 1, :] * gvr
+        q = q_sc[:, r * n_lev : (r + 1) * n_lev, :]  # (R, n_lev, N)
+        gq = ampc * g_eq_r + amp2c * gvr
+        ratio = q / pc
         gq = gq + (jnp.log(ratio + eps) + ratio / (ratio + eps)) * t_mask
-        inner = jnp.sum(q * gq, axis=0, keepdims=True)
+        inner = jnp.sum(q * gq, axis=1, keepdims=True)
         gm = -q * (gq - inner)
-        o = out[r : r + 1, :]
-        gouts.append(jnp.sum(gm * (o - amps[:, None]), axis=0, keepdims=True) / var)
-    gout = jnp.concatenate(gouts)  # (4, N) rows (x_I, y_I, x_Q, y_Q)
+        o = out[:, r : r + 1, :]
+        gouts.append(jnp.sum(gm * (o - ampc), axis=1, keepdims=True) / var)
+    gout = jnp.concatenate(gouts, axis=1)  # (R, 4, N) rows (x_I, y_I, x_Q, y_Q)
 
-    # ---- gw: (2, 4M) = gout_I @ XI^T + gout_Q @ XQ^T
-    gw = _dot(gout[0:2, :], xi, ((1,), (1,))) + _dot(gout[2:4, :], xq, ((1,), (1,)))
+    # ---- gw: (R, 2, 4M) = gout_I @ XI^T + gout_Q @ XQ^T
+    gw = _bdot(gout[:, 0:2, :], xi, ((2,), (2,))) + _bdot(gout[:, 2:4, :], xq, ((2,), (2,)))
 
     # ================ in-kernel Adam (optax.adam semantics) ================
     lr = scal_ref[0, 4]
@@ -330,24 +371,24 @@ def _kernel(
     bc2 = 1.0 - jnp.exp(t * math.log(_B2))
     lr_w = lr * jnp.where(step_f >= lr_half_step, 0.5, 1.0)
 
-    mw_sc[:, :] = _B1 * mw_sc[:, :] + (1.0 - _B1) * gw
-    vw_sc[:, :] = _B2 * vw_sc[:, :] + (1.0 - _B2) * gw * gw
-    w_sc[:, :] = w_sc[:, :] - lr_w * (mw_sc[:, :] / bc1) / (
-        jnp.sqrt(vw_sc[:, :] / bc2) + _EPS_ADAM
+    mw_sc[...] = _B1 * mw_sc[...] + (1.0 - _B1) * gw
+    vw_sc[...] = _B2 * vw_sc[...] + (1.0 - _B2) * gw * gw
+    w_sc[...] = w_sc[...] - lr_w * (mw_sc[...] / bc1) / (
+        jnp.sqrt(vw_sc[...] / bc2) + _EPS_ADAM
     )
 
-    mh_sc[:, :] = _B1 * mh_sc[:, :] + (1.0 - _B1) * gh
-    vh_sc[:, :] = _B2 * vh_sc[:, :] + (1.0 - _B2) * gh * gh
-    h_sc[:, :] = h_sc[:, :] - lr * (mh_sc[:, :] / bc1) / (
-        jnp.sqrt(vh_sc[:, :] / bc2) + _EPS_ADAM
+    mh_sc[...] = _B1 * mh_sc[...] + (1.0 - _B1) * gh
+    vh_sc[...] = _B2 * vh_sc[...] + (1.0 - _B2) * gh * gh
+    h_sc[...] = h_sc[...] - lr * (mh_sc[...] / bc1) / (
+        jnp.sqrt(vh_sc[...] / bc2) + _EPS_ADAM
     )
 
-    w_out[:, :] = w_sc[:, :]
-    h_out[:, :] = h_sc[:, :]
-    mw_out[:, :] = mw_sc[:, :]
-    vw_out[:, :] = vw_sc[:, :]
-    mh_out[:, :] = mh_sc[:, :]
-    vh_out[:, :] = vh_sc[:, :]
+    w_out[...] = w_sc[...]
+    h_out[...] = h_sc[...]
+    mw_out[...] = mw_sc[...]
+    vw_out[...] = vw_sc[...]
+    mh_out[...] = mh_sc[...]
+    vh_out[...] = vh_sc[...]
 
 
 def _support_masks(m: int, n_sym: int):
@@ -368,28 +409,33 @@ def _support_masks(m: int, n_sym: int):
 
 
 def _to_parity_major(h8: jnp.ndarray) -> jnp.ndarray:
-    return jnp.concatenate([h8[:, 0::2], h8[:, 1::2]], axis=1)
+    return jnp.concatenate([h8[..., 0::2], h8[..., 1::2]], axis=-1)
 
 
 def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
     mhe = m // 2 + 1
-    out = jnp.zeros((hpm.shape[0], m), hpm.dtype)
-    out = out.at[:, 0::2].set(hpm[:, :mhe])
-    return out.at[:, 1::2].set(hpm[:, mhe:])
+    out = jnp.zeros(hpm.shape[:-1] + (m,), hpm.dtype)
+    out = out.at[..., 0::2].set(hpm[..., :mhe])
+    return out.at[..., 1::2].set(hpm[..., mhe:])
 
 
 @functools.partial(jax.jit, static_argnames=("bl_sym", "stride_sym", "interpret"))
-def vae_dp_frame_train_pallas(
+def vae_dp_frame_train_pallas_rb(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
 ):
-    """Run one frame's FULL online training (all minibatches + Adam) fused.
+    """Run one frame's FULL online training for R independent runs, fused.
 
-    w: (2, 4, M); h: (2, 2, 2, M); opt: dict(mw, vw, mh, vh) of Adam moments
-    in the param shapes; rx: (2, 2, Nsamp) with Nsamp a multiple of
-    2*bl_sym; lr/step0/lr_half_step: traced scalars (step0 = global step
-    index of the frame's first minibatch, so the lr schedule and bias
-    correction continue across frames). sps=2, odd M only.
+    w: (R, 2, 4, M); h: (R, 2, 2, 2, M); opt: dict(mw, vw, mh, vh) of Adam
+    moments in the param shapes; rx: (R, 2, 2, Nsamp) with Nsamp a multiple
+    of 2*bl_sym; lr/step0/lr_half_step: traced scalars shared by all runs
+    (step0 = global step index of the frame's first minibatch, so the lr
+    schedule and bias correction continue across frames). sps=2, odd M only.
+
+    One grid step trains one minibatch of ALL R runs (batched MXU matmuls +
+    leading-dim elementwise ops — measured near-free up to R~16 on v5e, see
+    the module docstring); VMEM sizing keeps R <= ~16 for the reference
+    shapes (R=16: ~10 MB of streamed blocks + scratch).
 
     Step-count limit: the global step is carried in-kernel as float32
     (scal[0,6] + program_id), so past 2**24 total minibatch steps the +1
@@ -406,10 +452,12 @@ def vae_dp_frame_train_pallas(
     (func_VAEflex_DP_MQAM_shaping.py:59-70); requires bl_sym % stride == 0
     (windows assemble from reshaped chunks — a gather would be slow).
 
-    Returns (w', h', opt', losses (m_max,), var_est (m_max, 2),
-    q (m_max, 2, 2*n_lev, bl_sym), out (m_max, 2, 2, bl_sym)) — exactly the
-    per-frame quantities of the lax.scan step path in train/dp.py.
+    Returns (w', h', opt', losses (m_max, R), var_est (m_max, R, 2),
+    q (m_max, R, 2, 2*n_lev, bl_sym), out (m_max, R, 2, 2, bl_sym)) — the
+    per-frame quantities of the lax.scan step path in train/dp.py with a
+    runs axis after the minibatch axis.
     """
+    n_rb = w.shape[0]
     m = w.shape[-1]
     assert m % 2 == 1, "odd tap count only"
     n_sym = bl_sym
@@ -418,14 +466,14 @@ def vae_dp_frame_train_pallas(
     mh = m // 2
     mhe = mh + 1
 
-    # per-minibatch im2col arrangements: X[(i*M + k), n] = xpad[i, 2n + k]
+    # per-minibatch im2col arrangements: X[r, (i*M + k), n] = xpad[r, i, 2n+k]
     # (the polyphase identity xph[p, i, j] = xpad[i, 2j + p] of the step
-    # kernel, flattened over taps), vectorized over minibatches
+    # kernel, flattened over taps), vectorized over minibatches and runs
     if stride_sym is None or stride_sym == bl_sym:
         m_max = rx.shape[-1] // n_samp_mb
         rx_mb = jnp.moveaxis(
-            rx[:, :, : m_max * n_samp_mb].reshape(2, 2, m_max, n_samp_mb), 2, 0
-        )  # (m_max, 2, 2, Nsamp_mb)
+            rx[..., : m_max * n_samp_mb].reshape(n_rb, 2, 2, m_max, n_samp_mb), 3, 0
+        )  # (m_max, R, 2, 2, Nsamp_mb)
     else:
         fs = stride_sym
         assert bl_sym % fs == 0, "window length must be a multiple of the stride"
@@ -433,13 +481,13 @@ def vae_dp_frame_train_pallas(
         n_sym_tot = rx.shape[-1] // 2
         n_ch = n_sym_tot // fs
         m_max = (n_sym_tot - bl_sym) // fs  # reference's n_windows
-        ch = rx[:, :, : n_ch * 2 * fs].reshape(2, 2, n_ch, 2 * fs)
+        ch = rx[..., : n_ch * 2 * fs].reshape(n_rb, 2, 2, n_ch, 2 * fs)
         wins = jnp.stack(
-            [ch[:, :, i : i + m_max] for i in range(k_ch)], axis=-2
-        )  # (2, 2, m_max, k_ch, 2*fs): window w = chunks w..w+k_ch-1
-        rx_mb = jnp.moveaxis(wins.reshape(2, 2, m_max, n_samp_mb), 2, 0)
+            [ch[:, :, :, i : i + m_max] for i in range(k_ch)], axis=-2
+        )  # (R, 2, 2, m_max, k_ch, 2*fs): window w = chunks w..w+k_ch-1
+        rx_mb = jnp.moveaxis(wins.reshape(n_rb, 2, 2, m_max, n_samp_mb), 3, 0)
 
-    def arrange(x):
+    def arrange(x):  # x: (2, 2, n_samp_mb) one run's minibatch
         x_i = jnp.concatenate([x[:, 0, :], -x[:, 1, :]])
         x_q = jnp.concatenate([x[:, 1, :], x[:, 0, :]])
 
@@ -453,18 +501,18 @@ def vae_dp_frame_train_pallas(
         rx4 = x.reshape(4, n_samp_mb)
         return im2col(x_i), im2col(x_q), rx4, rx4[:, 0::2], rx4[:, 1::2]
 
-    xi, xq, rx4, rxe, rxo = jax.vmap(arrange)(rx_mb)
+    xi, xq, rx4, rxe, rxo = jax.vmap(jax.vmap(arrange))(rx_mb)
 
     mask_e, mask_o = _support_masks(m, n_sym)
     mask_e = jnp.asarray(mask_e)
     mask_o = jnp.asarray(mask_o)
 
-    w2 = w.reshape(2, 4 * m)
-    h8 = _to_parity_major(h.reshape(8, m))
-    mw2 = opt["mw"].reshape(2, 4 * m)
-    vw2 = opt["vw"].reshape(2, 4 * m)
-    mh8 = _to_parity_major(opt["mh"].reshape(8, m))
-    vh8 = _to_parity_major(opt["vh"].reshape(8, m))
+    w2 = w.reshape(n_rb, 2, 4 * m)
+    h8 = _to_parity_major(h.reshape(n_rb, 8, m))
+    mw2 = opt["mw"].reshape(n_rb, 2, 4 * m)
+    vw2 = opt["vw"].reshape(n_rb, 2, 4 * m)
+    mh8 = _to_parity_major(opt["mh"].reshape(n_rb, 8, m))
+    vh8 = _to_parity_major(opt["vh"].reshape(n_rb, 8, m))
     scal = jnp.stack(
         [var[0], var[1], jnp.float32(nu_sc), jnp.float32(1e-12),
          jnp.float32(lr), jnp.float32(lr_half_step), jnp.float32(step0),
@@ -473,32 +521,32 @@ def vae_dp_frame_train_pallas(
     amps_row = amps.reshape(1, n_lev).astype(jnp.float32)
     p_row = P.reshape(1, n_lev).astype(jnp.float32)
 
-    kernel = functools.partial(_kernel, n_sym=n_sym, m=m, n_lev=n_lev)
+    kernel = functools.partial(_kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    per_mb3 = lambda c, l: pl.BlockSpec(
-        (1, c, l), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM
+    per_mb4 = lambda c, l: pl.BlockSpec(
+        (1, n_rb, c, l), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM
     )
 
     (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, q_all, out_all) = pl.pallas_call(
         kernel,
         grid=(m_max,),
         out_shape=(
-            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, 1, 128), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, 4 * n_lev, n_sym), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, 4, n_sym), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, 2, 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, 8, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, 2, 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, 2, 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, 8, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, 8, m), jnp.float32),
+            jax.ShapeDtypeStruct((m_max, n_rb, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((m_max, n_rb, 4 * n_lev, n_sym), jnp.float32),
+            jax.ShapeDtypeStruct((m_max, n_rb, 4, n_sym), jnp.float32),
         ),
         in_specs=[
-            per_mb3(4 * m, n_sym),
-            per_mb3(4 * m, n_sym),
-            per_mb3(4, n_samp_mb),
-            per_mb3(4, n_sym),
-            per_mb3(4, n_sym),
+            per_mb4(4 * m, n_sym),
+            per_mb4(4 * m, n_sym),
+            per_mb4(4, n_samp_mb),
+            per_mb4(4, n_sym),
+            per_mb4(4, n_sym),
             full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
             full(), full(),
@@ -506,25 +554,25 @@ def vae_dp_frame_train_pallas(
         ],
         out_specs=(
             full(), full(), full(), full(), full(), full(),
-            pl.BlockSpec((1, 1, 128), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM),
-            per_mb3(4 * n_lev, n_sym),
-            per_mb3(4, n_sym),
+            pl.BlockSpec((1, n_rb, 1, 128), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
+            per_mb4(4 * n_lev, n_sym),
+            per_mb4(4, n_sym),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 4 * m), jnp.float32),  # w
-            pltpu.VMEM((8, m), jnp.float32),  # h (parity-major)
-            pltpu.VMEM((2, 4 * m), jnp.float32),  # mw
-            pltpu.VMEM((2, 4 * m), jnp.float32),  # vw
-            pltpu.VMEM((8, m), jnp.float32),  # mh
-            pltpu.VMEM((8, m), jnp.float32),  # vh
-            pltpu.VMEM((4 * n_lev, n_sym), jnp.float32),  # q
-            pltpu.VMEM((4 * mhe, n_sym - mh), jnp.float32),  # eqwin even
-            pltpu.VMEM((4 * mh, n_sym - mh), jnp.float32),  # eqwin odd
-            pltpu.VMEM((4 * mhe, n_sym), jnp.float32),  # gdwin even
-            pltpu.VMEM((4 * mh, n_sym), jnp.float32),  # gdwin odd
-            pltpu.VMEM((8, m), jnp.float32),  # gh assembly
-            pltpu.VMEM((4, 4 * mhe), jnp.float32),  # CT coeffs, even taps
-            pltpu.VMEM((4, 4 * mh), jnp.float32),  # CT coeffs, odd taps
+            pltpu.VMEM((n_rb, 2, 4 * m), jnp.float32),  # w
+            pltpu.VMEM((n_rb, 8, m), jnp.float32),  # h (parity-major)
+            pltpu.VMEM((n_rb, 2, 4 * m), jnp.float32),  # mw
+            pltpu.VMEM((n_rb, 2, 4 * m), jnp.float32),  # vw
+            pltpu.VMEM((n_rb, 8, m), jnp.float32),  # mh
+            pltpu.VMEM((n_rb, 8, m), jnp.float32),  # vh
+            pltpu.VMEM((n_rb, 4 * n_lev, n_sym), jnp.float32),  # q
+            pltpu.VMEM((n_rb, 4 * mhe, n_sym - mh), jnp.float32),  # eqwin even
+            pltpu.VMEM((n_rb, 4 * mh, n_sym - mh), jnp.float32),  # eqwin odd
+            pltpu.VMEM((n_rb, 4 * mhe, n_sym), jnp.float32),  # gdwin even
+            pltpu.VMEM((n_rb, 4 * mh, n_sym), jnp.float32),  # gdwin odd
+            pltpu.VMEM((n_rb, 8, m), jnp.float32),  # gh assembly
+            pltpu.VMEM((n_rb, 4, 4 * mhe), jnp.float32),  # CT coeffs, even taps
+            pltpu.VMEM((n_rb, 4, 4 * mh), jnp.float32),  # CT coeffs, odd taps
         ],
         interpret=interpret,
     )(
@@ -533,35 +581,65 @@ def vae_dp_frame_train_pallas(
         w2, h8, mw2, vw2, mh8, vh8, amps_row, p_row, scal,
     )
 
-    losses = stats[:, 0, 0]
-    var_est = stats[:, 0, 1:3]
-    q4 = q_all.reshape(m_max, 4, n_lev, n_sym)
+    losses = stats[:, :, 0, 0]  # (m_max, R)
+    var_est = stats[:, :, 0, 1:3]  # (m_max, R, 2)
+    q4 = q_all.reshape(m_max, n_rb, 4, n_lev, n_sym)
     q = jnp.stack(
         [
-            jnp.concatenate([q4[:, 0], q4[:, 2]], axis=1),
-            jnp.concatenate([q4[:, 1], q4[:, 3]], axis=1),
+            jnp.concatenate([q4[:, :, 0], q4[:, :, 2]], axis=2),
+            jnp.concatenate([q4[:, :, 1], q4[:, :, 3]], axis=2),
         ],
-        axis=1,
-    )  # (m_max, 2, 2*n_lev, n_sym)
+        axis=2,
+    )  # (m_max, R, 2, 2*n_lev, n_sym)
     out = jnp.stack(
         [
-            jnp.stack([out_all[:, 0], out_all[:, 2]], axis=1),
-            jnp.stack([out_all[:, 1], out_all[:, 3]], axis=1),
+            jnp.stack([out_all[:, :, 0], out_all[:, :, 2]], axis=2),
+            jnp.stack([out_all[:, :, 1], out_all[:, :, 3]], axis=2),
         ],
-        axis=1,
-    )  # (m_max, 2, 2, n_sym)
+        axis=2,
+    )  # (m_max, R, 2, 2, n_sym)
     opt_new = {
-        "mw": mw_o.reshape(2, 4, m),
-        "vw": vw_o.reshape(2, 4, m),
-        "mh": _from_parity_major(mh_o, m).reshape(2, 2, 2, m),
-        "vh": _from_parity_major(vh_o, m).reshape(2, 2, 2, m),
+        "mw": mw_o.reshape(n_rb, 2, 4, m),
+        "vw": vw_o.reshape(n_rb, 2, 4, m),
+        "mh": _from_parity_major(mh_o, m).reshape(n_rb, 2, 2, 2, m),
+        "vh": _from_parity_major(vh_o, m).reshape(n_rb, 2, 2, 2, m),
     }
     return (
-        w_o.reshape(2, 4, m),
-        _from_parity_major(h_o, m).reshape(2, 2, 2, m),
+        w_o.reshape(n_rb, 2, 4, m),
+        _from_parity_major(h_o, m).reshape(n_rb, 2, 2, 2, m),
         opt_new,
         losses,
         var_est,
         q,
         out,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bl_sym", "stride_sym", "interpret"))
+def vae_dp_frame_train_pallas(
+    w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
+    *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
+):
+    """Single-run frame training: the R=1 case of the runs-batched kernel.
+
+    w: (2, 4, M); h: (2, 2, 2, M); rx: (2, 2, Nsamp); see
+    ``vae_dp_frame_train_pallas_rb`` for semantics and restrictions.
+    Returns (w', h', opt', losses (m_max,), var_est (m_max, 2),
+    q (m_max, 2, 2*n_lev, bl_sym), out (m_max, 2, 2, bl_sym)) — exactly the
+    per-frame quantities of the lax.scan step path in train/dp.py.
+    """
+    lead = lambda t: t[None]
+    w1, h1, opt1, losses, var_est, q, out = vae_dp_frame_train_pallas_rb(
+        lead(w), lead(h), jax.tree.map(lead, opt), lead(rx),
+        amps, var, nu_sc, P, lr, step0, lr_half_step,
+        bl_sym=bl_sym, stride_sym=stride_sym, interpret=interpret,
+    )
+    return (
+        w1[0],
+        h1[0],
+        jax.tree.map(lambda t: t[0], opt1),
+        losses[:, 0],
+        var_est[:, 0],
+        q[:, 0],
+        out[:, 0],
     )

@@ -152,10 +152,15 @@ def _dp_result(hist: dict, var, prefix: tuple, num_frames: int, **extra) -> dict
     }
 
 
+def _default_runs_batch(runs: int, cap: int = 8) -> int:
+    """Largest divisor of ``runs`` not exceeding ``cap`` (kernel batch size)."""
+    return max(d for d in range(1, min(cap, runs) + 1) if runs % d == 0)
+
+
 def _run_frame_kernel_experiment(
     cfg, key, gen, const, amps, P, var, *, steps_per_frame, stride_sym,
     tx_of, weight_fn, params, runs, mesh, progress, compiled, chunk_frames,
-    checkpoint, checkpoint_every, timings,
+    checkpoint, checkpoint_every, timings, runs_batch=None,
 ):
     """Shared use_pallas="frame" experiment driver for VAE and VAEflex.
 
@@ -164,18 +169,57 @@ def _run_frame_kernel_experiment(
     correction continue across frames exactly like the optax paths.
     tx_of(tx_full) selects the ground truth for the recorded stream;
     weight_fn(shift0, max_shift) builds the eval mask.
+
+    With ``runs`` set, repeats are executed in kernel-level batches of
+    ``runs_batch`` (default: largest divisor of runs <= 8): one grid step
+    trains one minibatch of all rb runs (near-free on the VPU/MXU, see
+    ops/frame_kernel.py), and the remaining runs/rb groups ride the usual
+    vmap — which for a pallas_call serializes grid steps, so rb is the
+    lever that makes aggregate throughput scale.
     """
-    from ..ops.frame_kernel import frame_opt_init, vae_dp_frame_train_pallas
+    from ..ops.frame_kernel import (
+        frame_opt_init,
+        vae_dp_frame_train_pallas,
+        vae_dp_frame_train_pallas_rb,
+    )
 
     thresh = float(cfg.n_lrhalf) * steps_per_frame
-    carry = (params, frame_opt_init(params), jnp.int32(0))
-    if runs is not None:
-        carry = shard_runs(broadcast_runs(carry, runs), mesh)
+
+    if runs is None:
+        carry = (params, frame_opt_init(params), jnp.int32(0))
+        kernel_call = vae_dp_frame_train_pallas
+        rb = None
+        fields = _VAE_FIELDS
+    else:
+        rb = runs_batch or _default_runs_batch(runs)
+        if runs % rb != 0:
+            raise ValueError(f"runs_batch={rb} must divide runs={runs}")
+        groups = runs // rb
+        # (runs, ...) -> (groups, rb, ...): the harness vmaps over groups,
+        # the kernel batches over rb; the step count is per group
+        params = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (groups, rb) + x.shape),
+            params,
+        )
+        carry = (params, frame_opt_init(params), jnp.zeros((groups,), jnp.int32))
+        carry = shard_runs(carry, mesh)
+        kernel_call = vae_dp_frame_train_pallas_rb
+        fields = tuple((k, n * rb) for k, n in _VAE_FIELDS)
+
+    def one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma):
+        return _finish_vae_frame(
+            losses, q_mb, out_mb, var_est, tx_of(tx_full), const, amps, P, var,
+            weight_fn, sigma,
+        )
 
     def frame_step(carry, key, theta):
         params, opt, count = carry
-        rx, tx_full, sigma = gen(key, theta)
-        w, h, opt, losses, var_est, q_mb, out_mb = vae_dp_frame_train_pallas(
+        if rb is None:
+            rx, tx_full, sigma = gen(key, theta)
+        else:
+            keys = jax.random.split(key, rb)
+            rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
+        w, h, opt, losses, var_est, q_mb, out_mb = kernel_call(
             params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
             jnp.float32(cfg.lr), count.astype(jnp.float32),
             jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
@@ -184,17 +228,36 @@ def _run_frame_kernel_experiment(
             crop0 = (cfg.batch_len - stride_sym) // 2
             q_mb = q_mb[..., crop0 : crop0 + stride_sym]
             out_mb = out_mb[..., crop0 : crop0 + stride_sym]
-        packed = _finish_vae_frame(
-            losses, q_mb, out_mb, var_est, tx_of(tx_full), const, amps, P, var,
-            weight_fn, sigma,
-        )
+        if rb is None:
+            packed = one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma)
+        else:
+            # kernel outputs are (m_max, rb, ...); eval per run, then regroup
+            # the packed vectors field-major so the harness's (k, n*rb)
+            # fields unpack to (rb, n) blocks
+            packed_rb = jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 0, 0))(
+                losses, q_mb, out_mb, var_est, tx_full, sigma
+            )  # (rb, n_tot)
+            off, parts = 0, []
+            for _, n in _VAE_FIELDS:
+                parts.append(packed_rb[:, off : off + n].reshape(-1))
+                off += n
+            packed = jnp.concatenate(parts)
         return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 
     (params, _, _), hist = run_frame_loop(
-        frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
-        runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
+        frame_step, carry, _frame_inputs(cfg, key), fields,
+        runs=None if runs is None else runs // rb,
+        progress=progress, compiled=compiled, chunk_frames=chunk_frames,
         checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
+    if rb is not None:
+        # (groups, rb*n, frames) -> (runs, n, frames), squeezed for n == 1
+        def unflatten(v, n):
+            out = v.reshape(runs, n, cfg.num_frames)
+            return out[:, 0, :] if n == 1 else out
+
+        hist = {k: unflatten(hist[k], n) for k, n in _VAE_FIELDS}
+        params = jax.tree.map(lambda x: x.reshape((runs,) + x.shape[2:]), params)
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
 
@@ -212,6 +275,7 @@ def train_vae_dp(
     checkpoint_every: int = 0,
     timings: dict | None = None,
     chunk_frames: int = 1,
+    runs_batch: int | None = None,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -224,7 +288,10 @@ def train_vae_dp(
     Adam updates) as ONE MXU-based kernel call (ops/frame_kernel.py) —
     measured 3.5x the per-step scan on v5e (15 vs 53 us/step; the scan's
     cost is its serial per-step instruction stream). Both require sps=2 and
-    odd M.
+    odd M. With ``use_pallas="frame"`` and ``runs``, repeats run in
+    kernel-level batches of ``runs_batch`` (default: largest divisor of
+    runs <= 8) so aggregate throughput scales instead of serializing under
+    vmap.
     """
     m_max = cfg.n_frame_max // cfg.batch_len
     n_frame = m_max * cfg.batch_len
@@ -246,6 +313,7 @@ def train_vae_dp(
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
+            runs_batch=runs_batch,
         )
 
     opt = _vae_optimizer(cfg, m_max)
@@ -310,6 +378,7 @@ def train_vae_flex_dp(
     checkpoint_every: int = 0,
     timings: dict | None = None,
     chunk_frames: int = 1,
+    runs_batch: int | None = None,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
@@ -347,6 +416,7 @@ def train_vae_flex_dp(
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
+            runs_batch=runs_batch,
         )
 
     opt = _vae_optimizer(cfg, n_windows)
@@ -411,6 +481,7 @@ def run_cma_dp(
     checkpoint=None,
     checkpoint_every: int = 0,
     chunk_frames: int = 1,
+    timings: dict | None = None,
 ):
     """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
 
@@ -427,7 +498,17 @@ def run_cma_dp(
     n_eval = n_frame - 2 * cfg.n_cut  # symbols per frame after downsampling
 
     check_pallas_mode(cfg.loss_type, use_pallas)
-    if cfg.loss_type == "CMA":
+    if use_pallas == "frame":
+        # whole-frame fused chunk engine (ops/cma_frame_kernel.py): all of a
+        # frame's tap updates in ONE pallas_call (CMAbatch/CMAflex only —
+        # the table above rejects it for per-symbol CMA)
+        from ..ops.cma_frame_kernel import cma_chunked_frame_pallas
+
+        step = cfg.batch_len if cfg.loss_type == "CMAbatch" else cfg.flex_step
+        equalize = lambda rx, h, lr: cma_chunked_frame_pallas(
+            rx, cfg.R, h, lr, cfg.batch_len, step, cfg.sps
+        )
+    elif cfg.loss_type == "CMA":
         if use_pallas:
             from ..ops import cma_dp_pallas
 
@@ -476,7 +557,7 @@ def run_cma_dp(
     h, hist = run_frame_loop(
         frame_step, h, (frame_keys, thetas, lrs), _CMA_FIELDS,
         runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
-        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, taps=h)

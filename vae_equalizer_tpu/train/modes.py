@@ -23,9 +23,11 @@ __all__ = ["PALLAS_MODES", "check_pallas_mode"]
 PALLAS_MODES: dict[str, tuple] = {
     "VAE": (False, True, "frame"),
     "VAEflex": (False, True, "frame"),
+    # per-symbol CMA has no chunk structure to fuse ("frame" N/A); its
+    # per-symbol recurrence kernel is mode True (ops/cma_kernel.py)
     "CMA": (False, True),
-    "CMAbatch": (False,),
-    "CMAflex": (False,),
+    "CMAbatch": (False, "frame"),
+    "CMAflex": (False, "frame"),
 }
 
 

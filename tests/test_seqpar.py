@@ -113,3 +113,29 @@ def test_sharded_full_loop_compiled_runs(mesh):
     res = train_vae_dp_sharded(cfg, jax.random.PRNGKey(1), runs=2, mesh=mesh, compiled=True)
     assert res["ser"].shape == (2, 4, 2)
     assert np.all(np.isfinite(res["ser"]))
+
+
+def test_sharded_flex_loop_matches_single_device(mesh):
+    """train_vae_flex_dp_sharded: the VAEflex overlapping-window experiment
+    on the dp x sp mesh matches train_vae_flex_dp(runs=...) — same window
+    assembly, central crops, and eval — for the early frames."""
+    from vae_equalizer_tpu.parallel.seqpar import train_vae_flex_dp_sharded
+    from vae_equalizer_tpu.train import train_vae_flex_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    # few windows per frame (6): with the reference's 45+ chained Adam steps
+    # the sharded reduction order diverges chaotically within one frame
+    # (verified: window-0 losses match to 1e-4), so the trajectory
+    # comparison must stay in the pre-chaos regime like the VAE test above
+    cfg = DpConfig(
+        mod="4-QAM", snr_db=20.0, num_frames=3, n_frame_max=400,
+        batch_len=100, flex_step=50, lr=2.5e-3,
+    )
+    key = jax.random.PRNGKey(9)
+    a = train_vae_flex_dp(cfg, key, runs=2)
+    b = train_vae_flex_dp_sharded(cfg, key, runs=2, mesh=mesh)
+    assert b["ser"].shape == a["ser"].shape == (2, 4, 3)
+    np.testing.assert_allclose(b["ser"][..., :2], a["ser"][..., :2], atol=2e-3)
+    np.testing.assert_allclose(b["mi"][..., :2], a["mi"][..., :2], atol=1e-2)
+    np.testing.assert_allclose(b["var_est"][..., :2], a["var_est"][..., :2], rtol=1e-3)
+    assert np.all(np.isfinite(b["ser"])) and np.all(b["ser"] <= 1.0)

@@ -40,8 +40,9 @@ def main(argv=None):
                         "the per-call host/tunnel latency K-fold while "
                         "keeping progress and checkpoint/resume")
     p.add_argument("--sp", type=int, default=1,
-                   help="sequence-parallel degree: shard each minibatch's time "
-                        "axis over sp devices (VAE only; dp axis = devices/sp)")
+                   help="sequence-parallel degree: shard each minibatch's/"
+                        "window's time axis over sp devices (VAE/VAEflex; "
+                        "dp axis = devices/sp)")
     args = p.parse_args(argv)
     if args.pallas and args.pallas_frame:
         p.error("--pallas and --pallas-frame are mutually exclusive")
@@ -88,11 +89,15 @@ def main(argv=None):
     mesh, key = setup(args)
     runner_name = args.loss_type
     if args.sp > 1:
-        if args.loss_type != "VAE":
-            p.error("--sp requires --loss-type VAE")
+        if args.loss_type not in ("VAE", "VAEflex"):
+            p.error("--sp requires --loss-type VAE or VAEflex")
         if args.pallas or args.pallas_frame:
             p.error("--sp and --pallas/--pallas-frame are mutually exclusive "
                     "(the sharded step has no fused-kernel path)")
+        if args.loss_type == "VAEflex" and any(
+            b % f for b in args.batch_len for f in args.flex_step
+        ):
+            p.error("--sp (VAEflex) needs batch-len divisible by flex-step")
         import jax
 
         from ..parallel.seqpar import make_mesh_2d
@@ -102,7 +107,7 @@ def main(argv=None):
             p.error(f"--sp {args.sp} must divide the device count ({n_dev})")
         n_dp = n_dev // args.sp
         mesh = make_mesh_2d(n_dp, args.sp)
-        runner_name = "VAE-SP"
+        runner_name = f"{args.loss_type}-SP"
         if iters % n_dp:
             iters = (iters // n_dp + 1) * n_dp
             print(f"# --sp: rounding iters up to {iters} (multiple of dp={n_dp})")

@@ -41,6 +41,7 @@ __all__ = [
     "make_sp_dp_train_step",
     "make_mesh_2d",
     "train_vae_dp_sharded",
+    "train_vae_flex_dp_sharded",
 ]
 
 
@@ -231,6 +232,7 @@ def train_vae_dp_sharded(
     checkpoint=None,
     checkpoint_every: int = 0,
     chunk_frames: int = 1,
+    flex_windows: bool = False,
 ):
     """Full DP VAE online experiment on a dp x sp device mesh.
 
@@ -248,6 +250,13 @@ def train_vae_dp_sharded(
     ``mesh`` defaults to a dp x sp mesh over all devices with sp=2 when the
     device count is even (sp=1 otherwise) — pass an explicit
     ``make_mesh_2d(n_dp, n_sp)`` to control the split.
+
+    ``flex_windows=True`` runs the VAEflex scheme instead (overlapping
+    sliding windows with central crop, func_VAEflex_DP_MQAM_shaping.py:59-70):
+    each window's sample axis is sp-sharded with the same halo exchange —
+    the window is just a minibatch that starts every ``flex_step`` symbols —
+    and only the central flex_step symbols feed the recorded stream.
+    Requires batch_len %% flex_step == 0.
     """
     from ..train.dp import (
         _VAE_FIELDS,
@@ -257,7 +266,7 @@ def train_vae_dp_sharded(
         _setup,
         _vae_optimizer,
     )
-    from ..train.eval_utils import batch_cut_weight
+    from ..train.eval_utils import batch_cut_weight, margin_weight_maxshift
     from ..train.harness import run_frame_loop
 
     if mesh is None:
@@ -267,10 +276,19 @@ def train_vae_dp_sharded(
     runs = n_dp if runs is None else runs
     if runs % n_dp != 0:
         raise ValueError(f"runs={runs} must be a multiple of the dp axis ({n_dp})")
-    m_max = cfg.n_frame_max // cfg.batch_len
-    n_frame = m_max * cfg.batch_len
+    m_max0 = cfg.n_frame_max // cfg.batch_len
+    n_frame = m_max0 * cfg.batch_len
     const, var, gen, amps, prior = _setup(cfg, n_frame)
     mb_len = cfg.batch_len * cfg.sps
+    if flex_windows:
+        if cfg.batch_len % cfg.flex_step != 0:
+            raise ValueError("flex sp-sharding needs batch_len %% flex_step == 0")
+        fs = cfg.flex_step
+        m_span = (n_frame - cfg.batch_len) // fs * fs  # recorded symbols
+        m_max = m_span // fs  # windows per frame
+        crop0 = (cfg.batch_len - fs) // 2
+    else:
+        m_max = m_max0
     if mb_len % (n_sp * cfg.sps) != 0:
         raise ValueError(f"minibatch length {mb_len} must split over sp={n_sp} whole symbols")
     if cfg.m_est % 2 == 0:
@@ -280,7 +298,7 @@ def train_vae_dp_sharded(
         "w": butterfly_init(cfg.m_est),
         "h": dirac_taps_dp(cfg.m_est),
     }
-    opt = _vae_optimizer(cfg, m_max)
+    opt = _vae_optimizer(cfg, m_max)  # m_max = optimizer steps per frame
     run_sh = NamedSharding(mesh, P("dp"))
     params = jax.device_put(
         jax.tree.map(lambda x: jnp.broadcast_to(x, (runs,) + x.shape), params0), run_sh
@@ -326,20 +344,45 @@ def train_vae_dp_sharded(
     def frame_step(carry, key, theta):
         params, opt_state = carry
         keys = jax.random.split(key, runs)  # matches the vmapped runs path
-        rx, tx, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
+        rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
         rx = jax.lax.with_sharding_constraint(rx, run_sh)
-        # (runs, 2, 2, N) -> (runs, m_max, 2, 2, mb_len): contiguous minibatches
-        rx_mb = jnp.moveaxis(rx.reshape(runs, 2, 2, m_max, mb_len), 3, 1)
+        if flex_windows:
+            # overlapping windows: window w = chunks w..w+k_ch-1 of fs
+            # symbols (same reshaped-chunk assembly as ops/frame_kernel.py)
+            fs2 = cfg.flex_step * cfg.sps
+            k_ch = mb_len // fs2
+            n_ch = rx.shape[-1] // fs2
+            ch = rx[..., : n_ch * fs2].reshape(runs, 2, 2, n_ch, fs2)
+            rx_mb = jnp.stack(
+                [ch[:, :, :, i : i + m_max] for i in range(k_ch)], axis=-2
+            ).reshape(runs, 2, 2, m_max, mb_len)
+            rx_mb = jnp.moveaxis(rx_mb, 3, 1)
+            # recorded stream = central crops; its ground truth starts at
+            # batch_len//2 (train/dp.py:train_vae_flex_dp)
+            tx = jax.lax.dynamic_slice_in_dim(
+                tx_full, cfg.batch_len // 2, m_max * cfg.flex_step, 3
+            )
+        else:
+            # (runs, 2, 2, N) -> (runs, m_max, 2, 2, mb_len): contiguous
+            rx_mb = jnp.moveaxis(rx.reshape(runs, 2, 2, m_max, mb_len), 3, 1)
+            tx = tx_full
         params, opt_state, losses, q_mb, out_mb, var_est = train_frame(
             params, opt_state, rx_mb
         )
         n_lev = amps.shape[0]
         q_mb = q_mb.reshape(runs, m_max, 2, 2 * n_lev, cfg.batch_len)
+        if flex_windows:
+            q_mb = q_mb[..., crop0 : crop0 + cfg.flex_step]
+            out_mb = out_mb[..., crop0 : crop0 + cfg.flex_step]
+            n_rec = m_max * cfg.flex_step
+            weight_fn = lambda s0, ms: margin_weight_maxshift(n_rec, ms)
+        else:
+            weight_fn = lambda s0, ms: batch_cut_weight(
+                m_max, cfg.batch_len, s0, ms, cfg.n_cut
+            )
         packed = jax.vmap(
             lambda l, q, o, v, t, s: _finish_vae_frame(
-                l, q, o, v, t, const, amps, prior, var,
-                lambda s0, ms: batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut),
-                s,
+                l, q, o, v, t, const, amps, prior, var, weight_fn, s,
             )
         )(losses, q_mb, out_mb, var_est, tx, sigma)
         return (params, opt_state), packed
@@ -351,3 +394,14 @@ def train_vae_dp_sharded(
         checkpoint=checkpoint, checkpoint_every=checkpoint_every,
     )
     return _dp_result(hist, var, (runs,), cfg.num_frames, params=params)
+
+
+def train_vae_flex_dp_sharded(cfg, key, **kwargs):
+    """VAEflex (overlapping sliding windows) on a dp x sp mesh.
+
+    ``train_vae_dp_sharded`` with ``flex_windows=True``: every window's
+    sample axis is sp-sharded with the same halo-exchange butterfly and
+    psum'd ELBO/gradients; recorded stream and eval semantics match
+    train/dp.py:train_vae_flex_dp.
+    """
+    return train_vae_dp_sharded(cfg, key, flex_windows=True, **kwargs)

@@ -31,7 +31,7 @@ from ..train import (
     train_vae_nn_awgn,
 )
 from ..utils import io
-from .seqpar import train_vae_dp_sharded
+from .seqpar import train_vae_dp_sharded, train_vae_flex_dp_sharded
 
 RUNNERS = {
     "VAE-LE-AWGN": train_vae_le_awgn,
@@ -39,6 +39,7 @@ RUNNERS = {
     "CMA-AWGN": run_cma_awgn,
     "VAE": train_vae_dp,
     "VAE-SP": train_vae_dp_sharded,  # dp x sp sequence-parallel VAE
+    "VAEflex-SP": train_vae_flex_dp_sharded,  # dp x sp VAEflex windows
     "VAEflex": train_vae_flex_dp,
     "CMA": run_cma_dp,
     "CMAbatch": run_cma_dp,

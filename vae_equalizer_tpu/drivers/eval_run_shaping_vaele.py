@@ -21,7 +21,13 @@ def main(argv=None):
     p.add_argument("--n-valid", type=int, default=15000)
     p.add_argument("--pallas", action="store_true",
                    help="fused exact-f32 train-step kernel (sps=2, odd M)")
+    p.add_argument("--pallas-frame", action="store_true",
+                   help="whole-EXPERIMENT fused kernel: all epochs' steps + "
+                        "AMSGrad in one MXU pallas call, evals batched "
+                        "(ops/siso_frame_kernel.py; sps=2, odd M)")
     args = p.parse_args(argv)
+    if args.pallas and args.pallas_frame:
+        p.error("--pallas and --pallas-frame are mutually exclusive")
 
     iters = args.iters or 20
     if args.quick:
@@ -38,7 +44,8 @@ def main(argv=None):
         "VAE-LE-AWGN", base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"VAELE_shaping_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, **sweep_resume_kwargs(args),
-        runner_kwargs={"use_pallas": True} if args.pallas else None,
+        runner_kwargs={"use_pallas": True} if args.pallas
+        else {"use_pallas": "frame"} if args.pallas_frame else None,
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"VAELE_shaping_{args.nu[0]}_{args.channel}_{args.mod}", {

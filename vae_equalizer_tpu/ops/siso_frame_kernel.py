@@ -1,0 +1,450 @@
+"""Whole-EXPERIMENT fused SISO VAE training kernel: all epochs in one call.
+
+The AWGN VAE-LE experiment (reference func_VAELE_MQAM_shaping.py:291-322)
+is 500 epochs x 3 minibatch steps of the twoFIR + shaped-ELBO training —
+the pol=1 case of the DP frame kernel (ops/frame_kernel.py), with two
+extras: the per-component mean-|.| output normalization (and its VJP,
+derived in ops/elbo_siso_kernel.py) and AMSGrad instead of Adam. As with
+the DP path, the per-step cost in any serial formulation is the
+instruction stream, not FLOPs, so every contraction is an MXU matmul over
+a precomputed im2col:
+
+  forward   OUT  = W (1, 2M) @ XBIG (2M, 2N)        lanes [I-block | Q-block]
+  D conv    D    = CT (2, 2(mh+1)) @ EQwin          per tap parity
+  E term    S    = Vsum (1, N) @ MASK (N, mh+1)
+  gh        GH   = gD (2, ne) @ EQwin^T
+  gEq       GEQ  = CT2 (2, 2(mh+1)) @ gDwin
+  gV        gv   = (g_c |h|^2) (1, M) @ MASK^T
+  gw        GW   = GOUT (1, 2N) @ XBIG^T            ONE matmul for both
+                                                    components
+
+One grid step = one minibatch (both I/Q components ride the lane axis, so
+the demapper/softmin-VJP run once over (n_lev, 2N) tiles); the grid covers
+the ENTIRE experiment (num_epochs * n_batches steps) with W/h and the three
+AMSGrad moments carried in VMEM scratch. Post-(i*epe+1)-epoch parameters
+stream out to eval slot i (the output index map ((epoch + epe - 1) // epe)
+makes the last write to each slot land exactly after the epoch the
+reference evaluates, func_VAELE_MQAM_shaping.py:308 via train/awgn.py), so
+the 250 evaluations run VECTORIZED afterwards instead of serialized between
+epochs.
+
+AMSGrad (optax.amsgrad semantics): mu_hat = mu/bc1, nu_hat = nu/bc2,
+nu_max = max(nu_max, nu_hat), update = lr * mu_hat / (sqrt(nu_max) + eps).
+
+Restrictions: sps == 2 and odd M, like the step kernel. Parity:
+tests/test_siso_frame_kernel.py vs the step kernel + optax.amsgrad loop in
+interpret mode.
+
+scal (1, 8) SMEM: [var, amp_mean, eps_kl, lr, 0...]
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .frame_kernel import _support_masks
+
+__all__ = ["siso_frame_opt_init", "vae_siso_experiment_train_pallas"]
+
+_B1 = 0.9
+_B2 = 0.999
+_EPS = 1e-8
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b, contract=((1,), (0,))):
+    return jax.lax.dot_general(
+        a, b, (contract, ((), ())), preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+
+def siso_frame_opt_init(params) -> dict:
+    """Zero AMSGrad moments (mu, nu, nu_max) in the param shapes."""
+    z = lambda x: jnp.zeros_like(x)
+    return {
+        "mw": z(params["w"]), "vw": z(params["w"]), "xw": z(params["w"]),
+        "mh": z(params["h"]), "vh": z(params["h"]), "xh": z(params["h"]),
+    }
+
+
+def _kernel(
+    xbig_ref, rx_ref, rxe_ref, rxo_ref,
+    maske_ref, masko_ref, masket_ref, maskot_ref,
+    w_in, h_in, mw_in, vw_in, xw_in, mh_in, vh_in, xh_in,
+    amps_ref, p_ref, scal_ref,
+    w_out, h_out, mw_out, vw_out, xw_out, mh_out, vh_out, xh_out,
+    stats_ref, wev_ref, hev_ref,
+    w_sc, h_sc, mw_sc, vw_sc, xw_sc, mh_sc, vh_sc, xh_sc,
+    q_sc, eq_sc, eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc,
+    ct_e_sc, ct_o_sc, gh_sc, row2_sc,
+    *, n_sym, m, n_lev,
+):
+    mi = pl.program_id(0)
+
+    @pl.when(mi == 0)
+    def _():
+        w_sc[...] = w_in[...]
+        h_sc[...] = h_in[...]
+        mw_sc[...] = mw_in[...]
+        vw_sc[...] = vw_in[...]
+        xw_sc[...] = xw_in[...]
+        mh_sc[...] = mh_in[...]
+        vh_sc[...] = vh_in[...]
+        xh_sc[...] = xh_in[...]
+
+    n_samp = 2 * n_sym
+    mh = m // 2
+    mhe = mh + 1
+    n_eff = float(n_samp - 2 * mh)
+    ne = n_sym - mh
+    var = scal_ref[0, 0]
+    amp_mean = scal_ref[0, 1]
+    eps = scal_ref[0, 2]
+    lr = scal_ref[0, 3]
+    amps = amps_ref[0, :]
+    p_row = p_ref[0, :]
+    xbig = xbig_ref[0]  # (2M, 2N)
+    h_e = h_sc[:, :mhe]  # (2, mhe) rows (re, im), even taps
+    h_o = h_sc[:, mhe:]
+
+    # ---------------- forward + normalization
+    out = _dot(w_sc[...], xbig)  # (1, 2N) lanes [out_I | out_Q]
+    mu_i = jnp.sum(jnp.abs(out[:, :n_sym])) / float(n_sym)
+    mu_q = jnp.sum(jnp.abs(out[:, n_sym:])) / float(n_sym)
+    k_i = amp_mean / mu_i
+    k_q = amp_mean / mu_q
+    ones_n = jnp.ones((1, n_sym), jnp.float32)
+    krow = jnp.concatenate([ones_n * k_i, ones_n * k_q], axis=1)  # (1, 2N)
+    norm = out * krow
+
+    # ---------------- demapper (twoFIR: d^2/var, no PCS term) over 2N lanes
+    dlt = norm - amps[:, None]  # (n_lev, 2N)
+    metric = dlt * dlt / var
+    mmin = jnp.min(metric, axis=0, keepdims=True)
+    ex = jnp.exp(mmin - metric)
+    q = ex / jnp.sum(ex, axis=0, keepdims=True)
+    q_sc[...] = q
+    eqrow = jnp.sum(amps[:, None] * q, axis=0, keepdims=True)  # (1, 2N)
+    vrow = jnp.sum((amps * amps)[:, None] * q, axis=0, keepdims=True) - eqrow * eqrow
+
+    eq_sc[0:1, :] = eqrow[:, :n_sym]  # rows (EqI, EqQ)
+    eq_sc[1:2, :] = eqrow[:, n_sym:]
+    vsum = vrow[:, :n_sym] + vrow[:, n_sym:]  # (1, N)
+
+    # ---------------- D conv: windows + coefficient matmuls (per parity)
+    def win_stack(sc, n_a):
+        r = 0
+        for g in range(2):  # rows (EqI, EqQ)
+            for a in range(n_a):
+                sc[r : r + 1, :] = eq_sc[g : g + 1, mh - a : n_sym - a]
+                r += 1
+        return sc[...]
+
+    eqwin_e = win_stack(eqwin_e_sc, mhe)
+    eqwin_o = win_stack(eqwin_o_sc, mh)
+
+    def ct_d(sc, h_p, n_a):  # (2, 2*n_a) rows (D_re, D_im)
+        sc[0:1, :n_a] = h_p[0:1, :]
+        sc[0:1, n_a:] = -h_p[1:2, :]
+        sc[1:2, :n_a] = h_p[1:2, :]
+        sc[1:2, n_a:] = h_p[0:1, :]
+        return sc[...]
+
+    d_e = _dot(ct_d(ct_e_sc, h_e, mhe), eqwin_e)  # (2, ne)
+    d_o = _dot(ct_d(ct_o_sc, h_o, mh), eqwin_o)
+
+    # ---------------- E term
+    s_e = _dot(vsum, maske_ref[...])  # (1, mhe)
+    s_o = _dot(vsum, masko_ref[...])  # (1, mh)
+    s_cat = jnp.concatenate([s_e, s_o], axis=1)  # (1, M) parity-major
+    habsq = h_sc[0:1, :] * h_sc[0:1, :] + h_sc[1:2, :] * h_sc[1:2, :]
+    e_term = jnp.sum(habsq * s_cat)
+
+    # ---------------- C and loss
+    rx = rx_ref[0]  # (2, Nsamp)
+    rx_w = rx[:, mh : n_samp - mh]
+    c_base = jnp.sum(rx_w * rx_w)
+    rxe = rxe_ref[0]
+    rxo = rxo_ref[0]
+    if mh % 2 == 0:
+        rx_al_e = rxe[:, mh - mh // 2 : n_sym - mh // 2]
+        rx_al_o = rxo[:, mh - mh // 2 : n_sym - mh // 2]
+    else:
+        rx_al_e = rxo[:, mh - (mh + 1) // 2 : n_sym - (mh + 1) // 2]
+        rx_al_o = rxe[:, mh - mh // 2 : n_sym - mh // 2]
+
+    cross = jnp.sum(rx_al_e * d_e) + jnp.sum(rx_al_o * d_o)
+    dd = jnp.sum(d_e * d_e) + jnp.sum(d_o * d_o)
+    c = c_base - 2.0 * cross + dd + e_term
+
+    t_in = jax.lax.broadcasted_iota(jnp.int32, (1, n_sym), 1)
+    inner_mask = ((t_in >= mh) & (t_in < n_sym - mh)).astype(jnp.float32)
+    t_mask = jnp.concatenate([inner_mask, inner_mask], axis=1)  # (1, 2N)
+    ratio = q / p_row[:, None]
+    kl = jnp.sum(-q * jnp.log(ratio + eps) * t_mask)
+
+    loss = n_eff * jnp.log(c) - kl
+    stats_ref[0] = jnp.pad(loss.reshape(1, 1), ((0, 0), (0, 127)))
+
+    # ================ backward ================
+    g_c = n_eff / c
+    gd_e = g_c * (2.0 * d_e - 2.0 * rx_al_e)  # (2, ne)
+    gd_o = g_c * (2.0 * d_o - 2.0 * rx_al_o)
+
+    # ---- gh (parity-major rows (re, im)), ghm cols (g, a) g in (EqI, EqQ)
+    def gh_from(ghm, h_p, s_p, n_a, lane0):
+        gh_sc[0:1, lane0 : lane0 + n_a] = (
+            ghm[0:1, :n_a] + ghm[1:2, n_a:] + 2.0 * g_c * h_p[0:1, :] * s_p
+        )
+        gh_sc[1:2, lane0 : lane0 + n_a] = (
+            -ghm[0:1, n_a:] + ghm[1:2, :n_a] + 2.0 * g_c * h_p[1:2, :] * s_p
+        )
+
+    gh_from(_dot(gd_e, eqwin_e, ((1,), (1,))), h_e, s_e, mhe, 0)
+    gh_from(_dot(gd_o, eqwin_o, ((1,), (1,))), h_o, s_o, mh, mhe)
+    gh = gh_sc[...]  # (2, M)
+
+    # ---- gEq: GEQ (2, N) rows (I, Q) = CT2 @ gDwin, both parities
+    def gdwin(sc, gd_p, n_a):
+        padded = jnp.pad(gd_p, ((0, 0), (mh, n_a - 1)))
+        r = 0
+        for cpt in range(2):  # (d_re, d_im)
+            for a in range(n_a):
+                sc[r : r + 1, :] = padded[cpt : cpt + 1, a : a + n_sym]
+                r += 1
+        return sc[...]
+
+    def ct2(sc, h_p, n_a):  # rows (I, Q): acc_i = gdre hr + gdim hi, ...
+        sc[0:1, :n_a] = h_p[0:1, :]
+        sc[0:1, n_a:] = h_p[1:2, :]
+        sc[1:2, :n_a] = -h_p[1:2, :]
+        sc[1:2, n_a:] = h_p[0:1, :]
+        return sc[...]
+
+    geq = _dot(ct2(ct_e_sc, h_e, mhe), gdwin(gdwin_e_sc, gd_e, mhe)) + _dot(
+        ct2(ct_o_sc, h_o, mh), gdwin(gdwin_o_sc, gd_o, mh)
+    )  # (2, N)
+
+    # ---- gV: (1, N)
+    gco = g_c * habsq  # (1, M)
+    gv = _dot(gco[:, :mhe], masket_ref[...]) + _dot(gco[:, mhe:], maskot_ref[...])
+
+    # ---- softmin VJP over both components at once (2N lanes)
+    row2_sc[0:1, :n_sym] = geq[0:1, :]
+    row2_sc[0:1, n_sym:] = geq[1:2, :]
+    row2_sc[1:2, :n_sym] = gv
+    row2_sc[1:2, n_sym:] = gv
+    geqrow = row2_sc[0:1, :]
+    gvrow = row2_sc[1:2, :]
+    g_eq_r = geqrow - 2.0 * eqrow * gvrow
+    gq = amps[:, None] * g_eq_r + (amps * amps)[:, None] * gvrow
+    gq = gq + (jnp.log(ratio + eps) + ratio / (ratio + eps)) * t_mask
+    inner = jnp.sum(q * gq, axis=0, keepdims=True)
+    gm = -q * (gq - inner)
+    gnorm = jnp.sum(gm * 2.0 * (norm - amps[:, None]), axis=0, keepdims=True) / var
+
+    # ---- normalization VJP per component
+    dot_i = jnp.sum(gnorm[:, :n_sym] * norm[:, :n_sym])
+    dot_q = jnp.sum(gnorm[:, n_sym:] * norm[:, n_sym:])
+    dotrow = jnp.concatenate([ones_n * dot_i, ones_n * dot_q], axis=1)
+    gout = krow * (gnorm - jnp.sign(out) * dotrow / (float(n_sym) * amp_mean))
+
+    # ---- gw: one matmul over both components
+    gw = _dot(gout, xbig, ((1,), (1,)))  # (1, 2M)
+
+    # ================ in-kernel AMSGrad (optax semantics) ================
+    t = mi.astype(jnp.float32) + 1.0
+    bc1 = 1.0 - jnp.exp(t * math.log(_B1))
+    bc2 = 1.0 - jnp.exp(t * math.log(_B2))
+
+    def ams(m_sc, v_sc, x_sc, p_sc, g):
+        m_sc[...] = _B1 * m_sc[...] + (1.0 - _B1) * g
+        v_sc[...] = _B2 * v_sc[...] + (1.0 - _B2) * g * g
+        x_sc[...] = jnp.maximum(x_sc[...], v_sc[...] / bc2)
+        p_sc[...] = p_sc[...] - lr * (m_sc[...] / bc1) / (jnp.sqrt(x_sc[...]) + _EPS)
+
+    ams(mw_sc, vw_sc, xw_sc, w_sc, gw)
+    ams(mh_sc, vh_sc, xh_sc, h_sc, gh)
+
+    w_out[...] = w_sc[...]
+    h_out[...] = h_sc[...]
+    mw_out[...] = mw_sc[...]
+    vw_out[...] = vw_sc[...]
+    xw_out[...] = xw_sc[...]
+    mh_out[...] = mh_sc[...]
+    vh_out[...] = vh_sc[...]
+    xh_out[...] = xh_sc[...]
+    wev_ref[0] = w_sc[...]
+    hev_ref[0] = h_sc[...]
+
+
+def _to_parity_major(h2: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([h2[..., 0::2], h2[..., 1::2]], axis=-1)
+
+
+def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
+    mhe = m // 2 + 1
+    out = jnp.zeros(hpm.shape[:-1] + (m,), hpm.dtype)
+    out = out.at[..., 0::2].set(hpm[..., :mhe])
+    return out.at[..., 1::2].set(hpm[..., mhe:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bl_sym", "n_batches", "epe", "interpret")
+)
+def vae_siso_experiment_train_pallas(
+    w, h, opt, rx_epochs, amps, amp_mean, var, P, lr,
+    *, bl_sym: int, n_batches: int, epe: int, interpret: bool = False,
+):
+    """Run the FULL AWGN SISO VAE experiment (all epochs) in one pallas_call.
+
+    w: (1, 2, M); h: (2, M); opt: siso_frame_opt_init dict;
+    rx_epochs: (num_epochs, 2, n_samp) with n_samp >= n_batches*2*bl_sym;
+    lr: traced scalar. sps=2, odd M only.
+
+    Returns (w', h', opt', losses (steps,), w_evals, h_evals) where
+    w_evals/h_evals hold the parameters after epochs (i*epe + 1) for
+    i in [0, n_evals) plus the final parameters in the last slot
+    (n_evals = num_epochs // epe; see the module docstring for the index
+    map that achieves this).
+    """
+    m = w.shape[-1]
+    assert m % 2 == 1, "odd tap count only"
+    n_sym = bl_sym
+    n_samp_mb = 2 * bl_sym
+    n_lev = amps.shape[0]
+    mh = m // 2
+    mhe = mh + 1
+    num_epochs = rx_epochs.shape[0]
+    steps = num_epochs * n_batches
+    n_evals = num_epochs // epe
+
+    # (E, 2, n_samp) -> (E * n_batches, 2, n_samp_mb) contiguous minibatches
+    rx_mb = rx_epochs[:, :, : n_batches * n_samp_mb].reshape(
+        num_epochs, 2, n_batches, n_samp_mb
+    )
+    rx_mb = jnp.moveaxis(rx_mb, 2, 1).reshape(steps, 2, n_samp_mb)
+
+    def arrange(x):  # x: (2, n_samp_mb)
+        x_i = jnp.stack([x[0], x[1]])  # I-output arrangement
+        x_q = jnp.stack([x[1], -x[0]])  # Q-output arrangement
+
+        def im2col(arr):
+            xp = jnp.pad(arr, ((0, 0), (mh, mh + m)))
+            cols = jnp.stack(
+                [xp[:, k : k + 2 * n_sym : 2] for k in range(m)], axis=1
+            )  # (2, M, N)
+            return cols.reshape(2 * m, n_sym)
+
+        xbig = jnp.concatenate([im2col(x_i), im2col(x_q)], axis=1)  # (2M, 2N)
+        return xbig, x, x[:, 0::2], x[:, 1::2]
+
+    xbig, rx2, rxe, rxo = jax.vmap(arrange)(rx_mb)
+
+    mask_e, mask_o = _support_masks(m, n_sym)
+    mask_e = jnp.asarray(mask_e)
+    mask_o = jnp.asarray(mask_o)
+
+    w2 = w.reshape(1, 2 * m)
+    h8 = _to_parity_major(h)
+    opt_w = [opt[k].reshape(1, 2 * m) for k in ("mw", "vw", "xw")]
+    opt_h = [_to_parity_major(opt[k]) for k in ("mh", "vh", "xh")]
+    scal = jnp.stack(
+        [var, jnp.float32(amp_mean), jnp.float32(1e-12), jnp.float32(lr)]
+        + [jnp.float32(0.0)] * 4
+    ).reshape(1, 8).astype(jnp.float32)
+    amps_row = amps.reshape(1, n_lev).astype(jnp.float32)
+    p_row = P.reshape(1, n_lev).astype(jnp.float32)
+
+    kernel = functools.partial(_kernel, n_sym=n_sym, m=m, n_lev=n_lev)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    per_mb = lambda c, l: pl.BlockSpec(
+        (1, c, l), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM
+    )
+    # eval slot: last write to slot i happens after epoch i*epe (0-based),
+    # i.e. after (i*epe + 1) training epochs — the reference's eval points
+    ev_idx = lambda mi: ((mi // n_batches + epe - 1) // epe, 0, 0)
+
+    (w_o, h_o, mw_o, vw_o, xw_o, mh_o, vh_o, xh_o, stats, w_ev, h_ev) = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+            jax.ShapeDtypeStruct((2, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * m), jnp.float32),
+            jax.ShapeDtypeStruct((2, m), jnp.float32),
+            jax.ShapeDtypeStruct((2, m), jnp.float32),
+            jax.ShapeDtypeStruct((2, m), jnp.float32),
+            jax.ShapeDtypeStruct((steps, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_evals + 1, 1, 2 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_evals + 1, 2, m), jnp.float32),
+        ),
+        in_specs=[
+            per_mb(2 * m, 2 * n_sym),
+            per_mb(2, n_samp_mb),
+            per_mb(2, n_sym),
+            per_mb(2, n_sym),
+            full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(), full(), full(),
+            full(), full(),
+            pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            full(), full(), full(), full(), full(), full(), full(), full(),
+            pl.BlockSpec((1, 1, 128), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * m), ev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, m), ev_idx, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, 2 * m), jnp.float32),  # w
+            pltpu.VMEM((2, m), jnp.float32),  # h (parity-major)
+            pltpu.VMEM((1, 2 * m), jnp.float32),  # mw
+            pltpu.VMEM((1, 2 * m), jnp.float32),  # vw
+            pltpu.VMEM((1, 2 * m), jnp.float32),  # xw (nu_max)
+            pltpu.VMEM((2, m), jnp.float32),  # mh
+            pltpu.VMEM((2, m), jnp.float32),  # vh
+            pltpu.VMEM((2, m), jnp.float32),  # xh
+            pltpu.VMEM((n_lev, 2 * n_sym), jnp.float32),  # q
+            pltpu.VMEM((2, n_sym), jnp.float32),  # eq rows (I, Q)
+            pltpu.VMEM((2 * mhe, n_sym - mh), jnp.float32),  # eqwin even
+            pltpu.VMEM((2 * mh, n_sym - mh), jnp.float32),  # eqwin odd
+            pltpu.VMEM((2 * mhe, n_sym), jnp.float32),  # gdwin even
+            pltpu.VMEM((2 * mh, n_sym), jnp.float32),  # gdwin odd
+            pltpu.VMEM((2, 2 * mhe), jnp.float32),  # CT even
+            pltpu.VMEM((2, 2 * mh), jnp.float32),  # CT odd
+            pltpu.VMEM((2, m), jnp.float32),  # gh assembly
+            pltpu.VMEM((2, 2 * n_sym), jnp.float32),  # geq/gv rows
+        ],
+        interpret=interpret,
+    )(
+        xbig, rx2, rxe, rxo, mask_e, mask_o,
+        jnp.transpose(mask_e), jnp.transpose(mask_o),
+        w2, h8, *opt_w, *opt_h, amps_row, p_row, scal,
+    )
+
+    losses = stats[:, 0, 0]
+    opt_new = {
+        "mw": mw_o.reshape(1, 2, m), "vw": vw_o.reshape(1, 2, m),
+        "xw": xw_o.reshape(1, 2, m),
+        "mh": _from_parity_major(mh_o, m), "vh": _from_parity_major(vh_o, m),
+        "xh": _from_parity_major(xh_o, m),
+    }
+    w_evals = w_ev[:, 0, :].reshape(n_evals + 1, 1, 2, m)
+    h_evals = _from_parity_major(h_ev, m)
+    return (
+        w_o.reshape(1, 2, m),
+        _from_parity_major(h_o, m),
+        opt_new,
+        losses,
+        w_evals,
+        h_evals,
+    )

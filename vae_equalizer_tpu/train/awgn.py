@@ -144,6 +144,75 @@ def _siso_eval_pack(q, tx, n_valid, const, amps, P):
     return jnp.stack([ser, mi, shift.astype(jnp.float32)])
 
 
+def _run_siso_frame_experiment(
+    cfg, key, gen_train, gen_valid, const, amps, P, var, amp_mean,
+    n_batches, params0, runs, mesh, timings=None,
+):
+    """use_pallas="frame" driver: whole-experiment kernel + batched eval.
+
+    All channel data is generated in one vmapped call, the kernel trains
+    every epoch in one grid, and the n_evals evaluations run as ONE batched
+    program over the parameter snapshots the kernel streamed out — the
+    reference's serial eval-every-epe-epochs loop has no data dependence
+    between evals, so this is semantics-preserving up to key streams.
+    """
+    from ..ops.siso_frame_kernel import (
+        siso_frame_opt_init,
+        vae_siso_experiment_train_pallas,
+    )
+    from .batching import shard_runs
+
+    n_evals = cfg.num_epochs // cfg.epe
+    train_keys = jax.random.split(key, cfg.num_epochs)
+    eval_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), n_evals)
+
+    def one_run(key_run):
+        tks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(train_keys, key_run[0])
+        eks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(eval_keys, key_run[0])
+        rx_all, _ = jax.vmap(gen_train)(tks)  # (E, 2, n_samp)
+        opt0 = siso_frame_opt_init(params0)
+        w1, h1, opt1, losses, w_ev, h_ev = vae_siso_experiment_train_pallas(
+            params0["w"], params0["h"], opt0, rx_all, amps, amp_mean, var, P,
+            jnp.float32(cfg.lr), bl_sym=cfg.batch_len, n_batches=n_batches,
+            epe=cfg.epe,
+        )
+
+        def one_eval(w_e, ek):
+            rx_v, tx_v = gen_valid(ek)
+            q, _ = vae_le_siso_forward(w_e, rx_v, amps, amp_mean, var, cfg.sps)
+            return _siso_eval_pack(q, tx_v, cfg.n_valid, const, amps, P)
+
+        packed = jax.vmap(one_eval)(w_ev[:n_evals], eks)
+        return packed, {"w": w1, "h": h1}
+
+    if runs is None:
+        fn = jax.jit(lambda: one_run(jnp.zeros((1,), jnp.uint32)))
+        if timings is None:
+            packed, params = fn()
+        else:
+            import time
+
+            t0 = time.perf_counter()
+            fn_c = fn.lower().compile()
+            timings["compile_s"] = time.perf_counter() - t0
+            best, out = None, None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(fn_c())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings["run_s"] = best
+            packed, params = out
+        packed = np.asarray(packed)
+    else:
+        run_ids = jnp.arange(runs, dtype=jnp.uint32).reshape(runs, 1)
+        run_ids = shard_runs(run_ids, mesh)
+        packed, params = jax.jit(jax.vmap(one_run))(run_ids)
+        packed = np.asarray(packed)
+    hist = {n: packed[..., j] for j, n in enumerate(_EVAL_NAMES)}
+    return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
+
+
 def train_vae_le_awgn(
     cfg: AwgnVaeLeConfig,
     key: jax.Array,
@@ -155,6 +224,7 @@ def train_vae_le_awgn(
     use_pallas: bool = False,
     checkpoint=None,
     checkpoint_every: int = 0,
+    timings: dict | None = None,
 ):
     """VAE-LE training on the AWGN ISI channel.
 
@@ -165,6 +235,12 @@ def train_vae_le_awgn(
     ``use_pallas=True`` computes each minibatch's loss and gradients with
     the fused in-VMEM SISO kernel (ops/elbo_siso_kernel.py) — exact f32 on a
     backend whose XLA matmuls are bf16; requires sps=2 and odd M.
+    ``use_pallas="frame"`` runs ALL epochs' minibatch steps + AMSGrad as ONE
+    MXU-based pallas_call (ops/siso_frame_kernel.py) and the per-eval-epoch
+    evaluations VECTORIZED afterwards (parameters stream out of the kernel
+    at the reference's eval points); its key streams are the compiled
+    mode's, so trajectories are statistically (not bitwise) comparable to
+    the loop mode, and ``checkpoint``/``progress`` are unavailable.
     """
     const = make_constellation(cfg.mod, cfg.nu)
     h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
@@ -178,6 +254,19 @@ def train_vae_le_awgn(
     mb_len = cfg.batch_len * cfg.sps
 
     params0 = params_init or {"w": siso_fir_init(cfg.m_est), "h": dirac_taps_siso(cfg.m_est)}
+
+    if use_pallas == "frame":
+        if cfg.sps != 2 or cfg.m_est % 2 == 0:
+            raise ValueError("use_pallas requires sps=2 and odd M_est")
+        if checkpoint:
+            raise ValueError('use_pallas="frame" runs the whole experiment '
+                             "in one call; checkpointing is unavailable")
+        return _run_siso_frame_experiment(
+            cfg, key, gen_train, gen_valid, const, amps, P,
+            jnp.float32(var), amp_mean, n_batches, params0, runs, mesh,
+            timings=timings,
+        )
+
     opt = optax.amsgrad(cfg.lr)
 
     def loss_fn(p, rx_mb):

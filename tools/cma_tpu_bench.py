@@ -43,7 +43,10 @@ def measure(loss_type: str, frames: int, n_frame: int, use_pallas=False,
         res = run_cma_dp(cfg, jax.random.PRNGKey(0), compiled=True,
                          use_pallas=use_pallas, timings=timings)
         return {
-            "loss_type": loss_type + ("+pallas" if use_pallas else "") + "+compiled",
+            "loss_type": loss_type
+            + ("+frame-kernel" if use_pallas == "frame"
+               else "+pallas" if use_pallas else "")
+            + "+compiled",
             "symbols_per_sec": frames * n_frame / timings["run_s"],
             "sec_per_frame": timings["run_s"] / frames,
             "compile_s": timings["compile_s"],
@@ -92,6 +95,9 @@ def main():
         # the per-frame-dispatch rows above are tunnel-tax-dominated)
         ("CMA", False, True), ("CMA", True, True),
         ("CMAbatch", False, True), ("CMAflex", False, True),
+        # whole-frame MXU chunk kernel (ops/cma_frame_kernel.py): all of a
+        # frame's chunked tap updates in one pallas_call
+        ("CMAbatch", "frame", True), ("CMAflex", "frame", True),
     ]
     for lt, pallas, comp in cases:
         try:

@@ -222,6 +222,65 @@ def main():
                (5, 5e-3, 2e-3), (6, 1e-3, 1e-4)],
     )
 
+    # runs-batched frame kernel: R=2 of the same frame must match per-run
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
+
+    w_rb = jnp.stack([w_p, w_p])
+    h_rb = jnp.stack([h_p, h_p])
+    rx_rb = jnp.stack([jnp.asarray(rx_fr), jnp.asarray(rx_fr)])
+    opt_rb = {k: jnp.stack([jnp.asarray(v)] * 2) for k, v in opt0_np.items()}
+
+    def frame_kernel_rb_run(interpret):
+        return vae_dp_frame_train_pallas_rb(
+            w_rb, h_rb, opt_rb, rx_rb, amps_np, var_np, const.nu_sc, p_np,
+            jnp.float32(2.5e-3), jnp.float32(0.0), jnp.float32(1e9),
+            bl_sym=100, interpret=interpret,
+        )
+
+    check(
+        "runs-batched frame kernel (R=2)",
+        lambda: frame_kernel_rb_run(False),
+        lambda: frame_kernel_rb_run(True),
+        pairs=[(0, 1e-3, 5e-5), (1, 1e-3, 2e-5), (3, 1e-4, 0), (4, 1e-4, 1e-5),
+               (5, 5e-3, 2e-3), (6, 1e-3, 1e-4)],
+    )
+
+    # whole-frame CMA chunk kernel vs the lax.scan chunked engine, on-chip
+    from vae_equalizer_tpu.models import cma_batch_dp
+    from vae_equalizer_tpu.ops.cma_frame_kernel import cma_chunked_frame_pallas
+
+    rx_cma = jnp.asarray(rng.normal(size=(2, 2, 4000)).astype(np.float32))
+    h0_cma = jnp.asarray(np.asarray(dirac_taps_dp(25)))
+    check(
+        "whole-frame CMA chunk kernel (CMAbatch)",
+        lambda: cma_chunked_frame_pallas(rx_cma, 1.0, h0_cma, 1e-4, 100, 100, 2),
+        lambda: cma_batch_dp(rx_cma, 1.0, h0_cma, 1e-4, 100, 2, True),
+        pairs=[(0, 1e-3, 1e-4), (1, 1e-3, 1e-5), (2, 1e-2, 1e-3)],  # out, h, e
+    )
+
+    # whole-experiment SISO kernel: 2 epochs x 2 minibatches on-chip
+    from vae_equalizer_tpu.ops.siso_frame_kernel import (
+        siso_frame_opt_init,
+        vae_siso_experiment_train_pallas,
+    )
+
+    rx_ep = jnp.asarray(rng.normal(size=(2, 2, 400)).astype(np.float32) * 0.5)
+    sopt = siso_frame_opt_init({"w": ws, "h": hs})
+
+    def siso_exp_run(interpret):
+        return vae_siso_experiment_train_pallas(
+            ws, hs, sopt, rx_ep, amps_np, amp_mean, var_s, p_np,
+            jnp.float32(5e-3), bl_sym=100, n_batches=2, epe=2,
+            interpret=interpret,
+        )
+
+    check(
+        "whole-experiment SISO train kernel (2 epochs)",
+        lambda: siso_exp_run(False),
+        lambda: siso_exp_run(True),
+        pairs=[(0, 1e-3, 5e-5), (1, 1e-3, 2e-5), (3, 1e-4, 1e-3)],  # w, h, losses
+    )
+
     from vae_equalizer_tpu.metrics import cpe_dp, find_shift_dp, ser_iqflip
 
     tx = jnp.asarray(const.amps[rng.integers(0, 8, size=(2, 2, 200))])

@@ -110,12 +110,27 @@ def _bdot(a, b, contract=((2,), (1,))):
 def _kernel(
     xi_ref, xq_ref, rx_ref, rxe_ref, rxo_ref,
     maske_ref, masko_ref, masket_ref, maskot_ref,
-    w_in, h_in, mw_in, vw_in, mh_in, vh_in, amps_ref, p_ref, scal_ref,
+    amp3_ref, amp23_ref, amprow_ref, amp2row_ref, pfull1_ref, pfull4_ref,
+    tmask3_ref, ones_l_ref,
+    w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
     eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc, gh_sc, ct_e_sc, ct_o_sc,
+    out4_sc, eq4_sc, v4_sc, d_e_sc, d_o_sc, gd_e_sc, gd_o_sc, ghm_sc, geq_sc,
+    gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, met_sc, stats_sc,
     *, n_sym, m, n_lev, n_rb,
 ):
+    # Mosaic-safe construct policy for R > 1 (the compiler SIGABRTs on
+    # several 3D patterns when the leading dim exceeds 1): only same-shape
+    # elementwise ops, batched dot_general, scratch/input ref loads and
+    # stores (offsets allowed), lane slices of values, scalar (0-d)
+    # broadcasts, and jnp.ones/zeros fills. In particular: NO (R,1,1)-shaped
+    # values (per-run scalars live as (R,1,128) lane-replicated rows built
+    # by two batched matmuls), NO multi-axis or sublane reductions (lane
+    # totals via matmuls with ones, sublane min via an unrolled row chain),
+    # NO sublane-offset slices of values (everything row-sliced goes through
+    # a scratch ref first), and NO rank-promoting broadcasts (amps/P/mask
+    # operands arrive pre-materialized at full (R, ., .) shape).
     mi = pl.program_id(0)
     rb = n_rb
 
@@ -137,228 +152,250 @@ def _kernel(
     var_y = scal_ref[0, 1]
     nu_sc = scal_ref[0, 2]
     eps = scal_ref[0, 3]
-    # rank-3 broadcast operands: Mosaic's layout inference crashes on
-    # rank-1/2 values broadcast against (R, s, l) tensors when R > 1, so
-    # every constant the batched math touches is materialized as (1, n, 1)
-    ampc = jnp.transpose(amps_ref[...])[None]  # (1, n_lev, 1)
-    amp2c = ampc * ampc
-    pc = jnp.transpose(p_ref[...])[None]  # (1, n_lev, 1)
     xi = xi_ref[0]  # (R, 4M, n_sym) im2col, I arrangement
     xq = xq_ref[0]
-    h_e = h_sc[:, :, :mhe]  # (R, 8, mhe) even taps, rows chi*4 + nu*2 + c
-    h_o = h_sc[:, :, mhe:]  # (R, 8, mh)  odd taps
+    f32 = jnp.float32
+
+    def expand(row, s):  # (R, 1, l) -> (R, s, l) via an outer-product matmul
+        return _bdot(jnp.ones((rb, s, 1), f32), row)
+
+    def tot_row(x):  # (R, s, l) -> (R, 1, 128): every lane = sum over (s, l)
+        rs = _bdot(jnp.ones((rb, 1, x.shape[1]), f32), x)  # (R, 1, l)
+        if x.shape[2] < n_samp:
+            rs = jnp.pad(rs, ((0, 0), (0, 0), (0, n_samp - x.shape[2])))
+        return _bdot(rs, ones_l_ref[...])  # (R, 1, 128)
 
     # ---------------- forward: butterfly as two batched MXU matmuls
-    out_i = _bdot(w_sc[...], xi)  # (R, 2, N) I outputs (x, y)
-    out_q = _bdot(w_sc[...], xq)  # (R, 2, N) Q outputs (same taps, Q arrangement)
-    out = jnp.concatenate([out_i, out_q], axis=1)  # rows (x_I, y_I, x_Q, y_Q)
+    out4_sc[:, 0:2, :] = _bdot(w_sc[...], xi)  # rows (x_I, y_I)
+    out4_sc[:, 2:4, :] = _bdot(w_sc[...], xq)  # rows (x_Q, y_Q)
+    outout_ref[0] = out4_sc[...]
 
     # ---------------- demapper + posterior moments (rows r = pol + 2*comp)
-    eqs, vs = [], []
+    amp3 = amp3_ref[...]  # (R, n_lev, N) amplitude levels, lane-replicated
+    amp23 = amp23_ref[...]
     for r in range(4):
-        o = out[:, r : r + 1, :]  # (R, 1, N)
         var = var_x if r % 2 == 0 else var_y
-        dlt = o - ampc  # (R, n_lev, N)
-        metric = dlt * dlt / (2.0 * var) + nu_sc * amp2c
-        mmin = jnp.min(metric, axis=1, keepdims=True)
-        e = jnp.exp(mmin - metric)
-        q = e / jnp.sum(e, axis=1, keepdims=True)  # (R, n_lev, N)
+        ofull = expand(out4_sc[:, r : r + 1, :], n_lev)
+        dlt = ofull - amp3
+        met = dlt * dlt * (0.5 / var) + nu_sc * amp23
+        met_sc[...] = met
+        mm = met_sc[:, 0:1, :]
+        for l in range(1, n_lev):
+            mm = jnp.minimum(mm, met_sc[:, l : l + 1, :])
+        e = jnp.exp(expand(mm, n_lev) - met)
+        s1 = _bdot(jnp.ones((rb, 1, n_lev), f32), e)  # (R, 1, N)
+        q = e * expand(1.0 / s1, n_lev)
         q_sc[:, r * n_lev : (r + 1) * n_lev, :] = q
-        eqs.append(jnp.sum(ampc * q, axis=1, keepdims=True))
-        vs.append(jnp.sum(amp2c * q, axis=1, keepdims=True))
-    eq4 = jnp.concatenate(eqs, axis=1)  # (R, 4, N) rows (x_I, y_I, x_Q, y_Q)
-    v4 = jnp.concatenate(vs, axis=1) - eq4 * eq4
+        eq = _bdot(amprow_ref[...], q)  # (R, 1, N)
+        eq4_sc[:, r : r + 1, :] = eq
+        v4_sc[:, r : r + 1, :] = _bdot(amp2row_ref[...], q) - eq * eq
+    qout_ref[0] = q_sc[...]
 
     # ---------------- D conv as batched matmuls over shifted-window stacks.
-    # EQwin_p[r, (g, a), t] = eq4[r, row(g), mh - a + t] for the 4 groups
-    # g = (nu, c') in order (x,I), (x,Q), (y,I), (y,Q); CT rows (chi*2 + c)
-    # hold the matching h coefficients as lane-concats of h_e/h_o rows.
-    # Windows are materialized through scratch stores — Mosaic cannot
-    # sublane-concat vectors whose lane offsets differ; one store covers
-    # all R runs (leading dim).
-    def win_stack(sc, rows4, n_a):
+    def win_stack(sc, n_a):
         r = 0
         for g in (0, 2, 1, 3):  # eq4 row order (xI, yI, xQ, yQ) -> (nu, c')
             for a in range(n_a):
-                sc[:, r : r + 1, :] = rows4[:, g : g + 1, mh - a : n_sym - a]
+                sc[:, r : r + 1, :] = eq4_sc[:, g : g + 1, mh - a : n_sym - a]
                 r += 1
         return sc[...]
 
-    eqwin_e = win_stack(eqwin_e_sc, eq4, mhe)
-    eqwin_o = win_stack(eqwin_o_sc, eq4, mh)
+    eqwin_e = win_stack(eqwin_e_sc, mhe)
+    eqwin_o = win_stack(eqwin_o_sc, mh)
 
-    def ct_d(sc, h_p, n_a):  # (R, 4, 4*n_a): D coefficients, rows (chi*2 + c)
+    def ct_d(sc, lane0, lane1, n_a):  # (R, 4, 4*n_a), rows (chi*2 + c)
         for chi in range(2):
-            hr0 = h_p[:, chi * 4 : chi * 4 + 1, :]
-            hi0 = h_p[:, chi * 4 + 1 : chi * 4 + 2, :]
-            hr1 = h_p[:, chi * 4 + 2 : chi * 4 + 3, :]
-            hi1 = h_p[:, chi * 4 + 3 : chi * 4 + 4, :]
+            hr0 = h_sc[:, chi * 4 : chi * 4 + 1, lane0:lane1]
+            hi0 = h_sc[:, chi * 4 + 1 : chi * 4 + 2, lane0:lane1]
+            hr1 = h_sc[:, chi * 4 + 2 : chi * 4 + 3, lane0:lane1]
+            hi1 = h_sc[:, chi * 4 + 3 : chi * 4 + 4, lane0:lane1]
             for b, blk in enumerate((hr0, -hi0, hr1, -hi1)):  # D_re
                 sc[:, chi * 2 : chi * 2 + 1, b * n_a : (b + 1) * n_a] = blk
             for b, blk in enumerate((hi0, hr0, hi1, hr1)):  # D_im
                 sc[:, chi * 2 + 1 : chi * 2 + 2, b * n_a : (b + 1) * n_a] = blk
         return sc[...]
 
-    d_e = _bdot(ct_d(ct_e_sc, h_e, mhe), eqwin_e)  # (R, 4, ne) rows (chi*2+c)
-    d_o = _bdot(ct_d(ct_o_sc, h_o, mh), eqwin_o)  # odd positions
+    d_e_sc[...] = _bdot(ct_d(ct_e_sc, 0, mhe, mhe), eqwin_e)  # (R, 4, ne)
+    d_o_sc[...] = _bdot(ct_d(ct_o_sc, mhe, m, mh), eqwin_o)
 
-    # ---------------- E term: S_p (R, 2, n_a) = Vsum (R, 2, N) @ MASK_p (N, n_a)
+    # ---------------- E term: S_p (R, 2, n_a) = Vsum (R, 2, N) @ MASK_p
     vsum = jnp.concatenate(
-        [v4[:, 0:1, :] + v4[:, 2:3, :], v4[:, 1:2, :] + v4[:, 3:4, :]], axis=1
-    )  # (R, 2, N) per pol
-    # broadcast the shared mask over runs (zeros+x: Mosaic-safe broadcast)
-    mask_e3 = jnp.zeros((rb, 1, 1), jnp.float32) + maske_ref[...]
-    mask_o3 = jnp.zeros((rb, 1, 1), jnp.float32) + masko_ref[...]
-    s_e = _bdot(vsum, mask_e3)  # (R, 2, mhe)
-    s_o = _bdot(vsum, mask_o3)  # (R, 2, mh)
-    hsq = h_sc[...] * h_sc[...]
-    # |h|^2 per (chi, nu): explicit row pairs (a stride-2 sublane slice
-    # would lower as an unsupported Mosaic gather)
-    habsq = jnp.concatenate(
-        [hsq[:, 2 * g : 2 * g + 1, :] + hsq[:, 2 * g + 1 : 2 * g + 2, :] for g in range(4)],
+        [v4_sc[:, 0:1, :] + v4_sc[:, 2:3, :], v4_sc[:, 1:2, :] + v4_sc[:, 3:4, :]],
         axis=1,
-    )  # (R, 4, M) rows chi*2 + nu, parity-major lanes
-    s_cat = jnp.concatenate([s_e, s_o], axis=2)  # (R, 2, M) parity-major
-    e_x = jnp.sum(habsq[:, 0:1, :] * s_cat[:, 0:1, :], axis=(1, 2), keepdims=True) + jnp.sum(
-        habsq[:, 1:2, :] * s_cat[:, 1:2, :], axis=(1, 2), keepdims=True
-    )  # (R, 1, 1)
-    e_y = jnp.sum(habsq[:, 2:3, :] * s_cat[:, 0:1, :], axis=(1, 2), keepdims=True) + jnp.sum(
-        habsq[:, 3:4, :] * s_cat[:, 1:2, :], axis=(1, 2), keepdims=True
+    )  # (R, 2, N) per pol
+    s_e = _bdot(vsum, maske_ref[...])  # (R, 2, mhe)
+    s_o = _bdot(vsum, masko_ref[...])  # (R, 2, mh)
+    scat_sc[:, :, :mhe] = s_e
+    scat_sc[:, :, mhe:] = s_o  # (R, 2, M) parity-major
+    for g in range(4):  # |h|^2 rows (chi*2 + nu)
+        h0 = h_sc[:, 2 * g : 2 * g + 1, :]
+        h1 = h_sc[:, 2 * g + 1 : 2 * g + 2, :]
+        habsq_sc[:, g : g + 1, :] = h0 * h0 + h1 * h1
+    e_x = tot_row(
+        habsq_sc[:, 0:1, :] * scat_sc[:, 0:1, :]
+        + habsq_sc[:, 1:2, :] * scat_sc[:, 1:2, :]
+    )  # (R, 1, 128)
+    e_y = tot_row(
+        habsq_sc[:, 2:3, :] * scat_sc[:, 0:1, :]
+        + habsq_sc[:, 3:4, :] * scat_sc[:, 1:2, :]
     )
 
-    # ---------------- C and loss
-    rx = rx_ref[0]  # (R, 4, n_samp)
-    rx_w2 = rx[:, :, mh : n_samp - mh]
-    c_base_x = jnp.sum(rx_w2[:, 0:2, :] * rx_w2[:, 0:2, :], axis=(1, 2), keepdims=True)
-    c_base_y = jnp.sum(rx_w2[:, 2:4, :] * rx_w2[:, 2:4, :], axis=(1, 2), keepdims=True)
-    rxe = rxe_ref[0]  # (R, 4, Nsym) even samples
-    rxo = rxo_ref[0]
+    # ---------------- C and loss (all per-run scalars as (R, 1, 128) rows)
+    rx_w2_x = rx_ref[0, :, 0:2, mh : n_samp - mh]
+    rx_w2_y = rx_ref[0, :, 2:4, mh : n_samp - mh]
+    c_base_x = tot_row(rx_w2_x * rx_w2_x)
+    c_base_y = tot_row(rx_w2_y * rx_w2_y)
     if mh % 2 == 0:
-        rx_al_e = rxe[:, :, mh - mh // 2 : n_sym - mh // 2]  # (R, 4, ne)
-        rx_al_o = rxo[:, :, mh - mh // 2 : n_sym - mh // 2]
+        al_lo = mh - mh // 2
+        rx_e_ref, rx_o_ref = rxe_ref, rxo_ref
+        al_lo_o = mh - mh // 2
     else:
-        rx_al_e = rxo[:, :, mh - (mh + 1) // 2 : n_sym - (mh + 1) // 2]
-        rx_al_o = rxe[:, :, mh - mh // 2 : n_sym - mh // 2]
+        al_lo = mh - (mh + 1) // 2
+        rx_e_ref, rx_o_ref = rxo_ref, rxe_ref
+        al_lo_o = mh - mh // 2
+    rx_al_e = rx_e_ref[0, :, :, al_lo : al_lo + ne]  # (R, 4, ne)
+    rx_al_o = rx_o_ref[0, :, :, al_lo_o : al_lo_o + ne]
+    rx_al_e_x = rx_e_ref[0, :, 0:2, al_lo : al_lo + ne]
+    rx_al_e_y = rx_e_ref[0, :, 2:4, al_lo : al_lo + ne]
+    rx_al_o_x = rx_o_ref[0, :, 0:2, al_lo_o : al_lo_o + ne]
+    rx_al_o_y = rx_o_ref[0, :, 2:4, al_lo_o : al_lo_o + ne]
 
-    def _rsum(x):  # (R, s, l) -> (R, 1, 1)
-        return jnp.sum(x, axis=(1, 2), keepdims=True)
-
-    cross_x = _rsum(rx_al_e[:, 0:2, :] * d_e[:, 0:2, :]) + _rsum(rx_al_o[:, 0:2, :] * d_o[:, 0:2, :])
-    cross_y = _rsum(rx_al_e[:, 2:4, :] * d_e[:, 2:4, :]) + _rsum(rx_al_o[:, 2:4, :] * d_o[:, 2:4, :])
-    dd_x = _rsum(d_e[:, 0:2, :] * d_e[:, 0:2, :]) + _rsum(d_o[:, 0:2, :] * d_o[:, 0:2, :])
-    dd_y = _rsum(d_e[:, 2:4, :] * d_e[:, 2:4, :]) + _rsum(d_o[:, 2:4, :] * d_o[:, 2:4, :])
-    c_x = c_base_x - 2.0 * cross_x + dd_x + e_x  # (R, 1, 1)
+    cross_x = tot_row(rx_al_e_x * d_e_sc[:, 0:2, :]) + tot_row(
+        rx_al_o_x * d_o_sc[:, 0:2, :]
+    )
+    cross_y = tot_row(rx_al_e_y * d_e_sc[:, 2:4, :]) + tot_row(
+        rx_al_o_y * d_o_sc[:, 2:4, :]
+    )
+    dd_x = tot_row(d_e_sc[:, 0:2, :] * d_e_sc[:, 0:2, :]) + tot_row(
+        d_o_sc[:, 0:2, :] * d_o_sc[:, 0:2, :]
+    )
+    dd_y = tot_row(d_e_sc[:, 2:4, :] * d_e_sc[:, 2:4, :]) + tot_row(
+        d_o_sc[:, 2:4, :] * d_o_sc[:, 2:4, :]
+    )
+    c_x = c_base_x - 2.0 * cross_x + dd_x + e_x  # (R, 1, 128)
     c_y = c_base_y - 2.0 * cross_y + dd_y + e_y
 
     # KL over inner symbols, all 4 component rows at once
-    q32 = q_sc[...]  # (R, 4*n_lev, N)
-    p32 = jnp.concatenate([pc] * 4, axis=1)  # (1, 4n, 1)
-    ratio = q32[:, :, mh : n_sym - mh] / p32
-    kl = _rsum(-q32[:, :, mh : n_sym - mh] * jnp.log(ratio + eps))
+    ratio4 = q_sc[...] / pfull4_ref[...]
+    kl = tot_row(
+        -q_sc[...][:, :, mh : n_sym - mh]
+        * jnp.log(ratio4[:, :, mh : n_sym - mh] + eps)
+    )
 
-    qout_ref[0] = q32
-    outout_ref[0] = out
-
-    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl  # (R, 1, 1)
-    row = jnp.concatenate([loss, c_x / n_eff, c_y / n_eff], axis=2)  # (R, 1, 3)
-    stats_ref[0] = jnp.pad(row, ((0, 0), (0, 0), (0, 125)))
+    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl  # (R, 1, 128)
+    stats_sc[...] = jnp.zeros(stats_sc.shape, f32)
+    stats_sc[:, :, 0:1] = loss[:, :, 0:1]
+    stats_sc[:, :, 1:2] = (c_x / n_eff)[:, :, 0:1]
+    stats_sc[:, :, 2:3] = (c_y / n_eff)[:, :, 0:1]
+    stats_ref[0] = stats_sc[...]
 
     # ================ backward ================
-    g_cx = n_eff / c_x  # (R, 1, 1)
+    g_cx = n_eff / c_x  # (R, 1, 128) lane-replicated
     g_cy = n_eff / c_y
-    zer2 = jnp.zeros((rb, 2, 1), jnp.float32)
-    gfac = jnp.concatenate([zer2 + g_cx, zer2 + g_cy], axis=1)  # (R, 4, 1)
-    gd_e = gfac * (2.0 * d_e - 2.0 * rx_al_e)  # (R, 4, ne)
-    gd_o = gfac * (2.0 * d_o - 2.0 * rx_al_o)
+    gfac_e = jnp.concatenate(
+        [expand(g_cx[:, :, :ne], 2), expand(g_cy[:, :, :ne], 2)], axis=1
+    )  # (R, 4, ne)
+    gd_e_sc[...] = gfac_e * (2.0 * d_e_sc[...] - 2.0 * rx_al_e)
+    gd_o_sc[...] = gfac_e * (2.0 * d_o_sc[...] - 2.0 * rx_al_o)
 
     # ---- gh: GH_p (R, 4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E
-    gh_e_m = _bdot(gd_e, eqwin_e, ((2,), (2,)))  # (R, 4, 4*mhe)
-    gh_o_m = _bdot(gd_o, eqwin_o, ((2,), (2,)))
-
-    def gh_assemble(ghm, h_p, s_p, n_a, lane0):
-        # ghm cols grouped (nu, c') in order (x,I)(x,Q)(y,I)(y,Q) like CT;
-        # rows land in the gh scratch (offset-normalizing stores)
+    def gh_assemble(gd_sc_p, eqwin_p, lane0, lane1, n_a):
+        ghm_sc[:, :, : 4 * n_a] = _bdot(gd_sc_p[...], eqwin_p, ((2,), (2,)))
         for chi in range(2):
-            re_row = ghm[:, chi * 2 : chi * 2 + 1, :]
-            im_row = ghm[:, chi * 2 + 1 : chi * 2 + 2, :]
+            g_c = g_cx if chi == 0 else g_cy
+            g_c_na = g_c[:, :, :n_a]
             for nu in range(2):
                 bi = (2 * nu) * n_a  # (nu, I) block
                 bq = (2 * nu + 1) * n_a  # (nu, Q) block
-                ghr = re_row[:, :, bi : bi + n_a] + im_row[:, :, bq : bq + n_a]
-                ghi = -re_row[:, :, bq : bq + n_a] + im_row[:, :, bi : bi + n_a]
-                g_c = g_cx if chi == 0 else g_cy  # (R, 1, 1)
-                s_nu = s_p[:, nu : nu + 1, :]
-                r0 = chi * 4 + nu * 2
-                gh_sc[:, r0 : r0 + 1, lane0 : lane0 + n_a] = (
-                    ghr + 2.0 * g_c * h_p[:, r0 : r0 + 1, :] * s_nu
+                ghr = (
+                    ghm_sc[:, chi * 2 : chi * 2 + 1, bi : bi + n_a]
+                    + ghm_sc[:, chi * 2 + 1 : chi * 2 + 2, bq : bq + n_a]
                 )
-                gh_sc[:, r0 + 1 : r0 + 2, lane0 : lane0 + n_a] = (
-                    ghi + 2.0 * g_c * h_p[:, r0 + 1 : r0 + 2, :] * s_nu
+                ghi = (
+                    -ghm_sc[:, chi * 2 : chi * 2 + 1, bq : bq + n_a]
+                    + ghm_sc[:, chi * 2 + 1 : chi * 2 + 2, bi : bi + n_a]
+                )
+                s_nu = scat_sc[:, nu : nu + 1, lane0:lane1]
+                r0 = chi * 4 + nu * 2
+                gh_sc[:, r0 : r0 + 1, lane0:lane1] = (
+                    ghr + 2.0 * g_c_na * h_sc[:, r0 : r0 + 1, lane0:lane1] * s_nu
+                )
+                gh_sc[:, r0 + 1 : r0 + 2, lane0:lane1] = (
+                    ghi + 2.0 * g_c_na * h_sc[:, r0 + 1 : r0 + 2, lane0:lane1] * s_nu
                 )
 
-    gh_assemble(gh_e_m, h_e, s_e, mhe, 0)
-    gh_assemble(gh_o_m, h_o, s_o, mh, mhe)
+    gh_assemble(gd_e_sc, eqwin_e, 0, mhe, mhe)
+    gh_assemble(gd_o_sc, eqwin_o, mhe, m, mh)
     gh = gh_sc[...]  # (R, 8, M) parity-major
 
     # ---- gEq: GEQ (R, 4, N) = CT2 (R, 4, 4*n_a) @ gDwin (R, 4*n_a, N)
-    def gdwin(sc, gd_p, n_a):
-        # padded[m] = gd_p[m - mh]; window a = padded[a : a + N] places
-        # gd_p[b] at t = mh - a + b, so length must reach (n_a-1) + N
-        padded = jnp.pad(gd_p, ((0, 0), (0, 0), (mh, n_a - 1)))
+    def gdwin(sc, gd_sc_p, n_a):
+        # gdpad[t] = gd_p[t - mh]; window a places gd_p[b] at t = mh - a + b
+        gdpad_sc[...] = jnp.zeros(gdpad_sc.shape, f32)
+        gdpad_sc[:, :, mh : mh + ne] = gd_sc_p[...]
         r = 0
         for g in range(4):  # groups (chi, c) in gd row order
             for a in range(n_a):
-                sc[:, r : r + 1, :] = padded[:, g : g + 1, a : a + n_sym]
+                sc[:, r : r + 1, :] = gdpad_sc[:, g : g + 1, a : a + n_sym]
                 r += 1
         return sc[...]  # (R, 4*n_a, N)
 
-    def ct2(sc, h_p, n_a):  # rows (nu, c') in order (x,I)(x,Q)(y,I)(y,Q)
+    def ct2(sc, lane0, lane1, n_a):  # rows (nu, c') order (x,I)(x,Q)(y,I)(y,Q)
         for nu in range(2):
-            hr0 = h_p[:, nu * 2 : nu * 2 + 1, :]
-            hi0 = h_p[:, nu * 2 + 1 : nu * 2 + 2, :]
-            hr1 = h_p[:, 4 + nu * 2 : 4 + nu * 2 + 1, :]
-            hi1 = h_p[:, 4 + nu * 2 + 1 : 4 + nu * 2 + 2, :]
+            hr0 = h_sc[:, nu * 2 : nu * 2 + 1, lane0:lane1]
+            hi0 = h_sc[:, nu * 2 + 1 : nu * 2 + 2, lane0:lane1]
+            hr1 = h_sc[:, 4 + nu * 2 : 4 + nu * 2 + 1, lane0:lane1]
+            hi1 = h_sc[:, 4 + nu * 2 + 1 : 4 + nu * 2 + 2, lane0:lane1]
             for b, blk in enumerate((hr0, hi0, hr1, hi1)):  # (nu, I)
                 sc[:, nu * 2 : nu * 2 + 1, b * n_a : (b + 1) * n_a] = blk
             for b, blk in enumerate((-hi0, hr0, -hi1, hr1)):  # (nu, Q)
                 sc[:, nu * 2 + 1 : nu * 2 + 2, b * n_a : (b + 1) * n_a] = blk
         return sc[...]
 
-    geq_g = _bdot(ct2(ct_e_sc, h_e, mhe), gdwin(gdwin_e_sc, gd_e, mhe)) + _bdot(
-        ct2(ct_o_sc, h_o, mh), gdwin(gdwin_o_sc, gd_o, mh)
-    )
-    # rows (x,I)(x,Q)(y,I)(y,Q) -> eq4 order (x,I)(y,I)(x,Q)(y,Q)
-    geq = jnp.concatenate(
-        [geq_g[:, 0:1], geq_g[:, 2:3], geq_g[:, 1:2], geq_g[:, 3:4]], axis=1
-    )
+    geq_sc[...] = _bdot(ct2(ct_e_sc, 0, mhe, mhe), gdwin(gdwin_e_sc, gd_e_sc, mhe)) + _bdot(
+        ct2(ct_o_sc, mhe, m, mh), gdwin(gdwin_o_sc, gd_o_sc, mh)
+    )  # rows (x,I)(x,Q)(y,I)(y,Q)
 
     # ---- gV: gv (R, 2, N) = GCO (R, 2, n_a) @ MASK_p^T per parity
-    gco = g_cx * habsq[:, 0:2, :] + g_cy * habsq[:, 2:4, :]  # (R, 2, M) rows nu
-    maskt_e3 = jnp.zeros((rb, 1, 1), jnp.float32) + masket_ref[...]
-    maskt_o3 = jnp.zeros((rb, 1, 1), jnp.float32) + maskot_ref[...]
-    gv = _bdot(gco[:, :, :mhe], maskt_e3) + _bdot(gco[:, :, mhe:], maskt_o3)
+    g_cx_m = g_cx[:, :, :m]
+    g_cy_m = g_cy[:, :, :m]
+    gco = jnp.concatenate(
+        [
+            g_cx_m * habsq_sc[:, 0:1, :] + g_cy_m * habsq_sc[:, 2:3, :],
+            g_cx_m * habsq_sc[:, 1:2, :] + g_cy_m * habsq_sc[:, 3:4, :],
+        ],
+        axis=1,
+    )  # (R, 2, M) rows nu
+    gv_sc[...] = _bdot(gco[:, :, :mhe], masket_ref[...]) + _bdot(
+        gco[:, :, mhe:], maskot_ref[...]
+    )
 
     # ---- moments -> gq -> softmin VJP -> gout
-    t_in = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_sym), 2)
-    t_mask = ((t_in >= mh) & (t_in < n_sym - mh)).astype(jnp.float32)  # (1, 1, N)
-    gouts = []
+    pfull1 = pfull1_ref[...]
+    tmask3 = tmask3_ref[...]
+    geq_row_of = (0, 2, 1, 3)  # eq4 row r -> geq_sc row
     for r in range(4):
         nu = r % 2
         var = var_x if r % 2 == 0 else var_y
-        gvr = gv[:, nu : nu + 1, :]  # (R, 1, N)
-        g_eq_r = geq[:, r : r + 1, :] - 2.0 * eq4[:, r : r + 1, :] * gvr
+        gvr = gv_sc[:, nu : nu + 1, :]  # (R, 1, N)
+        g_eq_r = geq_sc[:, geq_row_of[r] : geq_row_of[r] + 1, :] - 2.0 * eq4_sc[
+            :, r : r + 1, :
+        ] * gvr
         q = q_sc[:, r * n_lev : (r + 1) * n_lev, :]  # (R, n_lev, N)
-        gq = ampc * g_eq_r + amp2c * gvr
-        ratio = q / pc
-        gq = gq + (jnp.log(ratio + eps) + ratio / (ratio + eps)) * t_mask
-        inner = jnp.sum(q * gq, axis=1, keepdims=True)
-        gm = -q * (gq - inner)
-        o = out[:, r : r + 1, :]
-        gouts.append(jnp.sum(gm * (o - ampc), axis=1, keepdims=True) / var)
-    gout = jnp.concatenate(gouts, axis=1)  # (R, 4, N) rows (x_I, y_I, x_Q, y_Q)
+        gq = amp3 * expand(g_eq_r, n_lev) + amp23 * expand(gvr, n_lev)
+        ratio = q / pfull1
+        gq = gq + (jnp.log(ratio + eps) + ratio / (ratio + eps)) * tmask3
+        inner = _bdot(jnp.ones((rb, 1, n_lev), f32), q * gq)  # (R, 1, N)
+        gm = -q * (gq - expand(inner, n_lev))
+        ofull = expand(out4_sc[:, r : r + 1, :], n_lev)
+        gout_sc[:, r : r + 1, :] = _bdot(
+            jnp.ones((rb, 1, n_lev), f32), gm * (ofull - amp3)
+        ) * (1.0 / var)
 
     # ---- gw: (R, 2, 4M) = gout_I @ XI^T + gout_Q @ XQ^T
-    gw = _bdot(gout[:, 0:2, :], xi, ((2,), (2,))) + _bdot(gout[:, 2:4, :], xq, ((2,), (2,)))
+    gw = _bdot(gout_sc[:, 0:2, :], xi, ((2,), (2,))) + _bdot(
+        gout_sc[:, 2:4, :], xq, ((2,), (2,))
+    )
 
     # ================ in-kernel Adam (optax.adam semantics) ================
     lr = scal_ref[0, 4]
@@ -504,8 +541,32 @@ def vae_dp_frame_train_pallas_rb(
     xi, xq, rx4, rxe, rxo = jax.vmap(jax.vmap(arrange))(rx_mb)
 
     mask_e, mask_o = _support_masks(m, n_sym)
-    mask_e = jnp.asarray(mask_e)
-    mask_o = jnp.asarray(mask_o)
+
+    # materialized full-shape broadcast operands (see the construct-policy
+    # note in _kernel: rank-promoting broadcasts crash Mosaic at R > 1)
+    import numpy as _np
+
+    bcast = lambda a: jnp.broadcast_to(jnp.asarray(a, jnp.float32), (n_rb,) + a.shape)
+    maske3 = bcast(mask_e)
+    masko3 = bcast(mask_o)
+    maskte3 = bcast(mask_e.T)
+    maskto3 = bcast(mask_o.T)
+    amps_f = amps.astype(jnp.float32)
+    amp3 = jnp.broadcast_to(amps_f[None, :, None], (n_rb, n_lev, n_sym))
+    amp23 = jnp.broadcast_to((amps_f * amps_f)[None, :, None], (n_rb, n_lev, n_sym))
+    amprow = jnp.broadcast_to(amps_f[None, None, :], (n_rb, 1, n_lev))
+    amp2row = jnp.broadcast_to((amps_f * amps_f)[None, None, :], (n_rb, 1, n_lev))
+    p_f = P.astype(jnp.float32)
+    pfull1 = jnp.broadcast_to(p_f[None, :, None], (n_rb, n_lev, n_sym))
+    pfull4 = jnp.broadcast_to(
+        jnp.tile(p_f, 4)[None, :, None], (n_rb, 4 * n_lev, n_sym)
+    )
+    t_np = _np.arange(n_sym)
+    inner_np = ((t_np >= mh) & (t_np < n_sym - mh)).astype(_np.float32)
+    tmask3 = jnp.broadcast_to(
+        jnp.asarray(inner_np)[None, None, :], (n_rb, n_lev, n_sym)
+    )
+    ones_l = jnp.ones((n_rb, n_samp_mb, 128), jnp.float32)
 
     w2 = w.reshape(n_rb, 2, 4 * m)
     h8 = _to_parity_major(h.reshape(n_rb, 8, m))
@@ -518,8 +579,6 @@ def vae_dp_frame_train_pallas_rb(
          jnp.float32(lr), jnp.float32(lr_half_step), jnp.float32(step0),
          jnp.float32(0.0)]
     ).reshape(1, 8).astype(jnp.float32)
-    amps_row = amps.reshape(1, n_lev).astype(jnp.float32)
-    p_row = P.reshape(1, n_lev).astype(jnp.float32)
 
     kernel = functools.partial(_kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -548,8 +607,8 @@ def vae_dp_frame_train_pallas_rb(
             per_mb4(4, n_sym),
             per_mb4(4, n_sym),
             full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
-            full(), full(),
             pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -573,12 +632,28 @@ def vae_dp_frame_train_pallas_rb(
             pltpu.VMEM((n_rb, 8, m), jnp.float32),  # gh assembly
             pltpu.VMEM((n_rb, 4, 4 * mhe), jnp.float32),  # CT coeffs, even taps
             pltpu.VMEM((n_rb, 4, 4 * mh), jnp.float32),  # CT coeffs, odd taps
+            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # out rows
+            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # Eq rows
+            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # Var rows
+            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # d even
+            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # d odd
+            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # gd even
+            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # gd odd
+            pltpu.VMEM((n_rb, 4, 4 * mhe), jnp.float32),  # ghm
+            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gEq rows
+            pltpu.VMEM((n_rb, 2, n_sym), jnp.float32),  # gV rows
+            pltpu.VMEM((n_rb, 4, m), jnp.float32),  # |h|^2 rows
+            pltpu.VMEM((n_rb, 2, m), jnp.float32),  # S rows (parity-major)
+            pltpu.VMEM((n_rb, 4, n_sym + mhe - 1), jnp.float32),  # gd padded
+            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gout rows
+            pltpu.VMEM((n_rb, n_lev, n_sym), jnp.float32),  # demapper metric
+            pltpu.VMEM((n_rb, 1, 128), jnp.float32),  # stats row
         ],
         interpret=interpret,
     )(
-        xi, xq, rx4, rxe, rxo, mask_e, mask_o,
-        jnp.transpose(mask_e), jnp.transpose(mask_o),
-        w2, h8, mw2, vw2, mh8, vh8, amps_row, p_row, scal,
+        xi, xq, rx4, rxe, rxo, maske3, masko3, maskte3, maskto3,
+        amp3, amp23, amprow, amp2row, pfull1, pfull4, tmask3, ones_l,
+        w2, h8, mw2, vw2, mh8, vh8, scal,
     )
 
     losses = stats[:, :, 0, 0]  # (m_max, R)

@@ -172,10 +172,12 @@ def _run_frame_kernel_experiment(
 
     With ``runs`` set, repeats are executed in kernel-level batches of
     ``runs_batch`` (default: largest divisor of runs <= 8): one grid step
-    trains one minibatch of all rb runs (near-free on the VPU/MXU, see
-    ops/frame_kernel.py), and the remaining runs/rb groups ride the usual
-    vmap — which for a pallas_call serializes grid steps, so rb is the
-    lever that makes aggregate throughput scale.
+    trains one minibatch of all rb runs (ops/frame_kernel.py), and the
+    remaining runs/rb groups ride a vmap of the kernel call ONLY — channel
+    generation and evaluation are batched over ALL runs at once (they are
+    plain XLA and batch with much better lane/sublane utilization than the
+    kernel, measured 0.166 -> 0.092 ms/frame/run going 8 -> 16 on v5e,
+    while a vmapped pallas_call serializes its grid steps).
     """
     from ..ops.frame_kernel import (
         frame_opt_init,
@@ -186,25 +188,21 @@ def _run_frame_kernel_experiment(
     thresh = float(cfg.n_lrhalf) * steps_per_frame
 
     if runs is None:
-        carry = (params, frame_opt_init(params), jnp.int32(0))
-        kernel_call = vae_dp_frame_train_pallas
         rb = None
-        fields = _VAE_FIELDS
+        carry = (params, frame_opt_init(params), jnp.int32(0))
     else:
         rb = runs_batch or _default_runs_batch(runs)
         if runs % rb != 0:
             raise ValueError(f"runs_batch={rb} must divide runs={runs}")
         groups = runs // rb
-        # (runs, ...) -> (groups, rb, ...): the harness vmaps over groups,
-        # the kernel batches over rb; the step count is per group
+        # (runs, ...) -> (groups, rb, ...): the kernel batches over rb, a
+        # vmap covers the groups; the step count is one shared scalar
         params = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (groups, rb) + x.shape),
             params,
         )
-        carry = (params, frame_opt_init(params), jnp.zeros((groups,), jnp.int32))
+        carry = (params, frame_opt_init(params), jnp.int32(0))
         carry = shard_runs(carry, mesh)
-        kernel_call = vae_dp_frame_train_pallas_rb
-        fields = tuple((k, n * rb) for k, n in _VAE_FIELDS)
 
     def one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma):
         return _finish_vae_frame(
@@ -212,51 +210,58 @@ def _run_frame_kernel_experiment(
             weight_fn, sigma,
         )
 
+    def crop_flex(q_mb, out_mb):
+        if stride_sym is None:  # VAEflex: central crop of each window
+            return q_mb, out_mb
+        crop0 = (cfg.batch_len - stride_sym) // 2
+        return (q_mb[..., crop0 : crop0 + stride_sym],
+                out_mb[..., crop0 : crop0 + stride_sym])
+
     def frame_step(carry, key, theta):
         params, opt, count = carry
         if rb is None:
             rx, tx_full, sigma = gen(key, theta)
-        else:
-            keys = jax.random.split(key, rb)
-            rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
-        w, h, opt, losses, var_est, q_mb, out_mb = kernel_call(
-            params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
-            jnp.float32(cfg.lr), count.astype(jnp.float32),
-            jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
-        )
-        if stride_sym is not None:  # VAEflex: central crop of each window
-            crop0 = (cfg.batch_len - stride_sym) // 2
-            q_mb = q_mb[..., crop0 : crop0 + stride_sym]
-            out_mb = out_mb[..., crop0 : crop0 + stride_sym]
-        if rb is None:
+            w, h, opt, losses, var_est, q_mb, out_mb = vae_dp_frame_train_pallas(
+                params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
+                jnp.float32(cfg.lr), count.astype(jnp.float32),
+                jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
+            )
+            q_mb, out_mb = crop_flex(q_mb, out_mb)
             packed = one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma)
-        else:
-            # kernel outputs are (m_max, rb, ...); eval per run, then regroup
-            # the packed vectors field-major so the harness's (k, n*rb)
-            # fields unpack to (rb, n) blocks
-            packed_rb = jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 0, 0))(
-                losses, q_mb, out_mb, var_est, tx_full, sigma
-            )  # (rb, n_tot)
-            off, parts = 0, []
-            for _, n in _VAE_FIELDS:
-                parts.append(packed_rb[:, off : off + n].reshape(-1))
-                off += n
-            packed = jnp.concatenate(parts)
+            return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
+
+        keys = jax.random.split(key, runs)
+        rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
+        rx_g = rx.reshape((groups, rb) + rx.shape[1:])
+
+        def kernel_group(p, o, rxg):
+            return vae_dp_frame_train_pallas_rb(
+                p["w"], p["h"], o, rxg, amps, var, const.nu_sc, P,
+                jnp.float32(cfg.lr), count.astype(jnp.float32),
+                jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
+            )
+
+        w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
+            params, opt, rx_g
+        )
+        # batched eval via nested (groups, rb) vmaps — flattening the kernel
+        # outputs to a runs axis first would transpose ~MB/run per frame
+        q_mb, out_mb = crop_flex(q_mb, out_mb)
+        tx_g = tx_full.reshape((groups, rb) + tx_full.shape[1:])
+        sigma_g = sigma.reshape((groups, rb) + sigma.shape[1:])
+        packed = jax.vmap(jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 0, 0)))(
+            losses, q_mb, out_mb, var_est, tx_g, sigma_g
+        )  # (groups, rb, n_tot)
+        packed = packed.reshape((runs,) + packed.shape[2:])
         return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 
     (params, _, _), hist = run_frame_loop(
-        frame_step, carry, _frame_inputs(cfg, key), fields,
-        runs=None if runs is None else runs // rb,
+        frame_step, carry, _frame_inputs(cfg, key), _VAE_FIELDS,
+        runs=runs, vmap_runs=rb is None,
         progress=progress, compiled=compiled, chunk_frames=chunk_frames,
         checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
     if rb is not None:
-        # (groups, rb*n, frames) -> (runs, n, frames), squeezed for n == 1
-        def unflatten(v, n):
-            out = v.reshape(runs, n, cfg.num_frames)
-            return out[:, 0, :] if n == 1 else out
-
-        hist = {k: unflatten(hist[k], n) for k, n in _VAE_FIELDS}
         params = jax.tree.map(lambda x: x.reshape((runs,) + x.shape[2:]), params)
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, params=params)

@@ -165,3 +165,72 @@ def test_ser_constell_shaping_nonfinite_is_error():
     rx_bad = np.full_like(tx, np.nan)
     ser_nan = ser_constell_shaping(jnp.asarray(rx_bad), jnp.asarray(tx), amps, c.nu_sc, var)
     assert np.all(np.asarray(ser_nan) == 1.0), ser_nan
+
+
+def test_aligned_eval_matches_roll_dp():
+    """align_tx_dp (roll tx+weight into the equalizer frame) reproduces the
+    roll_dp formulation exactly: SER sums are 0/1-exact, MI to f32 noise."""
+    from vae_equalizer_tpu.metrics.mi import mutual_information_ambiguity
+    from vae_equalizer_tpu.train.eval_utils import (
+        align_tx_dp,
+        margin_weight_maxshift,
+        roll_dp,
+    )
+
+    rng = np.random.default_rng(7)
+    n, num_lev = 400, 8
+    amps = jnp.asarray((2 * np.arange(num_lev) - (num_lev - 1)) / np.sqrt(2 * (num_lev**2 - 1) / 3), jnp.float32)
+    P = jnp.asarray(np.full(num_lev, 1 / num_lev), jnp.float32)
+    for r_val, s0, s1 in [(0, 3, -2), (1, -4, 5), (0, 0, 0), (1, 7, 7)]:
+        logits = rng.normal(size=(2, 2 * num_lev, n)).astype(np.float32)
+        q = np.exp(logits)
+        q[:, :num_lev] /= q[:, :num_lev].sum(1, keepdims=True)
+        q[:, num_lev:] /= q[:, num_lev:].sum(1, keepdims=True)
+        tx_idx = rng.integers(0, num_lev, size=(2, 2, n))
+        tx = np.asarray(amps)[tx_idx].astype(np.float32)
+        out = np.asarray(amps)[rng.integers(0, num_lev, size=(2, 2, n))] + \
+            0.05 * rng.normal(size=(2, 2, n)).astype(np.float32)
+        q, tx, out = jnp.asarray(q), jnp.asarray(tx), jnp.asarray(out.astype(np.float32))
+        shift = jnp.asarray([s0, s1], jnp.int32)
+        r = jnp.int32(r_val)
+        w = margin_weight_maxshift(n, jnp.max(jnp.abs(shift)))
+
+        # reference: roll the big tensors into tx's frame
+        q_r = roll_dp(q, shift, r)
+        out_r = roll_dp(out, shift, r)
+        ser_ref = ser_iqflip(q_r, tx, weight=w)
+        mi_ref = mutual_information_ambiguity(q_r, tx, amps, P, weight=w)
+        serc_ref = ser_constell_shaping(out_r, tx, amps, 0.02, jnp.full((2,), 0.1, jnp.float32), weight=w)
+
+        # aligned: roll tx + weight into the equalizer's frame
+        tx_al, w_al = align_tx_dp(tx, shift, r, w)
+        # aligned metrics come back per equalizer pol; report per tx pol
+        ser_new = jnp.roll(ser_iqflip(q, tx_al, weight=w_al), r)
+        mi_new = jnp.roll(mutual_information_ambiguity(q, tx_al, amps, P, weight=w_al), r)
+        serc_new = jnp.roll(ser_constell_shaping(out, tx_al, amps, 0.02, jnp.full((2,), 0.1, jnp.float32), weight=w_al), r)
+
+        np.testing.assert_allclose(np.asarray(ser_new), np.asarray(ser_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(serc_new), np.asarray(serc_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mi_new), np.asarray(mi_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_mi_ambiguity_trace_matches_onehot_mi():
+    """The trace-based ambiguity MI equals the (independent, one-hot based)
+    mutual_information when q is peaked at tx so the identity variant wins."""
+    from vae_equalizer_tpu.metrics.mi import mutual_information_ambiguity
+
+    rng = np.random.default_rng(3)
+    n, num_lev = 300, 8
+    amps = jnp.asarray((2 * np.arange(num_lev) - (num_lev - 1)) / np.sqrt(2 * (num_lev**2 - 1) / 3), jnp.float32)
+    P = jnp.asarray(np.full(num_lev, 1 / num_lev), jnp.float32)
+    tx_idx = rng.integers(0, num_lev, size=(2, 2, n))
+    q = np.full((2, 2 * num_lev, n), 0.1 / (num_lev - 1), np.float32)
+    for pol in range(2):
+        for c in range(2):
+            q[pol, c * num_lev + tx_idx[pol, c], np.arange(n)] = 0.9
+    tx = jnp.asarray(np.asarray(amps)[tx_idx].astype(np.float32))
+    q = jnp.asarray(q)
+    w = jnp.ones(n, jnp.float32).at[:11].set(0.0)
+    got = mutual_information_ambiguity(q, tx, amps, P, weight=w)
+    want = mutual_information(q, tx, amps, P, weight=w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -13,11 +13,14 @@ of the (blind) receiver and is the BASELINE.json "MI curve" metric.
 
 TPU note: selecting q at the transmitted level is a gather along the level
 axis; XLA's TPU gather is slow (measured ~0.4 ms per 40k-element lookup on
-v5e), so the selections run as one-hot masked reductions over the small level
-axis instead. The 8 blind-ambiguity variants are linear combinations of just
-8 such reductions (level reversal moves onto the one-hot, the I/Q swap
-exchanges which posterior block a component reads), and the prior term is
-variant-invariant because the MB pmf is symmetric under level reversal.
+v5e), so the selections run gather-free over the small level axis. The
+ambiguity estimator uses fused compare-select traces (``_level_select`` —
+no materialized one-hot tensors; the eval stage of the aggregate DP pipeline
+is HBM-bound, PARITY_RESULTS round 3), and the 8 blind-ambiguity variants
+are linear combinations of just 8 such traces (level reversal moves onto the
+tx index, the I/Q swap exchanges which posterior block a component reads);
+the prior term is variant-invariant because the MB pmf is symmetric under
+level reversal.
 """
 
 from __future__ import annotations
@@ -75,6 +78,26 @@ def mutual_information(
     return _wnorm(t_i + t_q, weight, tx.shape[-1])
 
 
+def _level_select(lq: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """lq (..., n, N) picked at level indices idx (..., N) -> (..., N).
+
+    Gather-free: an unrolled compare-accumulate over the (small) level axis
+    that XLA fuses into a single pass — unlike ``_onehot_levels`` it never
+    materializes an (..., n, N) f32 selection tensor."""
+    out = jnp.zeros(jnp.broadcast_shapes(lq.shape[:-2] + lq.shape[-1:], idx.shape), lq.dtype)
+    for lev in range(lq.shape[-2]):
+        out = out + jnp.where(idx == lev, lq[..., lev, :], 0.0)
+    return out
+
+
+def _level_select_vec(vec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """vec (n,) picked at level indices idx (..., N) -> (..., N)."""
+    out = jnp.zeros(idx.shape, vec.dtype)
+    for lev in range(vec.shape[0]):
+        out = out + jnp.where(idx == lev, vec[lev], 0.0)
+    return out
+
+
 def mutual_information_ambiguity(
     q: jnp.ndarray,
     tx: jnp.ndarray,
@@ -94,32 +117,47 @@ def mutual_information_ambiguity(
     reversal and the IQ-flip b = reversed Q block:
       no flip: (qi, qq), (qi_r, qq_r), (qq_r, qi), (qq, qi_r)
       flip:    (qi, qq_r), (qi_r, qq), (qq, qi), (qq_r, qi_r)
-    Since sum_n s[lev,n] A_r[lev,n] = sum_n s_r[lev,n] A[lev,n], every variant
-    is a sum of two of the 8 reductions {sI,sIr}x{qi,qq} / {sQ,sQr}x{qq,qi},
-    and the prior term is shared (P is reversal-symmetric).
+    Every variant is a sum of two of the 8 selected traces
+    {lqi, lqq} x {idx_I, idx_Ir, idx_Q, idx_Qr}: level reversal moves onto
+    the tx index ((n-1) - idx), the I/Q swap exchanges which posterior block
+    a component reads, and the prior term is variant-invariant because the
+    MB pmf is symmetric under level reversal. The traces are compare-select
+    accumulations over the small level axis (see ``_level_select``) — the
+    round-3 HBM-lean form of the round-2 one-hot reductions (the eval stage
+    of the aggregate pipeline is bandwidth-bound; PARITY_RESULTS round 3).
+
+    ``weight`` may be (N,) or per-polarization (..., N) — e.g. the rolled
+    per-pol masks of ``train.eval_utils.align_tx_dp``; normalization is per
+    output batch element either way.
     """
     n = amps.shape[0]
-    s = _onehot_levels(tx, n)  # (..., 2, n, N)
-    if weight is not None:
-        s = s * weight.astype(jnp.float32)
-    s_i, s_q = s[..., 0, :, :], s[..., 1, :, :]
-    s_ir, s_qr = s_i[..., ::-1, :], s_q[..., ::-1, :]
+    idx = _decode_levels(tx, n)  # (..., 2, N)
+    idx_i, idx_q = idx[..., 0, :], idx[..., 1, :]
+    idx_ir, idx_qr = (n - 1) - idx_i, (n - 1) - idx_q
     lqi = jnp.log2(q[..., :n, :] + eps)
     lqq = jnp.log2(q[..., n:, :] + eps)
-    lp = jnp.log2(P)[(None,) * (q.ndim - 2) + (slice(None), None)]
+    lp = jnp.log2(P.astype(jnp.float32))  # (n,)
 
-    red = lambda sel, lq: jnp.sum(sel * lq, axis=(-2, -1))
-    a1, a2 = red(s_i, lqi), red(s_ir, lqi)
-    a3, a4 = red(s_i, lqq), red(s_ir, lqq)
-    b1, b2 = red(s_q, lqq), red(s_qr, lqq)
-    b3, b4 = red(s_q, lqi), red(s_qr, lqi)
-    prior = red(s_i, jnp.broadcast_to(lp, lqi.shape)) + red(
-        s_q, jnp.broadcast_to(lp, lqq.shape)
-    )
+    if weight is None:
+        red = lambda trace: jnp.sum(trace, axis=-1)
+    else:
+        w = weight.astype(jnp.float32)
+        red = lambda trace: jnp.sum(trace * jnp.broadcast_to(w, trace.shape), axis=-1)
+    a1, a2 = red(_level_select(lqi, idx_i)), red(_level_select(lqi, idx_ir))
+    a3, a4 = red(_level_select(lqq, idx_i)), red(_level_select(lqq, idx_ir))
+    b1, b2 = red(_level_select(lqq, idx_q)), red(_level_select(lqq, idx_qr))
+    b3, b4 = red(_level_select(lqi, idx_q)), red(_level_select(lqi, idx_qr))
+    prior = red(_level_select_vec(lp, idx_i) + _level_select_vec(lp, idx_q))
     best = jnp.max(
         jnp.stack(
             [a1 + b1, a2 + b2, a4 + b3, a3 + b4, a1 + b2, a2 + b1, a3 + b3, a4 + b4]
         ),
         axis=0,
     )
-    return _wnorm(best - prior, weight, tx.shape[-1])
+    if weight is None:
+        return (best - prior) / tx.shape[-1]
+    wsum = jnp.sum(
+        jnp.broadcast_to(weight.astype(jnp.float32), best.shape + (tx.shape[-1],)),
+        axis=-1,
+    )
+    return (best - prior) / wsum

@@ -97,6 +97,9 @@ _B1 = 0.9
 _B2 = 0.999
 _EPS_ADAM = 1e-8
 _HI = jax.lax.Precision.HIGHEST
+# component row r = pol + 2*comp -> its row in the GROUP-ordered
+# (xI, xQ, yI, yQ) posterior-mean scratch (see the demapper note in _kernel)
+_EQP = (0, 2, 1, 3)
 
 
 def _bdot(a, b, contract=((2,), (1,))):
@@ -111,7 +114,7 @@ def _kernel(
     xi_ref, xq_ref, rx_ref, rxe_ref, rxo_ref,
     maske_ref, masko_ref, masket_ref, maskot_ref,
     amp3_ref, amp23_ref, amprow_ref, amp2row_ref, pfull1_ref, pfull4_ref,
-    tmask3_ref, ones_l_ref,
+    tmask3_ref, ones_l_ref, perm_e_ref, perm_o_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
@@ -170,7 +173,11 @@ def _kernel(
     out4_sc[:, 2:4, :] = _bdot(w_sc[...], xq)  # rows (x_Q, y_Q)
     outout_ref[0] = out4_sc[...]
 
-    # ---------------- demapper + posterior moments (rows r = pol + 2*comp)
+    # ---------------- demapper + posterior moments (rows r = pol + 2*comp).
+    # eq4_sc holds the posterior means in GROUP order (xI, xQ, yI, yQ) =
+    # (nu, c') — the row order of the window stacks — so the window
+    # assembly below can store 4-row blocks; _EQP maps component r to its
+    # group row.
     amp3 = amp3_ref[...]  # (R, n_lev, N) amplitude levels, lane-replicated
     amp23 = amp23_ref[...]
     for r in range(4):
@@ -191,21 +198,31 @@ def _kernel(
         q = e * expand(1.0 / s1, n_lev)
         q_sc[:, r * n_lev : (r + 1) * n_lev, :] = q
         eq = _bdot(amprow_ref[...], q)  # (R, 1, N)
-        eq4_sc[:, r : r + 1, :] = eq
+        gp = _EQP[r]
+        eq4_sc[:, gp : gp + 1, :] = eq
         v4_sc[:, r : r + 1, :] = _bdot(amp2row_ref[...], q) - eq * eq
     qout_ref[0] = q_sc[...]
 
     # ---------------- D conv as batched matmuls over shifted-window stacks.
+    # Window rows are SHIFT-major (row a*4 + g): one 4-row block store per
+    # shift a from a lane slice of the group-ordered eq4 value — 4x fewer
+    # store instructions than the row-per-(g, a) form, and every store
+    # instruction costs ~R tile-ops at R > 1 (the round-3 saturation
+    # analysis: stores are the binding per-step cost). The coefficient
+    # matrices stay (g, a)-major; the constant permutation PERM
+    # (perm_*_ref, PERM[g*n_a + a, a*4 + g] = 1) is folded into the
+    # adjacent matmuls: CT @ EQwin_g = (CT @ PERM) @ EQwin_a.
+    eq4v = eq4_sc[...]  # (R, 4, N) group order (xI, xQ, yI, yQ)
+
     def win_stack(sc, n_a):
-        r = 0
-        for g in (0, 2, 1, 3):  # eq4 row order (xI, yI, xQ, yQ) -> (nu, c')
-            for a in range(n_a):
-                sc[:, r : r + 1, :] = eq4_sc[:, g : g + 1, mh - a : n_sym - a]
-                r += 1
+        for a in range(n_a):
+            sc[:, 4 * a : 4 * a + 4, :] = eq4v[:, :, mh - a : n_sym - a]
         return sc[...]
 
     eqwin_e = win_stack(eqwin_e_sc, mhe)
     eqwin_o = win_stack(eqwin_o_sc, mh)
+    perm_e = perm_e_ref[...]
+    perm_o = perm_o_ref[...]
 
     def ct_d(sc, lane0, lane1, n_a):  # (R, 4, 4*n_a), rows (chi*2 + c)
         for chi in range(2):
@@ -219,8 +236,8 @@ def _kernel(
                 sc[:, chi * 2 + 1 : chi * 2 + 2, b * n_a : (b + 1) * n_a] = blk
         return sc[...]
 
-    d_e_sc[...] = _bdot(ct_d(ct_e_sc, 0, mhe, mhe), eqwin_e)  # (R, 4, ne)
-    d_o_sc[...] = _bdot(ct_d(ct_o_sc, mhe, m, mh), eqwin_o)
+    d_e_sc[...] = _bdot(_bdot(ct_d(ct_e_sc, 0, mhe, mhe), perm_e), eqwin_e)  # (R, 4, ne)
+    d_o_sc[...] = _bdot(_bdot(ct_d(ct_o_sc, mhe, m, mh), perm_o), eqwin_o)
 
     # ---------------- E term: S_p (R, 2, n_a) = Vsum (R, 2, N) @ MASK_p
     vsum = jnp.concatenate(
@@ -303,8 +320,12 @@ def _kernel(
     gd_o_sc[...] = gfac_e * (2.0 * d_o_sc[...] - 2.0 * rx_al_o)
 
     # ---- gh: GH_p (R, 4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E
-    def gh_assemble(gd_sc_p, eqwin_p, lane0, lane1, n_a):
-        ghm_sc[:, :, : 4 * n_a] = _bdot(gd_sc_p[...], eqwin_p, ((2,), (2,)))
+    # (EQwin is shift-major, so multiply by PERM^T — contract dim 2 of the
+    # permutation — to restore the (g, a)-major columns gh_assemble slices)
+    def gh_assemble(gd_sc_p, eqwin_p, perm_p, lane0, lane1, n_a):
+        ghm_sc[:, :, : 4 * n_a] = _bdot(
+            _bdot(gd_sc_p[...], eqwin_p, ((2,), (2,))), perm_p, ((2,), (2,))
+        )
         for chi in range(2):
             g_c = g_cx if chi == 0 else g_cy
             g_c_na = g_c[:, :, :n_a]
@@ -328,20 +349,19 @@ def _kernel(
                     ghi + 2.0 * g_c_na * h_sc[:, r0 + 1 : r0 + 2, lane0:lane1] * s_nu
                 )
 
-    gh_assemble(gd_e_sc, eqwin_e, 0, mhe, mhe)
-    gh_assemble(gd_o_sc, eqwin_o, mhe, m, mh)
+    gh_assemble(gd_e_sc, eqwin_e, perm_e, 0, mhe, mhe)
+    gh_assemble(gd_o_sc, eqwin_o, perm_o, mhe, m, mh)
     gh = gh_sc[...]  # (R, 8, M) parity-major
 
     # ---- gEq: GEQ (R, 4, N) = CT2 (R, 4, 4*n_a) @ gDwin (R, 4*n_a, N)
+    # (shift-major rows like eqwin: one 4-row block store per shift)
     def gdwin(sc, gd_sc_p, n_a):
         # gdpad[t] = gd_p[t - mh]; window a places gd_p[b] at t = mh - a + b
         gdpad_sc[...] = jnp.zeros(gdpad_sc.shape, f32)
         gdpad_sc[:, :, mh : mh + ne] = gd_sc_p[...]
-        r = 0
-        for g in range(4):  # groups (chi, c) in gd row order
-            for a in range(n_a):
-                sc[:, r : r + 1, :] = gdpad_sc[:, g : g + 1, a : a + n_sym]
-                r += 1
+        gdpad = gdpad_sc[...]
+        for a in range(n_a):
+            sc[:, 4 * a : 4 * a + 4, :] = gdpad[:, :, a : a + n_sym]
         return sc[...]  # (R, 4*n_a, N)
 
     def ct2(sc, lane0, lane1, n_a):  # rows (nu, c') order (x,I)(x,Q)(y,I)(y,Q)
@@ -356,8 +376,10 @@ def _kernel(
                 sc[:, nu * 2 + 1 : nu * 2 + 2, b * n_a : (b + 1) * n_a] = blk
         return sc[...]
 
-    geq_sc[...] = _bdot(ct2(ct_e_sc, 0, mhe, mhe), gdwin(gdwin_e_sc, gd_e_sc, mhe)) + _bdot(
-        ct2(ct_o_sc, mhe, m, mh), gdwin(gdwin_o_sc, gd_o_sc, mh)
+    geq_sc[...] = _bdot(
+        _bdot(ct2(ct_e_sc, 0, mhe, mhe), perm_e), gdwin(gdwin_e_sc, gd_e_sc, mhe)
+    ) + _bdot(
+        _bdot(ct2(ct_o_sc, mhe, m, mh), perm_o), gdwin(gdwin_o_sc, gd_o_sc, mh)
     )  # rows (x,I)(x,Q)(y,I)(y,Q)
 
     # ---- gV: gv (R, 2, N) = GCO (R, 2, n_a) @ MASK_p^T per parity
@@ -377,14 +399,12 @@ def _kernel(
     # ---- moments -> gq -> softmin VJP -> gout
     pfull1 = pfull1_ref[...]
     tmask3 = tmask3_ref[...]
-    geq_row_of = (0, 2, 1, 3)  # eq4 row r -> geq_sc row
     for r in range(4):
         nu = r % 2
         var = var_x if r % 2 == 0 else var_y
         gvr = gv_sc[:, nu : nu + 1, :]  # (R, 1, N)
-        g_eq_r = geq_sc[:, geq_row_of[r] : geq_row_of[r] + 1, :] - 2.0 * eq4_sc[
-            :, r : r + 1, :
-        ] * gvr
+        gp = _EQP[r]  # geq_sc and eq4_sc both use the group row order
+        g_eq_r = geq_sc[:, gp : gp + 1, :] - 2.0 * eq4_sc[:, gp : gp + 1, :] * gvr
         q = q_sc[:, r * n_lev : (r + 1) * n_lev, :]  # (R, n_lev, N)
         gq = amp3 * expand(g_eq_r, n_lev) + amp23 * expand(gvr, n_lev)
         ratio = q / pfull1
@@ -447,6 +467,19 @@ def _support_masks(m: int, n_sym: int):
         hi = min((n_samp - j - 1) // 2 + 1, n_sym)
         mask[lo:hi, j] = 1.0
     return mask[:, 0::2], mask[:, 1::2]
+
+
+def _win_perm(n_a: int):
+    """PERM[g*n_a + a, a*4 + g] = 1: maps (g, a)-major coefficient lanes onto
+    the shift-major window rows; folded into the D/gEq/gh matmuls (NumPy —
+    setup-path constants must never lower as device ops, CLAUDE.md)."""
+    import numpy as np
+
+    p = np.zeros((4 * n_a, 4 * n_a), np.float32)
+    for g in range(4):
+        for a in range(n_a):
+            p[g * n_a + a, a * 4 + g] = 1.0
+    return p
 
 
 def _to_parity_major(h8: jnp.ndarray) -> jnp.ndarray:
@@ -571,6 +604,8 @@ def vae_dp_frame_train_pallas_rb(
         jnp.asarray(inner_np)[None, None, :], (n_rb, n_lev, n_sym)
     )
     ones_l = jnp.ones((n_rb, n_samp_mb, 128), jnp.float32)
+    perm_e3 = bcast(_win_perm(mhe))
+    perm_o3 = bcast(_win_perm(mh))
 
     w2 = w.reshape(n_rb, 2, 4 * m)
     h8 = _to_parity_major(h.reshape(n_rb, 8, m))
@@ -612,6 +647,7 @@ def vae_dp_frame_train_pallas_rb(
             per_mb4(4, n_sym),
             full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(), full(), full(),
+            full(), full(),
             full(), full(), full(), full(), full(), full(),
             pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -656,6 +692,7 @@ def vae_dp_frame_train_pallas_rb(
     )(
         xi, xq, rx4, rxe, rxo, maske3, masko3, maskte3, maskto3,
         amp3, amp23, amprow, amp2row, pfull1, pfull4, tmask3, ones_l,
+        perm_e3, perm_o3,
         w2, h8, mw2, vw2, mh8, vh8, scal,
     )
 
@@ -702,7 +739,7 @@ def _dot(a, b, contract=((1,), (0,))):
 
 def _kernel_r1(
     xi_ref, xq_ref, rx_ref, rxe_ref, rxo_ref,
-    maske_ref, masko_ref, masket_ref, maskot_ref,
+    maske_ref, masko_ref, masket_ref, maskot_ref, perm_e_ref, perm_o_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, amps_ref, p_ref, scal_ref,
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
@@ -741,7 +778,9 @@ def _kernel_r1(
     out_q = _dot(w_sc[:, :], xq)  # (2, N) Q outputs (same taps, Q arrangement)
     out = jnp.concatenate([out_i, out_q])  # rows (x_I, y_I, x_Q, y_Q)
 
-    # ---------------- demapper + posterior moments (rows r = pol + 2*comp)
+    # ---------------- demapper + posterior moments (rows r = pol + 2*comp);
+    # eq4g carries the posterior means in GROUP order (xI, xQ, yI, yQ) =
+    # (nu, c') so the window stacks below can store 4-row blocks
     eqs, vs = [], []
     for r in range(4):
         o = out[r : r + 1, :]
@@ -754,25 +793,29 @@ def _kernel_r1(
         q_sc[r * n_lev : (r + 1) * n_lev, :] = q
         eqs.append(jnp.sum(amps[:, None] * q, axis=0, keepdims=True))
         vs.append(jnp.sum((amps * amps)[:, None] * q, axis=0, keepdims=True))
+    eq4g = jnp.concatenate([eqs[0], eqs[2], eqs[1], eqs[3]])  # group order
     eq4 = jnp.concatenate(eqs)  # (4, N) rows (x_I, y_I, x_Q, y_Q)
     v4 = jnp.concatenate(vs) - eq4 * eq4
 
     # ---------------- D conv as matmuls over shifted-window stacks.
-    # EQwin_p[(g, a), t] = eq4[row(g), mh - a + t] for the 4 groups
-    # g = (nu, c') in order (x,I), (x,Q), (y,I), (y,Q); CT rows (chi*2 + c)
-    # hold the matching h coefficients as lane-concats of h_e/h_o rows.
-    # Windows are materialized through scratch stores — Mosaic cannot
-    # sublane-concat vectors whose lane offsets differ.
+    # Window rows are SHIFT-major (row a*4 + g, groups g = (nu, c') in
+    # order (x,I), (x,Q), (y,I), (y,Q)): one 4-row block store per shift
+    # from a lane slice of eq4g — 4x fewer store instructions than the
+    # row-per-(g, a) form (stores dominate the ~300-instruction step body,
+    # PARITY_RESULTS round-3 roofline note). CT rows (chi*2 + c) hold the
+    # h coefficients (g, a)-major; the constant permutation PERM
+    # (PERM[g*n_a + a, a*4 + g] = 1) is folded into the adjacent matmuls.
+    # Windows go through scratch stores — Mosaic cannot sublane-concat
+    # vectors whose lane offsets differ.
     def win_stack(sc, rows4, n_a):
-        r = 0
-        for g in (0, 2, 1, 3):  # eq4 row order (xI, yI, xQ, yQ) -> (nu, c')
-            for a in range(n_a):
-                sc[r : r + 1, :] = rows4[g : g + 1, mh - a : n_sym - a]
-                r += 1
+        for a in range(n_a):
+            sc[4 * a : 4 * a + 4, :] = rows4[:, mh - a : n_sym - a]
         return sc[:, :]
 
-    eqwin_e = win_stack(eqwin_e_sc, eq4, mhe)
-    eqwin_o = win_stack(eqwin_o_sc, eq4, mh)
+    eqwin_e = win_stack(eqwin_e_sc, eq4g, mhe)
+    eqwin_o = win_stack(eqwin_o_sc, eq4g, mh)
+    perm_e = perm_e_ref[:, :]
+    perm_o = perm_o_ref[:, :]
 
     def ct_d(sc, h_p, n_a):  # (4, 4*n_a): D coefficients, rows (chi*2 + c)
         for chi in range(2):
@@ -784,8 +827,8 @@ def _kernel_r1(
                 sc[chi * 2 + 1 : chi * 2 + 2, b * n_a : (b + 1) * n_a] = blk
         return sc[:, :]
 
-    d_e = _dot(ct_d(ct_e_sc, h_e, mhe), eqwin_e)  # (4, ne) rows (chi*2+c), even
-    d_o = _dot(ct_d(ct_o_sc, h_o, mh), eqwin_o)  # odd positions
+    d_e = _dot(_dot(ct_d(ct_e_sc, h_e, mhe), perm_e), eqwin_e)  # (4, ne) rows (chi*2+c)
+    d_o = _dot(_dot(ct_d(ct_o_sc, h_o, mh), perm_o), eqwin_o)  # odd positions
 
     # ---------------- E term: S_p (2, n_a) = Vsum (2, N) @ MASK_p (N, n_a)
     vsum = jnp.concatenate(
@@ -850,8 +893,9 @@ def _kernel_r1(
     gd_o = gfac * (2.0 * d_o - 2.0 * rx_al_o)
 
     # ---- gh: GH_p (4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E term
-    gh_e_m = _dot(gd_e, eqwin_e, ((1,), (1,)))  # (4, 4*mhe)
-    gh_o_m = _dot(gd_o, eqwin_o, ((1,), (1,)))
+    # (PERM^T restores the (g, a)-major columns gh_assemble slices)
+    gh_e_m = _dot(_dot(gd_e, eqwin_e, ((1,), (1,))), perm_e, ((1,), (1,)))  # (4, 4*mhe)
+    gh_o_m = _dot(_dot(gd_o, eqwin_o, ((1,), (1,))), perm_o, ((1,), (1,)))
 
     def gh_assemble(ghm, h_p, s_p, n_a, lane0):
         # ghm cols grouped (nu, c') in order (x,I)(x,Q)(y,I)(y,Q) like CT;
@@ -879,15 +923,13 @@ def _kernel_r1(
     gh = gh_sc[:, :]  # (8, M) parity-major
 
     # ---- gEq: GEQ (4, N) = CT2 (4, 4*n_a) @ gDwin (4*n_a, N), both parities
+    # (shift-major rows like eqwin: one 4-row block store per shift)
     def gdwin(sc, gd_p, n_a):
         # padded[m] = gd_p[m - mh]; window a = padded[a : a + N] places
         # gd_p[b] at t = mh - a + b, so length must reach (n_a-1) + N
         padded = jnp.pad(gd_p, ((0, 0), (mh, n_a - 1)))
-        r = 0
-        for g in range(4):  # groups (chi, c) in gd row order
-            for a in range(n_a):
-                sc[r : r + 1, :] = padded[g : g + 1, a : a + n_sym]
-                r += 1
+        for a in range(n_a):
+            sc[4 * a : 4 * a + 4, :] = padded[:, a : a + n_sym]
         return sc[:, :]  # (4*n_a, N)
 
     def ct2(sc, h_p, n_a):  # rows (nu, c') in order (x,I)(x,Q)(y,I)(y,Q)
@@ -900,9 +942,9 @@ def _kernel_r1(
                 sc[nu * 2 + 1 : nu * 2 + 2, b * n_a : (b + 1) * n_a] = blk
         return sc[:, :]
 
-    geq_g = _dot(ct2(ct_e_sc, h_e, mhe), gdwin(gdwin_e_sc, gd_e, mhe)) + _dot(
-        ct2(ct_o_sc, h_o, mh), gdwin(gdwin_o_sc, gd_o, mh)
-    )
+    geq_g = _dot(
+        _dot(ct2(ct_e_sc, h_e, mhe), perm_e), gdwin(gdwin_e_sc, gd_e, mhe)
+    ) + _dot(_dot(ct2(ct_o_sc, h_o, mh), perm_o), gdwin(gdwin_o_sc, gd_o, mh))
     # rows (x,I)(x,Q)(y,I)(y,Q) -> eq4 order (x,I)(y,I)(x,Q)(y,Q)
     geq = jnp.concatenate([geq_g[0:1], geq_g[2:3], geq_g[1:2], geq_g[3:4]])
 
@@ -1051,6 +1093,8 @@ def vae_dp_frame_train_pallas(
     mask_e, mask_o = _support_masks(m, n_sym)
     mask_e = jnp.asarray(mask_e)
     mask_o = jnp.asarray(mask_o)
+    perm_e = jnp.asarray(_win_perm(mhe))
+    perm_o = jnp.asarray(_win_perm(mh))
 
     w2 = w.reshape(2, 4 * m)
     h8 = _to_parity_major(h.reshape(8, m))
@@ -1092,7 +1136,7 @@ def vae_dp_frame_train_pallas(
             per_mb3(4, n_samp_mb),
             per_mb3(4, n_sym),
             per_mb3(4, n_sym),
-            full(), full(), full(), full(),
+            full(), full(), full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
             full(), full(),
             pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
@@ -1122,7 +1166,7 @@ def vae_dp_frame_train_pallas(
         interpret=interpret,
     )(
         xi, xq, rx4, rxe, rxo, mask_e, mask_o,
-        jnp.transpose(mask_e), jnp.transpose(mask_o),
+        jnp.transpose(mask_e), jnp.transpose(mask_o), perm_e, perm_o,
         w2, h8, mw2, vw2, mh8, vh8, amps_row, p_row, scal,
     )
 

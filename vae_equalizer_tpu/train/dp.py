@@ -46,7 +46,7 @@ from ..models import (
 from ..models.losses import elbo_dp
 from ..utils.config import DpConfig
 from .batching import broadcast_runs, shard_runs
-from .eval_utils import batch_cut_weight, margin_weight_maxshift, roll_dp
+from .eval_utils import align_tx_dp, batch_cut_weight, margin_weight_maxshift
 from .harness import Progress, init_carry, pack_metrics, run_frame_loop
 from .modes import check_pallas_mode
 
@@ -89,22 +89,35 @@ def _vae_optimizer(cfg: DpConfig, steps_per_frame: int):
 
 
 def _dp_frame_eval(q_train, out_const, tx, amps, P, nu_sc, var, weight_fn):
-    """Shared per-frame evaluation: sync -> roll -> masked SER (+MI).
+    """Shared per-frame evaluation: sync -> align tx -> masked SER (+MI).
 
     weight_fn(shift0, max_shift) builds the static-shape eval mask for the
     experiment's trim convention (per-batch edge cut for the VAE frame loop,
     plain margins for flex/CMA).
+
+    The sync compensation rolls tx + weight into the equalizer's frame
+    (``align_tx_dp``) instead of rolling the equalizer tensors into tx's
+    (``roll_dp``): the same (pair, weight) multiset, but the rolled arrays
+    are (2, 2, N) instead of the (2, 2*num_lev, N) posteriors — the eval
+    stage of the runs-batched aggregate pipeline is HBM-bandwidth-bound
+    (PARITY_RESULTS round-3 saturation analysis).
     """
     shift, r = find_shift_dp(q_train, tx, 21, amps)
-    q_r = roll_dp(q_train, shift, r)
     w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
-    ser_soft = ser_iqflip(q_r, tx, weight=w_q)
-    mi = mutual_information_ambiguity(q_r, tx, amps, P, weight=w_q)
+    tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
+    # aligned metrics are per EQUALIZER pol j; report per tx pol i=(j+r)%2
+    ser_soft = jnp.roll(ser_iqflip(q_train, tx_al, weight=w_al), r)
+    mi = jnp.roll(
+        mutual_information_ambiguity(q_train, tx_al, amps, P, weight=w_al), r
+    )
 
     shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
-    out_r = roll_dp(out_const, shift_c, r_c)
     w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
-    ser_const = ser_constell_shaping(out_r, tx, amps, nu_sc, var, weight=w_c)
+    tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
+    ser_const = jnp.roll(
+        ser_constell_shaping(out_const, tx_al_c, amps, nu_sc, var, weight=w_al_c),
+        r_c,
+    )
     return ser_const, ser_soft, mi, shift, r
 
 

@@ -28,6 +28,37 @@ def roll_dp(x: jnp.ndarray, shift, r) -> jnp.ndarray:
     return jnp.stack([x0, x1])
 
 
+def align_tx_dp(tx: jnp.ndarray, shift, r, weight: jnp.ndarray):
+    """Inverse alignment: roll tx + weight into the equalizer's frame.
+
+    ``roll_dp`` moves the (large) equalizer tensors into tx's frame; for a
+    weighted per-symbol metric the equivalent cheap move is rolling tx and
+    the weight the other way. For any elementwise metric f,
+
+        sum_t w[t] * f(roll_dp(x, shift, r)[i, ..., t], tx[i, ..., t])
+      = sum_u w_al[j, u] * f(x[j, ..., u], tx_al[j, ..., u])
+
+    with j = (i - r) mod 2 and u = (t + shift[i]) mod N — the same
+    (pair, weight) multiset visited in a different order (the masks built by
+    the weight_fn helpers exclude every wrapped position by construction).
+    Rolling tx (2, 2, N) + weight (N,) moves ~16x less data than rolling DP
+    posteriors (2, 2*num_lev, N) — the eval stage of the aggregate frame
+    pipeline is HBM-bound (PARITY_RESULTS round-3 saturation analysis).
+
+    Returns (tx_al (2, 2, N), w_al (2, N)); w_al broadcasts against error
+    tensors shaped (..., 2 pol, N).
+    """
+    tx_p = jnp.roll(tx, -r, axis=0)  # tx_p[j] = tx[(j + r) % 2]
+    s_p = jnp.roll(shift, -r, axis=0)  # s_p[j] = shift[(j + r) % 2]
+    tx_al = jnp.stack(
+        [jnp.roll(tx_p[0], s_p[0], axis=-1), jnp.roll(tx_p[1], s_p[1], axis=-1)]
+    )
+    w_al = jnp.stack(
+        [jnp.roll(weight, s_p[0], axis=-1), jnp.roll(weight, s_p[1], axis=-1)]
+    )
+    return tx_al, w_al
+
+
 def margin_weight(n: int, shift, margin: int = MARGIN) -> jnp.ndarray:
     """Weight for the reference's ``x[margin+shift:-margin]`` vs
     ``tx[margin:-margin-shift]`` comparison after roll_time(x, shift):

@@ -251,7 +251,10 @@ def test_runs_batched_kernel_matches_single_run_stack():
     for r in range(R):
         _, _, _, l1, v1, q1, out1 = run_one(r, 0.0, rx[r])
         np.testing.assert_allclose(losses[:, r], l1, rtol=1e-6)
-        np.testing.assert_allclose(q[:, r], q1, rtol=1e-5, atol=1e-7)
+        # atol 1e-5: the rb body folds 1/(2 var) into the demapper metric
+        # ((s*o - s*a)^2 vs (o - a)^2 * 0.5/var), which rounds differently
+        # from the single-run body's formulation by a few 1e-6 on q
+        np.testing.assert_allclose(q[:, r], q1, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(out[:, r], out1, rtol=1e-6, atol=1e-7)
 
     # (b) one minibatch at lr>0: per-run batched backward + Adam
@@ -261,7 +264,9 @@ def test_runs_batched_kernel_matches_single_run_stack():
         np.testing.assert_allclose(wb[r], w1, rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(hb[r], h1, rtol=1e-5, atol=1e-7)
         for k in ("mw", "vw", "mh", "vh"):
-            np.testing.assert_allclose(optb[k][r], o1[k], rtol=1e-4, atol=1e-6)
+            # atol 1e-5: gradient moments inherit the rb body's reformulated
+            # rounding (merged selection matmuls + stacked lane sums)
+            np.testing.assert_allclose(optb[k][r], o1[k], rtol=1e-4, atol=1e-5)
 
     # (c) multi-step training: well-formed
     wb, hb, optb, losses, var_est, q, out = run_rb(LR, rx)
@@ -297,7 +302,10 @@ def test_runs_batched_kernel_flex_windows():
             bl_sym=BL, stride_sym=FS, interpret=True,
         )
         np.testing.assert_allclose(losses[:, r], l1, rtol=1e-6)
-        np.testing.assert_allclose(q[:, r], q1, rtol=1e-5, atol=1e-7)
+        # atol 1e-5: the rb body folds 1/(2 var) into the demapper metric
+        # ((s*o - s*a)^2 vs (o - a)^2 * 0.5/var), which rounds differently
+        # from the single-run body's formulation by a few 1e-6 on q
+        np.testing.assert_allclose(q[:, r], q1, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(out[:, r], out1, rtol=1e-6, atol=1e-7)
 
 

@@ -113,14 +113,16 @@ def _bdot(a, b, contract=((2,), (1,))):
 def _kernel(
     xi_ref, xq_ref, rx_ref, rxe_ref, rxo_ref,
     maske_ref, masko_ref, masket_ref, maskot_ref,
-    amp3_ref, amp23_ref, amprow_ref, amp2row_ref, pfull1_ref, pfull4_ref,
-    tmask3_ref, ones_l_ref, perm_e_ref, perm_o_ref,
+    selv_ref, selt_ref, sels_ref, eqv_ref,
+    amp32s_ref, amp232n_ref, amp32u_ref, amp232u_ref, s2row_ref,
+    pfull4_ref, tmask_ref, ones_l_ref, csum_ref, perm_e_ref, perm_o_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
     eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc, gh_sc, ct_e_sc, ct_o_sc,
     out4_sc, eq4_sc, v4_sc, d_e_sc, d_o_sc, gd_e_sc, gd_o_sc, ghm_sc, geq_sc,
     gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, stats_sc,
+    mm4_sc, eq12_sc, st_sc, sums_sc, ge4_sc, gv4_sc, gfac_sc,
     *, n_sym, m, n_lev, n_rb,
 ):
     # Mosaic-safe construct policy for R > 1 (the compiler SIGABRTs on
@@ -128,14 +130,26 @@ def _kernel(
     # elementwise ops, batched dot_general, scratch/input ref loads and
     # stores (offsets allowed), lane slices of values, scalar (0-d)
     # broadcasts, and jnp.ones/zeros fills. In particular: NO (R,1,1)-shaped
-    # values (per-run scalars live as (R,1,128) lane-replicated rows built
-    # by two batched matmuls), NO multi-axis or sublane reductions (lane
-    # totals via matmuls with ones, sublane min via an unrolled row chain),
-    # NO sublane-offset slices of values (everything row-sliced goes through
-    # a scratch ref first), and NO rank-promoting broadcasts (amps/P/mask
-    # operands arrive pre-materialized at full (R, ., .) shape).
+    # values, NO multi-axis or sublane reductions (sublane min via an
+    # unrolled row chain), NO sublane-offset slices of values (everything
+    # row-sliced goes through a scratch ref first), and NO rank-promoting
+    # broadcasts (constants arrive pre-materialized at full (R, ., .) shape).
+    #
+    # Round-3 cost model (tools/mosaic_probe4.py, measured on v5e): a
+    # DEPENDENT batched MXU dot costs ~110-270 ns at R=8 regardless of size,
+    # while elementwise ops and scratch stores are ~5 ns even on (R, 1, N)
+    # slices — so this body minimizes the NUMBER of dot_generals:
+    #   * row-replication "expands" are row STORES, not ones-matmuls;
+    #   * ALL lane-total reductions (C terms, E terms, KL) go through ONE
+    #     stacked (R, K, Nsamp) @ (R, Nsamp, 128) matmul, whose K rows are
+    #     the products to sum, followed by ONE (R, 8, K) combine matmul
+    #     (csum) that forms c_x / c_y / kl as signed row combinations;
+    #   * the demapper and the softmin VJP run on all 4 components at once
+    #     as (R, 4*n_lev, N) tensors, with the level<->component moves done
+    #     by constant selection matmuls (selv/selt/sels/eqv).
     mi = pl.program_id(0)
-    rb = n_rb
+    nl4 = 4 * n_lev
+    kst = 24 + nl4  # stacked-sum rows: 4 C-base + 16 cross/dd + 4 E + KL
 
     @pl.when(mi == 0)
     def _():
@@ -145,71 +159,57 @@ def _kernel(
         vw_sc[...] = vw_in[...]
         mh_sc[...] = mh_in[...]
         vh_sc[...] = vh_in[...]
+        # the sum-stack's uncovered lanes must read zero; every step stores
+        # the same static regions, so zeroing once is enough
+        st_sc[...] = jnp.zeros(st_sc.shape, jnp.float32)
 
     n_samp = 2 * n_sym
     mh = m // 2
     mhe = mh + 1  # even-tap count; odd-tap count = mh
     n_eff = float(n_samp - 2 * mh)
     ne = n_sym - mh  # positions per tap parity (even == odd count here)
-    var_x = scal_ref[0, 0]
-    var_y = scal_ref[0, 1]
-    nu_sc = scal_ref[0, 2]
     eps = scal_ref[0, 3]
     xi = xi_ref[0]  # (R, 4M, n_sym) im2col, I arrangement
     xq = xq_ref[0]
     f32 = jnp.float32
-
-    def expand(row, s):  # (R, 1, l) -> (R, s, l) via an outer-product matmul
-        return _bdot(jnp.ones((rb, s, 1), f32), row)
-
-    def tot_row(x):  # (R, s, l) -> (R, 1, 128): every lane = sum over (s, l)
-        rs = _bdot(jnp.ones((rb, 1, x.shape[1]), f32), x)  # (R, 1, l)
-        if x.shape[2] < n_samp:
-            rs = jnp.pad(rs, ((0, 0), (0, 0), (0, n_samp - x.shape[2])))
-        return _bdot(rs, ones_l_ref[...])  # (R, 1, 128)
+    selt = selt_ref[...]  # (R, 4n, 4): row r*n+l -> component r
+    sels = sels_ref[...]  # (R, 4, 4n): component r <- sum of its level rows
 
     # ---------------- forward: butterfly as two batched MXU matmuls
     out4_sc[:, 0:2, :] = _bdot(w_sc[...], xi)  # rows (x_I, y_I)
     out4_sc[:, 2:4, :] = _bdot(w_sc[...], xq)  # rows (x_Q, y_Q)
     outout_ref[0] = out4_sc[...]
 
-    # ---------------- demapper + posterior moments (rows r = pol + 2*comp).
-    # eq4_sc holds the posterior means in GROUP order (xI, xQ, yI, yQ) =
-    # (nu, c') — the row order of the window stacks — so the window
-    # assembly below can store 4-row blocks; _EQP maps component r to its
-    # group row.
-    amp3 = amp3_ref[...]  # (R, n_lev, N) amplitude levels, lane-replicated
-    amp23 = amp23_ref[...]
+    # ---------------- demapper, all 4 components at once on (R, 4n, N).
+    # selv = selt * s_pol(row), s = sqrt(0.5/var): d32 = s*(out - amp), so
+    # met = d32^2 + nu*amp^2 with the 1/(2 var) folded into the constants.
+    e4s = _bdot(selv_ref[...], out4_sc[...])  # (R, 4n, N)
+    d32 = e4s - amp32s_ref[...]
+    met = d32 * d32 + amp232n_ref[...]
+    # met parks in q_sc so the per-component min row-chain slices a ref
+    q_sc[...] = met
     for r in range(4):
-        var = var_x if r % 2 == 0 else var_y
-        ofull = expand(out4_sc[:, r : r + 1, :], n_lev)
-        dlt = ofull - amp3
-        met = dlt * dlt * (0.5 / var) + nu_sc * amp23
-        # the metric parks in this component's q_sc slot (free until q is
-        # written below) so the min row-chain can slice a ref, not a value —
-        # a dedicated metric scratch would push R=16 past the 16 MB VMEM
         r0 = r * n_lev
-        q_sc[:, r0 : r0 + n_lev, :] = met
         mm = q_sc[:, r0 : r0 + 1, :]
         for l in range(1, n_lev):
             mm = jnp.minimum(mm, q_sc[:, r0 + l : r0 + l + 1, :])
-        e = jnp.exp(expand(mm, n_lev) - met)
-        s1 = _bdot(jnp.ones((rb, 1, n_lev), f32), e)  # (R, 1, N)
-        q = e * expand(1.0 / s1, n_lev)
-        q_sc[:, r * n_lev : (r + 1) * n_lev, :] = q
-        eq = _bdot(amprow_ref[...], q)  # (R, 1, N)
-        gp = _EQP[r]
-        eq4_sc[:, gp : gp + 1, :] = eq
-        v4_sc[:, r : r + 1, :] = _bdot(amp2row_ref[...], q) - eq * eq
-    qout_ref[0] = q_sc[...]
+        mm4_sc[:, r : r + 1, :] = mm
+    e32 = jnp.exp(_bdot(selt, mm4_sc[...]) - met)
+    q_sc[...] = e32
+    s1 = _bdot(sels, q_sc[...])  # (R, 4, N) per-component normalizers
+    q32 = q_sc[...] * _bdot(selt, 1.0 / s1)
+    q_sc[...] = q32
+    qout_ref[0] = q32
+    # eqv rows: 0-3 E_q in GROUP order (xI, xQ, yI, yQ) for the window
+    # stacks, 4-7 E_q in component order, 8-11 E_q[x^2] in component order
+    eq12_sc[...] = _bdot(eqv_ref[...], q32)
+    eq4_sc[...] = eq12_sc[:, 0:4, :]
+    v4_sc[...] = eq12_sc[:, 8:12, :] - eq12_sc[:, 4:8, :] * eq12_sc[:, 4:8, :]
 
     # ---------------- D conv as batched matmuls over shifted-window stacks.
     # Window rows are SHIFT-major (row a*4 + g): one 4-row block store per
-    # shift a from a lane slice of the group-ordered eq4 value — 4x fewer
-    # store instructions than the row-per-(g, a) form, and every store
-    # instruction costs ~R tile-ops at R > 1 (the round-3 saturation
-    # analysis: stores are the binding per-step cost). The coefficient
-    # matrices stay (g, a)-major; the constant permutation PERM
+    # shift a from a lane slice of the group-ordered eq4 value. The
+    # coefficient matrices stay (g, a)-major; the constant permutation PERM
     # (perm_*_ref, PERM[g*n_a + a, a*4 + g] = 1) is folded into the
     # adjacent matmuls: CT @ EQwin_g = (CT @ PERM) @ EQwin_a.
     eq4v = eq4_sc[...]  # (R, 4, N) group order (xI, xQ, yI, yQ)
@@ -252,20 +252,17 @@ def _kernel(
         h0 = h_sc[:, 2 * g : 2 * g + 1, :]
         h1 = h_sc[:, 2 * g + 1 : 2 * g + 2, :]
         habsq_sc[:, g : g + 1, :] = h0 * h0 + h1 * h1
-    e_x = tot_row(
-        habsq_sc[:, 0:1, :] * scat_sc[:, 0:1, :]
-        + habsq_sc[:, 1:2, :] * scat_sc[:, 1:2, :]
-    )  # (R, 1, 128)
-    e_y = tot_row(
-        habsq_sc[:, 2:3, :] * scat_sc[:, 0:1, :]
-        + habsq_sc[:, 3:4, :] * scat_sc[:, 1:2, :]
-    )
 
-    # ---------------- C and loss (all per-run scalars as (R, 1, 128) rows)
-    rx_w2_x = rx_ref[0, :, 0:2, mh : n_samp - mh]
-    rx_w2_y = rx_ref[0, :, 2:4, mh : n_samp - mh]
-    c_base_x = tot_row(rx_w2_x * rx_w2_x)
-    c_base_y = tot_row(rx_w2_y * rx_w2_y)
+    # ---------------- C terms, E totals and KL: ONE stacked lane-sum matmul.
+    # st rows (lanes beyond each piece's width stay zero):
+    #   0-3   rx_w2^2                 (c_base; x rows 0-1, y rows 2-3)
+    #   4-7   rx_al_e * d_e           (cross, even positions)
+    #   8-11  rx_al_o * d_o           (cross, odd)
+    #   12-15 d_e^2 / 16-19 d_o^2     (dd)
+    #   20-23 |h|^2 * S               (E term; x rows 20-21, y rows 22-23)
+    #   24-.. -q log(q/P + eps)       (KL, inner symbols)
+    # csum then combines rows into c_x / c_y / kl with the -2 cross signs.
+    rx_w2 = rx_ref[0, :, :, mh : n_samp - mh]  # (R, 4, n_samp - 2mh)
     if mh % 2 == 0:
         al_lo = mh - mh // 2
         rx_e_ref, rx_o_ref = rxe_ref, rxo_ref
@@ -276,32 +273,23 @@ def _kernel(
         al_lo_o = mh - mh // 2
     rx_al_e = rx_e_ref[0, :, :, al_lo : al_lo + ne]  # (R, 4, ne)
     rx_al_o = rx_o_ref[0, :, :, al_lo_o : al_lo_o + ne]
-    rx_al_e_x = rx_e_ref[0, :, 0:2, al_lo : al_lo + ne]
-    rx_al_e_y = rx_e_ref[0, :, 2:4, al_lo : al_lo + ne]
-    rx_al_o_x = rx_o_ref[0, :, 0:2, al_lo_o : al_lo_o + ne]
-    rx_al_o_y = rx_o_ref[0, :, 2:4, al_lo_o : al_lo_o + ne]
 
-    cross_x = tot_row(rx_al_e_x * d_e_sc[:, 0:2, :]) + tot_row(
-        rx_al_o_x * d_o_sc[:, 0:2, :]
+    st_sc[:, 0:4, : n_samp - 2 * mh] = rx_w2 * rx_w2
+    st_sc[:, 4:8, :ne] = rx_al_e * d_e_sc[...]
+    st_sc[:, 8:12, :ne] = rx_al_o * d_o_sc[...]
+    st_sc[:, 12:16, :ne] = d_e_sc[...] * d_e_sc[...]
+    st_sc[:, 16:20, :ne] = d_o_sc[...] * d_o_sc[...]
+    st_sc[:, 20:22, :m] = habsq_sc[:, 0:2, :] * scat_sc[...]
+    st_sc[:, 22:24, :m] = habsq_sc[:, 2:4, :] * scat_sc[...]
+    ratio32 = q32 / pfull4_ref[...]
+    st_sc[:, 24:kst, : n_sym - 2 * mh] = -q32[:, :, mh : n_sym - mh] * jnp.log(
+        ratio32[:, :, mh : n_sym - mh] + eps
     )
-    cross_y = tot_row(rx_al_e_y * d_e_sc[:, 2:4, :]) + tot_row(
-        rx_al_o_y * d_o_sc[:, 2:4, :]
-    )
-    dd_x = tot_row(d_e_sc[:, 0:2, :] * d_e_sc[:, 0:2, :]) + tot_row(
-        d_o_sc[:, 0:2, :] * d_o_sc[:, 0:2, :]
-    )
-    dd_y = tot_row(d_e_sc[:, 2:4, :] * d_e_sc[:, 2:4, :]) + tot_row(
-        d_o_sc[:, 2:4, :] * d_o_sc[:, 2:4, :]
-    )
-    c_x = c_base_x - 2.0 * cross_x + dd_x + e_x  # (R, 1, 128)
-    c_y = c_base_y - 2.0 * cross_y + dd_y + e_y
-
-    # KL over inner symbols, all 4 component rows at once
-    ratio4 = q_sc[...] / pfull4_ref[...]
-    kl = tot_row(
-        -q_sc[...][:, :, mh : n_sym - mh]
-        * jnp.log(ratio4[:, :, mh : n_sym - mh] + eps)
-    )
+    tot = _bdot(st_sc[...], ones_l_ref[...])  # (R, kst, 128) lane-replicated
+    sums_sc[...] = _bdot(csum_ref[...], tot)  # (R, 8, 128)
+    c_x = sums_sc[:, 0:1, :]
+    c_y = sums_sc[:, 1:2, :]
+    kl = sums_sc[:, 2:3, :]
 
     loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl  # (R, 1, 128)
     stats_sc[...] = jnp.zeros(stats_sc.shape, f32)
@@ -313,11 +301,14 @@ def _kernel(
     # ================ backward ================
     g_cx = n_eff / c_x  # (R, 1, 128) lane-replicated
     g_cy = n_eff / c_y
-    gfac_e = jnp.concatenate(
-        [expand(g_cx[:, :, :ne], 2), expand(g_cy[:, :, :ne], 2)], axis=1
-    )  # (R, 4, ne)
-    gd_e_sc[...] = gfac_e * (2.0 * d_e_sc[...] - 2.0 * rx_al_e)
-    gd_o_sc[...] = gfac_e * (2.0 * d_o_sc[...] - 2.0 * rx_al_o)
+    # gfac rows (chi*2 + c) = (g_cx, g_cx, g_cy, g_cy): row stores, no dots
+    gfac_sc[:, 0:1, :] = g_cx[:, :, :ne]
+    gfac_sc[:, 1:2, :] = g_cx[:, :, :ne]
+    gfac_sc[:, 2:3, :] = g_cy[:, :, :ne]
+    gfac_sc[:, 3:4, :] = g_cy[:, :, :ne]
+    gfac = gfac_sc[...]
+    gd_e_sc[...] = gfac * (2.0 * d_e_sc[...] - 2.0 * rx_al_e)
+    gd_o_sc[...] = gfac * (2.0 * d_o_sc[...] - 2.0 * rx_al_o)
 
     # ---- gh: GH_p (R, 4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E
     # (EQwin is shift-major, so multiply by PERM^T — contract dim 2 of the
@@ -396,25 +387,23 @@ def _kernel(
         gco[:, :, mhe:], maskot_ref[...]
     )
 
-    # ---- moments -> gq -> softmin VJP -> gout
-    pfull1 = pfull1_ref[...]
-    tmask3 = tmask3_ref[...]
+    # ---- moments -> gq -> softmin VJP -> gout, all 4 components at once
     for r in range(4):
+        gp = _EQP[r]  # geq_sc / eq4_sc rows are in group order
         nu = r % 2
-        var = var_x if r % 2 == 0 else var_y
-        gvr = gv_sc[:, nu : nu + 1, :]  # (R, 1, N)
-        gp = _EQP[r]  # geq_sc and eq4_sc both use the group row order
-        g_eq_r = geq_sc[:, gp : gp + 1, :] - 2.0 * eq4_sc[:, gp : gp + 1, :] * gvr
-        q = q_sc[:, r * n_lev : (r + 1) * n_lev, :]  # (R, n_lev, N)
-        gq = amp3 * expand(g_eq_r, n_lev) + amp23 * expand(gvr, n_lev)
-        ratio = q / pfull1
-        gq = gq + (jnp.log(ratio + eps) + ratio / (ratio + eps)) * tmask3
-        inner = _bdot(jnp.ones((rb, 1, n_lev), f32), q * gq)  # (R, 1, N)
-        gm = -q * (gq - expand(inner, n_lev))
-        ofull = expand(out4_sc[:, r : r + 1, :], n_lev)
-        gout_sc[:, r : r + 1, :] = _bdot(
-            jnp.ones((rb, 1, n_lev), f32), gm * (ofull - amp3)
-        ) * (1.0 / var)
+        gv4_sc[:, r : r + 1, :] = gv_sc[:, nu : nu + 1, :]
+        ge4_sc[:, r : r + 1, :] = (
+            geq_sc[:, gp : gp + 1, :]
+            - 2.0 * eq4_sc[:, gp : gp + 1, :] * gv_sc[:, nu : nu + 1, :]
+        )
+    gq32 = amp32u_ref[...] * _bdot(selt, ge4_sc[...]) + amp232u_ref[...] * _bdot(
+        selt, gv4_sc[...]
+    )
+    gq32 = gq32 + (jnp.log(ratio32 + eps) + ratio32 / (ratio32 + eps)) * tmask_ref[...]
+    inner = _bdot(sels, q32 * gq32)  # (R, 4, N)
+    gm = -q32 * (gq32 - _bdot(selt, inner))
+    # (out - amp)/var = 2 s * d32 (s2row rows = 2 s_pol; d32 = s (out - amp))
+    gout_sc[...] = _bdot(sels, gm * (s2row_ref[...] * d32))
 
     # ---- gw: (R, 2, 4M) = gout_I @ XI^T + gout_Q @ XQ^T
     gw = _bdot(gout_sc[:, 0:2, :], xi, ((2,), (2,))) + _bdot(
@@ -450,6 +439,7 @@ def _kernel(
     vw_out[...] = vw_sc[...]
     mh_out[...] = mh_sc[...]
     vh_out[...] = vh_sc[...]
+
 
 
 def _support_masks(m: int, n_sym: int):
@@ -588,22 +578,62 @@ def vae_dp_frame_train_pallas_rb(
     masko3 = bcast(mask_o)
     maskte3 = bcast(mask_e.T)
     maskto3 = bcast(mask_o.T)
+
+    # constant selection matrices + row-constant tensors for the merged
+    # all-component demapper / softmin / stacked-sum formulation (see the
+    # cost-model note in _kernel: minimize the number of dot_generals).
+    nl4 = 4 * n_lev
+    kst = 24 + nl4
+    comp_of_row = _np.arange(nl4) // n_lev  # component r of row r*n+l
+    lev_of_row = _np.arange(nl4) % n_lev
+    selt_np = _np.zeros((nl4, 4), _np.float32)
+    selt_np[_np.arange(nl4), comp_of_row] = 1.0
+    selt3 = bcast(selt_np)
+    sels3 = bcast(selt_np.T.copy())
+    ind_g = _np.zeros((4, nl4), _np.float32)  # group row gpos(r) <- comp rows
+    for r in range(4):
+        ind_g[_EQP[r], r * n_lev : (r + 1) * n_lev] = 1.0
+
     amps_f = amps.astype(jnp.float32)
-    amp3 = jnp.broadcast_to(amps_f[None, :, None], (n_rb, n_lev, n_sym))
-    amp23 = jnp.broadcast_to((amps_f * amps_f)[None, :, None], (n_rb, n_lev, n_sym))
-    amprow = jnp.broadcast_to(amps_f[None, None, :], (n_rb, 1, n_lev))
-    amp2row = jnp.broadcast_to((amps_f * amps_f)[None, None, :], (n_rb, 1, n_lev))
+    a_row = amps_f[lev_of_row]  # (nl4,) level amplitude per row
+    s_pol = jnp.sqrt(0.5 / var.astype(jnp.float32))  # (2,)
+    s_row = s_pol[comp_of_row % 2]  # rows of pol x get s_x, y rows s_y
+    selv3 = jnp.broadcast_to(
+        (jnp.asarray(selt_np) * s_row[:, None])[None], (n_rb, nl4, 4)
+    )
+    brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_rb, nl4, n_sym))
+    amp32s = brow(a_row * s_row)
+    amp232n = brow(jnp.float32(nu_sc) * a_row * a_row)
+    amp32u = brow(a_row)
+    amp232u = brow(a_row * a_row)
+    s2row = brow(2.0 * s_row)
+    eqv_m = jnp.concatenate(
+        [
+            jnp.asarray(ind_g) * a_row[None, :],  # E_q, group order
+            jnp.asarray(selt_np.T) * a_row[None, :],  # E_q, component order
+            jnp.asarray(selt_np.T) * (a_row * a_row)[None, :],  # E_q[x^2]
+        ]
+    )  # (12, nl4)
+    eqv3 = jnp.broadcast_to(eqv_m[None], (n_rb, 12, nl4))
+
     p_f = P.astype(jnp.float32)
-    pfull1 = jnp.broadcast_to(p_f[None, :, None], (n_rb, n_lev, n_sym))
     pfull4 = jnp.broadcast_to(
-        jnp.tile(p_f, 4)[None, :, None], (n_rb, 4 * n_lev, n_sym)
+        jnp.tile(p_f, 4)[None, :, None], (n_rb, nl4, n_sym)
     )
     t_np = _np.arange(n_sym)
     inner_np = ((t_np >= mh) & (t_np < n_sym - mh)).astype(_np.float32)
-    tmask3 = jnp.broadcast_to(
-        jnp.asarray(inner_np)[None, None, :], (n_rb, n_lev, n_sym)
+    tmask32 = jnp.broadcast_to(
+        jnp.asarray(inner_np)[None, None, :], (n_rb, nl4, n_sym)
     )
     ones_l = jnp.ones((n_rb, n_samp_mb, 128), jnp.float32)
+    # csum rows: 0 = c_x, 1 = c_y, 2 = kl (see the st row map in _kernel)
+    csum_np = _np.zeros((8, kst), _np.float32)
+    csum_np[0, [0, 1, 12, 13, 16, 17, 20, 21]] = 1.0
+    csum_np[0, [4, 5, 8, 9]] = -2.0
+    csum_np[1, [2, 3, 14, 15, 18, 19, 22, 23]] = 1.0
+    csum_np[1, [6, 7, 10, 11]] = -2.0
+    csum_np[2, 24:kst] = 1.0
+    csum3 = bcast(csum_np)
     perm_e3 = bcast(_win_perm(mhe))
     perm_o3 = bcast(_win_perm(mh))
 
@@ -645,10 +675,12 @@ def vae_dp_frame_train_pallas_rb(
             per_mb4(4, n_samp_mb),
             per_mb4(4, n_sym),
             per_mb4(4, n_sym),
-            full(), full(), full(), full(),
-            full(), full(), full(), full(), full(), full(), full(), full(),
-            full(), full(),
-            full(), full(), full(), full(), full(), full(),
+            full(), full(), full(), full(),  # masks
+            full(), full(), full(), full(),  # selv/selt/sels/eqv
+            full(), full(), full(), full(), full(),  # amp rows, s2row
+            full(), full(), full(), full(),  # pfull4, tmask, ones_l, csum
+            full(), full(),  # perms
+            full(), full(), full(), full(), full(), full(),  # params/moments
             pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -687,12 +719,20 @@ def vae_dp_frame_train_pallas_rb(
             pltpu.VMEM((n_rb, 4, n_sym + mhe - 1), jnp.float32),  # gd padded
             pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gout rows
             pltpu.VMEM((n_rb, 1, 128), jnp.float32),  # stats row
+            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # per-comp min rows
+            pltpu.VMEM((n_rb, 12, n_sym), jnp.float32),  # EQV moment rows
+            pltpu.VMEM((n_rb, kst, n_samp_mb), jnp.float32),  # sum stack
+            pltpu.VMEM((n_rb, 8, 128), jnp.float32),  # combined sums
+            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gEq comp rows
+            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gv comp rows
+            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # gfac rows
         ],
         interpret=interpret,
     )(
         xi, xq, rx4, rxe, rxo, maske3, masko3, maskte3, maskto3,
-        amp3, amp23, amprow, amp2row, pfull1, pfull4, tmask3, ones_l,
-        perm_e3, perm_o3,
+        selv3, selt3, sels3, eqv3,
+        amp32s, amp232n, amp32u, amp232u, s2row,
+        pfull4, tmask32, ones_l, csum3, perm_e3, perm_o3,
         w2, h8, mw2, vw2, mh8, vh8, scal,
     )
 

@@ -1,0 +1,187 @@
+"""Sub-stage breakdown of the aggregate DP EVAL stage (the post-train 25%).
+
+Same macro-difference methodology as tools/profile_agg.py (170-frame scan
+program VARIANTS, best-of-N): each variant runs gen + the runs-batched train
+kernel plus a cumulative PREFIX of the eval pipeline, so adjacent
+differences isolate one eval sub-stage each:
+
+  none   — gen + train only (baseline; == profile_agg "gen+train")
+  pack   — + the (n_mb, 2, C, bl) -> (2, C, N) moveaxis/reshape of q/out
+  sync   — + find_shift_dp on the packed posteriors + align_tx_dp
+  soft   — + ser_iqflip (masked soft SER)
+  mi     — + mutual_information_ambiguity
+  full   — + the second sync (find_shift_symb_dp) + ser_constell_shaping
+           (== the complete _dp_frame_eval; matches profile_agg "full")
+
+Every variant threads its outputs into the scan carry so XLA cannot
+dead-code-eliminate the stage under test.
+
+Usage: python tools/profile_eval.py [--runs 128] [--frames 170]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def timed(fn, reps=3):
+    import jax
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn())  # compile
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best, compile_s
+
+
+PARTS = ["none", "pack", "sync", "soft", "mi", "full"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=128)
+    ap.add_argument("--rb", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=170)
+    ap.add_argument("--n-frame", type=int, default=10000)
+    ap.add_argument("--parts", nargs="*", default=PARTS)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU plumbing check (pallas interpret mode)")
+    args = ap.parse_args()
+    if args.interpret:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from vae_equalizer_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from vae_equalizer_tpu.metrics.mi import mutual_information_ambiguity
+    from vae_equalizer_tpu.metrics.ser import ser_constell_shaping, ser_iqflip
+    from vae_equalizer_tpu.metrics.sync import find_shift_dp, find_shift_symb_dp
+    from vae_equalizer_tpu.models import butterfly_init, dirac_taps_dp
+    from vae_equalizer_tpu.ops.frame_kernel import (
+        frame_opt_init,
+        vae_dp_frame_train_pallas_rb,
+    )
+    from vae_equalizer_tpu.train.eval_utils import align_tx_dp, batch_cut_weight
+    from vae_equalizer_tpu.train.dp import _frame_inputs, _setup
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    R = args.runs
+    RB = args.rb or min(R, 8)
+    assert R % RB == 0
+    G = R // RB
+    cfg = DpConfig(mod="64-QAM", n_frame_max=args.n_frame,
+                   num_frames=args.frames, n_lrhalf=10**9)
+    m_max = cfg.n_frame_max // cfg.batch_len
+    n_frame = m_max * cfg.batch_len
+    const, var, gen, amps, P = _setup(cfg, n_frame)
+    thresh = float(cfg.n_lrhalf) * m_max
+
+    params = {"w": butterfly_init(cfg.m_est), "h": dirac_taps_dp(cfg.m_est)}
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x, (G, RB) + x.shape), params)
+    opt0 = frame_opt_init(params)
+    keys, thetas = _frame_inputs(cfg, jax.random.PRNGKey(0))
+
+    def gen_r(key, theta):
+        ks = jax.random.split(key, R)
+        return jax.vmap(gen, in_axes=(0, None))(ks, theta)
+
+    def weight_fn(s0, ms):
+        return batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut)
+
+    def eval_prefix(part, q_mb, out_mb, tx):
+        """Cumulative eval prefix; returns a scalar that depends on every
+        computed piece."""
+        acc = q_mb.sum() * 1e-12
+        if part == "none":
+            return acc
+        n_out = q_mb.shape[0] * q_mb.shape[-1]
+        q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, n_out)
+        out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
+        acc = acc + q_train[0, 0, 0] + out_const[0, 0, 0]
+        if part == "pack":
+            return acc
+        shift, r = find_shift_dp(q_train, tx, 21, amps)
+        w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
+        tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
+        acc = acc + tx_al[0, 0, 0] + w_al[0, 0]
+        if part == "sync":
+            return acc
+        ser_soft = ser_iqflip(q_train, tx_al, weight=w_al)
+        acc = acc + ser_soft.sum()
+        if part == "soft":
+            return acc
+        mi = mutual_information_ambiguity(q_train, tx_al, amps, P, weight=w_al)
+        acc = acc + mi.sum()
+        if part == "mi":
+            return acc
+        shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+        w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
+        tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
+        ser_const = ser_constell_shaping(
+            out_const, tx_al_c, amps, const.nu_sc, var, weight=w_al_c)
+        return acc + ser_const.sum()
+
+    def body(carry, inp, *, part):
+        p, opt, count, acc = carry
+        key, theta = inp
+        rx, tx, sigma = gen_r(key, theta)
+        rx_g = rx.reshape((G, RB) + rx.shape[1:])
+
+        def kernel_group(pg, og, rxg):
+            return vae_dp_frame_train_pallas_rb(
+                pg["w"], pg["h"], og, rxg, amps, var, const.nu_sc, P,
+                jnp.float32(cfg.lr), count.astype(jnp.float32),
+                jnp.float32(thresh), bl_sym=cfg.batch_len,
+                interpret=args.interpret,
+            )
+
+        w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
+            p, opt, rx_g)
+        p = {"w": w, "h": h}
+        tx_g = tx.reshape((G, RB) + tx.shape[1:])
+        evals = jax.vmap(jax.vmap(
+            functools.partial(eval_prefix, part), in_axes=(1, 1, 0)))(
+            q_mb, out_mb, tx_g)
+        acc = acc + losses[:, -1].sum() + evals.sum()
+        return (p, opt, count + m_max, acc), None
+
+    def program(part):
+        b = functools.partial(body, part=part)
+
+        @jax.jit
+        def run():
+            carry0 = (params, opt0, jnp.int32(0), jnp.float32(0.0))
+            (p, _, _, acc), _ = jax.lax.scan(b, carry0, (keys, thetas))
+            return acc
+
+        return run
+
+    results = {}
+    prev = None
+    for part in args.parts:
+        best, comp = timed(program(part))
+        per_frame = best / args.frames * 1e3
+        delta = "" if prev is None else f"  (+{per_frame - prev:6.3f} vs prev)"
+        results[part] = per_frame
+        prev = per_frame
+        print(f"{part:>6}: {per_frame:8.3f} ms/frame{delta}  "
+              f"(total {best:.3f} s, compile {comp:.0f} s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -234,3 +234,40 @@ def test_mi_ambiguity_trace_matches_onehot_mi():
     got = mutual_information_ambiguity(q, tx, amps, P, weight=w)
     want = mutual_information(q, tx, amps, P, weight=w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_dp_frame_eval_mb_matches_packed():
+    """The minibatch-layout eval (_dp_frame_eval_mb: mb-layout sync/argmax/
+    MI selections, no posterior transpose) returns the same metrics as the
+    packed-layout _dp_frame_eval on the identical posterior stream."""
+    from vae_equalizer_tpu.train.dp import _dp_frame_eval, _dp_frame_eval_mb
+    from vae_equalizer_tpu.train.eval_utils import margin_weight_maxshift
+
+    rng = np.random.default_rng(11)
+    n_mb, bl, num_lev = 6, 50, 8
+    n = n_mb * bl
+    amps = jnp.asarray(
+        (2 * np.arange(num_lev) - (num_lev - 1)) / np.sqrt(2 * (num_lev**2 - 1) / 3),
+        jnp.float32,
+    )
+    P = jnp.asarray(np.full(num_lev, 1 / num_lev), jnp.float32)
+    var = jnp.full((2,), 0.1, jnp.float32)
+
+    logits = rng.normal(size=(n_mb, 2, 2 * num_lev, bl)).astype(np.float32)
+    q_mb = np.exp(logits)
+    q_mb[:, :, :num_lev] /= q_mb[:, :, :num_lev].sum(2, keepdims=True)
+    q_mb[:, :, num_lev:] /= q_mb[:, :, num_lev:].sum(2, keepdims=True)
+    tx_idx = rng.integers(0, num_lev, size=(2, 2, n))
+    tx = jnp.asarray(np.asarray(amps)[tx_idx].astype(np.float32))
+    out = jnp.asarray(
+        (np.asarray(amps)[rng.integers(0, num_lev, size=(2, 2, n))]
+         + 0.05 * rng.normal(size=(2, 2, n))).astype(np.float32)
+    )
+    q_mb = jnp.asarray(q_mb)
+    q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * num_lev, n)
+    weight_fn = lambda s0, ms: margin_weight_maxshift(n, ms)
+
+    ref = _dp_frame_eval(q_train, out, tx, amps, P, 0.02, var, weight_fn)
+    got = _dp_frame_eval_mb(q_mb, out, tx, amps, P, 0.02, var, weight_fn)
+    for a, b, tol in zip(got, ref, (1e-6, 1e-6, 2e-5, 0, 0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=tol)

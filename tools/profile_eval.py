@@ -11,7 +11,9 @@ differences isolate one eval sub-stage each:
   soft   — + ser_iqflip (masked soft SER)
   mi     — + mutual_information_ambiguity
   full   — + the second sync (find_shift_symb_dp) + ser_constell_shaping
-           (== the complete _dp_frame_eval; matches profile_agg "full")
+           (== the complete packed-layout _dp_frame_eval)
+  full_mb — the complete minibatch-layout _dp_frame_eval_mb instead (no
+           posterior transpose; == what _finish_vae_frame runs)
 
 Every variant threads its outputs into the scan carry so XLA cannot
 dead-code-eliminate the stage under test.
@@ -44,7 +46,7 @@ def timed(fn, reps=3):
     return best, compile_s
 
 
-PARTS = ["none", "pack", "sync", "soft", "mi", "full"]
+PARTS = ["none", "pack", "sync", "soft", "mi", "full", "full_mb"]
 
 
 def main():
@@ -110,6 +112,13 @@ def main():
         if part == "none":
             return acc
         n_out = q_mb.shape[0] * q_mb.shape[-1]
+        if part == "full_mb":
+            from vae_equalizer_tpu.train.dp import _dp_frame_eval_mb
+
+            out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
+            ser_const, ser_soft, mi, shift, r = _dp_frame_eval_mb(
+                q_mb, out_const, tx, amps, P, const.nu_sc, var, weight_fn)
+            return acc + ser_const.sum() + ser_soft.sum() + mi.sum()
         q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, n_out)
         out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
         acc = acc + q_train[0, 0, 0] + out_const[0, 0, 0]

@@ -29,7 +29,11 @@ import jax.numpy as jnp
 
 from .ser import _decode_levels
 
-__all__ = ["mutual_information", "mutual_information_ambiguity"]
+__all__ = [
+    "mutual_information",
+    "mutual_information_ambiguity",
+    "mutual_information_ambiguity_mb",
+]
 
 
 def _onehot_levels(tx: jnp.ndarray, num_lev: int) -> jnp.ndarray:
@@ -159,5 +163,60 @@ def mutual_information_ambiguity(
     wsum = jnp.sum(
         jnp.broadcast_to(weight.astype(jnp.float32), best.shape + (tx.shape[-1],)),
         axis=-1,
+    )
+    return (best - prior) / wsum
+
+
+def mutual_information_ambiguity_mb(
+    q_mb: jnp.ndarray,
+    tx: jnp.ndarray,
+    amps: jnp.ndarray,
+    P: jnp.ndarray,
+    weight: jnp.ndarray | None = None,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """``mutual_information_ambiguity`` on minibatch-layout DP posteriors.
+
+    q_mb: (n_mb, 2, 2*num_lev, bl) — the training kernel's native output
+    layout, time index t = mb*bl + tau; tx: (2, 2, n_mb*bl) aligned levels;
+    weight: (N,) or per-pol (2, N). Same 8-variant trace algebra as the
+    time-major form, but every selection runs directly on the minibatch
+    tensor, so the full posterior stream is read once, fused, with no
+    transpose — the eval stage of the aggregate DP pipeline is HBM-bound
+    (PARITY_RESULTS round 3).
+    """
+    n = amps.shape[0]
+    n_mb, _, _, bl = q_mb.shape
+
+    def to_mb(a):  # (..., N) time-major -> (n_mb, ..., bl)
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (n_mb, bl)), -2, 0)
+
+    idx = _decode_levels(tx, n)  # (2, 2, N)
+    idx_i, idx_q = to_mb(idx[:, 0, :]), to_mb(idx[:, 1, :])  # (n_mb, 2, bl)
+    idx_ir, idx_qr = (n - 1) - idx_i, (n - 1) - idx_q
+    lqi = jnp.log2(q_mb[:, :, :n, :] + eps)  # (n_mb, 2, n, bl)
+    lqq = jnp.log2(q_mb[:, :, n:, :] + eps)
+    lp = jnp.log2(P.astype(jnp.float32))  # (n,)
+
+    if weight is None:
+        red = lambda trace: jnp.sum(trace, axis=(0, -1))  # (2,)
+    else:
+        w = to_mb(jnp.broadcast_to(weight.astype(jnp.float32), (2, n_mb * bl)))
+        red = lambda trace: jnp.sum(trace * w, axis=(0, -1))
+    a1, a2 = red(_level_select(lqi, idx_i)), red(_level_select(lqi, idx_ir))
+    a3, a4 = red(_level_select(lqq, idx_i)), red(_level_select(lqq, idx_ir))
+    b1, b2 = red(_level_select(lqq, idx_q)), red(_level_select(lqq, idx_qr))
+    b3, b4 = red(_level_select(lqi, idx_q)), red(_level_select(lqi, idx_qr))
+    prior = red(_level_select_vec(lp, idx_i) + _level_select_vec(lp, idx_q))
+    best = jnp.max(
+        jnp.stack(
+            [a1 + b1, a2 + b2, a4 + b3, a3 + b4, a1 + b2, a2 + b1, a3 + b3, a4 + b4]
+        ),
+        axis=0,
+    )
+    if weight is None:
+        return (best - prior) / (n_mb * bl)
+    wsum = jnp.sum(
+        jnp.broadcast_to(weight.astype(jnp.float32), (2, n_mb * bl)), axis=-1
     )
     return (best - prior) / wsum

@@ -27,6 +27,8 @@ __all__ = [
     "ser_const_siso",
     "ser_symb_siso",
     "ser_iqflip",
+    "ser_iqflip_from_dec",
+    "iqflip_decisions_mb",
     "ser_constell_shaping",
 ]
 
@@ -139,6 +141,45 @@ def ser_symb_siso(
     return jnp.min(_wmean(err, weight, axis=-1))
 
 
+def ser_iqflip_from_dec(
+    dec: jnp.ndarray,
+    tx: jnp.ndarray,
+    num_lev: int,
+    weight: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """``ser_iqflip`` ambiguity search from precomputed integer decisions.
+
+    dec: (2, 2, N) int32 level decisions (pol, I/Q, time); tx: (2, 2, N)
+    amplitude levels. Split out so callers holding posteriors in the
+    minibatch layout can run the (heavy) argmax there and only pack the
+    (cheap) integer decisions (``iqflip_decisions_mb``)."""
+    full = 2 * ((num_lev - 1) / 2)
+    data = _decode_levels(tx, num_lev)  # (2, 2, N)
+    data_iqinv = jnp.stack(
+        [data[:, 0], (full - data[:, 1].astype(jnp.float32)).astype(jnp.int32)], axis=1
+    )
+    variants = _phase_variants(dec, num_lev, comp_axis=1)  # (4, 2, 2, N)
+    both_data = jnp.stack([data, data_iqinv])  # (2flip, 2, 2, N)
+    err = jnp.any(variants[:, None] != both_data[None], axis=3)  # (4, 2flip, 2pol, N)
+    ser = _wmean(err, weight, axis=-1)  # (4, 2, 2)
+    return jnp.min(ser, axis=(0, 1))
+
+
+def iqflip_decisions_mb(q_mb: jnp.ndarray) -> jnp.ndarray:
+    """Per-component argmax decisions from minibatch-layout DP posteriors.
+
+    q_mb: (n_mb, 2, 2*num_lev, bl) -> (2, 2, n_mb*bl) int32, the ``dec``
+    input of ``ser_iqflip_from_dec``. The argmax reduction runs in the
+    training kernel's native output layout — no transpose of the full
+    posterior tensor is ever materialized (the eval stage of the aggregate
+    DP pipeline is HBM-bound, PARITY_RESULTS round 3)."""
+    num_lev = q_mb.shape[2] // 2
+    dec_i = jnp.argmax(q_mb[:, :, :num_lev, :], axis=2)  # (n_mb, 2, bl)
+    dec_q = jnp.argmax(q_mb[:, :, num_lev:, :], axis=2)
+    pack = lambda d: jnp.moveaxis(d, 0, 1).reshape(d.shape[1], -1)
+    return jnp.stack([pack(dec_i), pack(dec_q)], axis=1).astype(jnp.int32)
+
+
 def ser_iqflip(
     q: jnp.ndarray,
     tx: jnp.ndarray,
@@ -151,19 +192,10 @@ def ser_iqflip(
     Parity: shared_funcs.py:188-222 (SER_IQflip).
     """
     num_lev = q.shape[1] // 2
-    full = 2 * ((num_lev - 1) / 2)
-    data = _decode_levels(tx, num_lev)  # (2, 2, N)
-    data_iqinv = jnp.stack(
-        [data[:, 0], (full - data[:, 1].astype(jnp.float32)).astype(jnp.int32)], axis=1
-    )
     dec = jnp.stack(
         [jnp.argmax(q[:, :num_lev], axis=1), jnp.argmax(q[:, num_lev:], axis=1)], axis=1
     ).astype(jnp.int32)
-    variants = _phase_variants(dec, num_lev, comp_axis=1)  # (4, 2, 2, N)
-    both_data = jnp.stack([data, data_iqinv])  # (2flip, 2, 2, N)
-    err = jnp.any(variants[:, None] != both_data[None], axis=3)  # (4, 2flip, 2pol, N)
-    ser = _wmean(err, weight, axis=-1)  # (4, 2, 2)
-    return jnp.min(ser, axis=(0, 1))
+    return ser_iqflip_from_dec(dec, tx, num_lev, weight)
 
 
 def ser_constell_shaping(

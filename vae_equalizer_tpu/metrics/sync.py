@@ -23,6 +23,7 @@ __all__ = [
     "find_shift_siso",
     "find_shift_symb_siso",
     "find_shift_dp",
+    "find_shift_dp_mb",
     "find_shift_symb_dp",
     "expectation_i",
 ]
@@ -119,6 +120,21 @@ def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int):
 def find_shift_dp(q: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp.ndarray):
     """Pol assignment + per-pol time shift from DP posteriors q (2, 2n, L)."""
     e = expectation_i(q, amps)  # (2, L)
+    return _dp_shift_core(e, tx, n_shift)
+
+
+def find_shift_dp_mb(q_mb: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp.ndarray):
+    """``find_shift_dp`` on minibatch-layout posteriors (n_mb, 2, 2n, bl).
+
+    The E_q[x^I] reduction runs in the training kernel's native output
+    layout; only the small (2, n_mb*bl) correlation signal is packed
+    time-major — the full posterior tensor is never transposed (the eval
+    stage of the aggregate DP pipeline is HBM-bound, PARITY_RESULTS round 3).
+    """
+    num_lev = amps.shape[0]
+    qi = q_mb[:, :, :num_lev, :]  # (n_mb, 2, n, bl)
+    e_mb = jnp.sum(qi * amps[None, None, :, None], axis=2)  # (n_mb, 2, bl)
+    e = jnp.moveaxis(e_mb, 0, 1).reshape(2, -1)
     return _dp_shift_core(e, tx, n_shift)
 
 

@@ -29,11 +29,17 @@ from ..core.constellation import demapper_noise_var
 from ..metrics import (
     cpe_dp,
     find_shift_dp,
+    find_shift_dp_mb,
     find_shift_symb_dp,
+    iqflip_decisions_mb,
     ser_constell_shaping,
     ser_iqflip,
+    ser_iqflip_from_dec,
 )
-from ..metrics.mi import mutual_information_ambiguity
+from ..metrics.mi import (
+    mutual_information_ambiguity,
+    mutual_information_ambiguity_mb,
+)
 from ..models import (
     butterfly_init,
     cma_batch_dp,
@@ -121,6 +127,38 @@ def _dp_frame_eval(q_train, out_const, tx, amps, P, nu_sc, var, weight_fn):
     return ser_const, ser_soft, mi, shift, r
 
 
+def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn):
+    """``_dp_frame_eval`` with the posteriors kept in MINIBATCH layout.
+
+    q_mb: (n_mb, 2, 2*num_lev, bl), the training kernel's native output
+    (time index t = mb*bl + tau); out_const: (2, 2, N) packed constellation
+    stream (16x smaller than q — packing it is cheap). Numerically the same
+    metrics as ``_dp_frame_eval`` on the packed q: the heavy posterior
+    reductions (E_q[x^I], argmax decisions, log2-selections) run in the mb
+    layout as single fused passes, so the (2, 2n, N) posterior tensor is
+    never materialized or transposed — the eval stage of the runs-batched
+    aggregate pipeline is HBM-bandwidth-bound (PARITY_RESULTS round 3).
+    """
+    num_lev = amps.shape[0]
+    shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
+    w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
+    tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
+    dec = iqflip_decisions_mb(q_mb)
+    ser_soft = jnp.roll(ser_iqflip_from_dec(dec, tx_al, num_lev, weight=w_al), r)
+    mi = jnp.roll(
+        mutual_information_ambiguity_mb(q_mb, tx_al, amps, P, weight=w_al), r
+    )
+
+    shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+    w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
+    tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
+    ser_const = jnp.roll(
+        ser_constell_shaping(out_const, tx_al_c, amps, nu_sc, var, weight=w_al_c),
+        r_c,
+    )
+    return ser_const, ser_soft, mi, shift, r
+
+
 _VAE_FIELDS = (("loss", 1), ("ser_const", 2), ("ser_soft", 2), ("mi", 2),
                ("var_est", 2), ("snr_est_db", 1), ("shift", 2), ("r", 1), ("sigma_n", 1))
 _CMA_FIELDS = (("loss", 1), ("ser_const", 2), ("ser_soft", 2), ("mi", 2),
@@ -132,12 +170,12 @@ def _finish_vae_frame(losses, q_mb, out_mb, var_est, tx, const, amps, P, var,
     """Gather the minibatch scan outputs into frame streams, evaluate, and
     pack the frame's metric vector (shared by the VAE and VAEflex loops)."""
     n_out = q_mb.shape[0] * q_mb.shape[-1]
-    # (n_mb, 2, C, bl) -> (2, C, n_mb*bl)
-    q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, n_out)
+    # only the (2, 2, N) constellation stream is packed time-major; the 16x
+    # larger posterior tensor stays in minibatch layout (_dp_frame_eval_mb)
     out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
 
-    ser_const, ser_soft, mi, shift, r = _dp_frame_eval(
-        q_train, out_const, tx, amps, P, const.nu_sc, var, weight_fn
+    ser_const, ser_soft, mi, shift, r = _dp_frame_eval_mb(
+        q_mb, out_const, tx, amps, P, const.nu_sc, var, weight_fn
     )
     snr_est = const.pow_mean / jnp.mean(var_est)
     metrics = {

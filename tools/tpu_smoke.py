@@ -299,6 +299,33 @@ def main():
         pairs=[(0, 1e-3, 2e-4), (1, 1e-3, 2e-5), (3, 1e-4, 1e-3)],  # w, h, losses
     )
 
+    # whole-experiment VAE-NN kernel: 2 epochs x 2 minibatches on-chip
+    from vae_equalizer_tpu.models import vae_nn_init
+    from vae_equalizer_tpu.ops.nn_frame_kernel import (
+        _to_parity_major as _nn_pm,
+        flatten_nn_params,
+        nn_frame_opt_init,
+        vae_nn_experiment_train_pallas,
+    )
+
+    nn_net, _ = vae_nn_init(jax.random.PRNGKey(9), 25, 3, 8)
+    w1f_s, w2f_s = flatten_nn_params(nn_net)
+    nopt = nn_frame_opt_init(w1f_s, w2f_s, _nn_pm(hs))
+
+    def nn_exp_run(interpret):
+        return vae_nn_experiment_train_pallas(
+            w1f_s, w2f_s, hs, nopt, rx_ep, amps_np, jnp.float32(2e-3),
+            bl_sym=100, n_batches=2, epe=2, k1=25, interpret=interpret,
+        )
+
+    check(
+        "whole-experiment VAE-NN train kernel (2 epochs)",
+        lambda: nn_exp_run(False),
+        lambda: nn_exp_run(True),
+        pairs=[(0, 1e-3, 2e-4), (1, 1e-3, 2e-4), (2, 1e-3, 2e-5),
+               (4, 1e-4, 1e-3)],  # w1, w2, h, losses
+    )
+
     from vae_equalizer_tpu.metrics import cpe_dp, find_shift_dp, ser_iqflip
 
     tx = jnp.asarray(const.amps[rng.integers(0, 8, size=(2, 2, 200))])

@@ -311,6 +311,78 @@ def train_vae_le_awgn(
     return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
 
 
+def _run_nn_frame_experiment(
+    cfg, key, gen_train, gen_valid, const, amps, P,
+    n_batches, params0, runs, mesh, timings=None,
+):
+    """use_pallas="frame" driver for VAE-NN: whole-experiment kernel +
+    batched eval (the CNN analog of _run_siso_frame_experiment)."""
+    from ..ops.nn_frame_kernel import (
+        flatten_nn_params,
+        nn_frame_opt_init,
+        unflatten_nn_params,
+        vae_nn_experiment_train_pallas,
+    )
+    from ..ops.nn_frame_kernel import _to_parity_major as _h_pm
+    from .batching import shard_runs
+
+    n_evals = cfg.num_epochs // cfg.epe
+    train_keys = jax.random.split(key, cfg.num_epochs)
+    eval_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), n_evals)
+    w1f0, w2f0 = flatten_nn_params(params0["net"])
+    h_pm0 = _h_pm(params0["h"])
+
+    def one_run(key_run):
+        tks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(train_keys, key_run[0])
+        eks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(eval_keys, key_run[0])
+        rx_all, _ = jax.vmap(gen_train)(tks)  # (E, 2, n_samp)
+        opt0 = nn_frame_opt_init(w1f0, w2f0, h_pm0)
+        w1f, w2f, h1, opt1, losses, w1_ev, w2_ev, h_ev = (
+            vae_nn_experiment_train_pallas(
+                w1f0, w2f0, params0["h"], opt0, rx_all, amps,
+                jnp.float32(cfg.lr), bl_sym=cfg.batch_len,
+                n_batches=n_batches, epe=cfg.epe, k1=cfg.kernel_1,
+            )
+        )
+
+        def one_eval(w1_e, w2_e, ek):
+            rx_v, tx_v = gen_valid(ek)
+            net = unflatten_nn_params(w1_e, w2_e, cfg.kernel_1)
+            q = vae_nn_forward(net, rx_v, cfg.sps)
+            return _siso_eval_pack(q, tx_v, cfg.n_valid, const, amps, P)
+
+        packed = jax.vmap(one_eval)(w1_ev[:n_evals], w2_ev[:n_evals], eks)
+        net1 = unflatten_nn_params(w1f, w2f, cfg.kernel_1)
+        return packed, {"net": net1, "h": h1}
+
+    if runs is None:
+        fn = jax.jit(lambda: one_run(jnp.zeros((1,), jnp.uint32)))
+        if timings is None:
+            packed, params = fn()
+        else:
+            import time
+
+            t0 = time.perf_counter()
+            fn_c = fn.lower().compile()
+            timings["compile_s"] = time.perf_counter() - t0
+            best, out = None, None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(fn_c())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings["run_s"] = best
+            packed, params = out
+        packed = np.asarray(packed)
+    else:
+        run_ids = jnp.arange(runs, dtype=jnp.uint32).reshape(runs, 1)
+        run_ids = shard_runs(run_ids, mesh)
+        packed, params = jax.jit(jax.vmap(one_run))(run_ids)
+        packed = np.asarray(packed)
+    hist = {n: packed[..., j] for j, n in enumerate(_EVAL_NAMES)}
+    return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
+
+
 def train_vae_nn_awgn(
     cfg: AwgnVaeNnConfig,
     key: jax.Array,
@@ -318,13 +390,21 @@ def train_vae_nn_awgn(
     runs: int | None = None,
     mesh: Mesh | None = None,
     compiled: bool = False,
+    use_pallas: bool | str = False,
     checkpoint=None,
     checkpoint_every: int = 0,
+    timings: dict | None = None,
 ):
     """VAE-NN (CNN) training on the AWGN ISI channel, uniform constellation.
 
     Parity: processing (func_VAENN_MQAM.py:215-297) — uniform symbols, fixed
-    noise convention, uniform-prior ELBO.
+    noise convention, uniform-prior ELBO. ``use_pallas="frame"`` runs ALL
+    epochs' minibatch steps + AMSGrad as ONE MXU pallas_call
+    (ops/nn_frame_kernel.py: conv1/conv2 as single matmuls with biases
+    folded through ones rows, stride-2 phases via selection matmuls) and
+    the evaluations vectorized over the streamed parameter snapshots —
+    requires sps=2, odd m_est, kernel_2=3 and batchnorm=False (Net_BN and
+    the per-step kernel mode are unsupported: there is no NN step kernel).
     """
     const = make_constellation(cfg.mod, 0.0)
     h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
@@ -344,6 +424,24 @@ def train_vae_nn_awgn(
         k_init, cfg.kernel_1, cfg.kernel_2, const.num_lev, batchnorm=cfg.batchnorm
     )
     params0 = {"net": net_params, "h": dirac_taps_siso(cfg.m_est)}
+    if use_pallas == "frame":
+        if cfg.sps != 2 or cfg.m_est % 2 == 0 or cfg.kernel_2 != 3:
+            raise ValueError(
+                'use_pallas="frame" requires sps=2, odd m_est and kernel_2=3')
+        if cfg.batchnorm:
+            raise ValueError(
+                'use_pallas="frame" supports Net only (batchnorm=False); '
+                "Net_BN stays on the XLA path")
+        if checkpoint:
+            raise ValueError('use_pallas="frame" runs the whole experiment '
+                             "in one call; checkpointing is unavailable")
+        return _run_nn_frame_experiment(
+            cfg, key, gen_train, gen_valid, const, amps, P, n_batches,
+            params0, runs, mesh, timings=timings,
+        )
+    elif use_pallas:
+        raise ValueError(
+            "VAE-NN has no per-step kernel mode; use use_pallas='frame'")
     if cfg.batchnorm:
         # running BN stats ride the params pytree for uniform runs/mesh
         # handling but are frozen w.r.t. the optimizer

@@ -57,3 +57,29 @@ def test_eval_run_dp_sp_sharded_quick(tmp_path):
     assert np.all(np.isfinite(ser))
     # iters rounded up to the dp axis (4 rows on an 8-device, sp=2 mesh)
     assert ser.shape[-2] == 4
+
+
+def test_eval_run_vaenn_pallas_frame_quick(tmp_path, monkeypatch):
+    """--pallas-frame: the whole-experiment NN kernel behind the sweep CLI."""
+    import pytest
+
+    import vae_equalizer_tpu.ops.nn_frame_kernel as nfk
+    from vae_equalizer_tpu.drivers import eval_run_vaenn
+
+    orig = nfk.vae_nn_experiment_train_pallas
+    monkeypatch.setattr(
+        nfk, "vae_nn_experiment_train_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    eval_run_vaenn.main([
+        "--quick", "--iters", "1", "--no-mesh", "--pallas-frame",
+        "--batch-len", "500", "--out", str(tmp_path),
+    ])
+    mats = list(tmp_path.glob("*.mat"))
+    assert len(mats) == 1
+
+    with pytest.raises(SystemExit):
+        eval_run_vaenn.main([
+            "--quick", "--pallas-frame", "--net-type", "Net_BN",
+            "--out", str(tmp_path),
+        ])

@@ -21,7 +21,14 @@ def main(argv=None):
     p.add_argument("--num-epochs", type=int, default=500)
     p.add_argument("--n-train", type=int, default=4000)
     p.add_argument("--n-valid", type=int, default=15000)
+    p.add_argument("--pallas-frame", action="store_true",
+                   help="whole-EXPERIMENT fused kernel: all epochs' steps + "
+                        "AMSGrad in one MXU pallas call, evals batched "
+                        "(ops/nn_frame_kernel.py; Net only, sps=2, odd M, "
+                        "k2=3)")
     args = p.parse_args(argv)
+    if args.pallas_frame and args.net_type == "Net_BN":
+        p.error("--pallas-frame supports Net only (no BatchNorm kernel)")
 
     iters = args.iters or 3
     if args.quick:
@@ -41,6 +48,7 @@ def main(argv=None):
         "VAE-NN-AWGN", base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.net_type}_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, **sweep_resume_kwargs(args),
+        runner_kwargs={"use_pallas": "frame"} if args.pallas_frame else None,
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"{args.net_type}_{args.channel}_{args.mod}", {

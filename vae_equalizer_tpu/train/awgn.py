@@ -65,6 +65,7 @@ def _run_epochs(
     names=_EVAL_NAMES,
     checkpoint=None,
     checkpoint_every: int = 0,
+    timings: dict | None = None,
 ):
     """Drive (epoch_step, eval_step) over an experiment; eval every ``epe``.
 
@@ -104,7 +105,24 @@ def _run_epochs(
             tk = train_keys[: n_evals * epe].reshape(n_evals, epe, 2)
             return jax.lax.scan(super_step, c, (tk, eval_keys))
 
-        carry, packed = run_all(carry)
+        if timings is None:
+            carry, packed = run_all(carry)
+        else:
+            # profiling hook: AOT-compile, then best-of-3 pure executions
+            # (same protocol as harness.run_frame_loop)
+            import time
+
+            t0 = time.perf_counter()
+            run_all_c = run_all.lower(carry).compile()
+            timings["compile_s"] = time.perf_counter() - t0
+            best, out = None, None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(run_all_c(carry))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings["run_s"] = best
+            carry, packed = out
         packed = np.moveaxis(np.asarray(packed), 0, -2)  # (..., n_evals, k)
         return carry, {n: packed[..., j] for j, n in enumerate(names)}
 
@@ -306,7 +324,7 @@ def train_vae_le_awgn(
     carry = init_carry(params0, opt, runs, mesh)
     (params, _), hist = _run_epochs(
         epoch_step, eval_step, carry, key, cfg.num_epochs, cfg.epe, runs, progress, compiled,
-        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
     return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
 
@@ -489,7 +507,7 @@ def train_vae_nn_awgn(
     carry = init_carry(params0, opt, runs, mesh)
     (params, _), hist = _run_epochs(
         epoch_step, eval_step, carry, key, cfg.num_epochs, cfg.epe, runs, progress, compiled,
-        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
     return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
 
@@ -542,6 +560,6 @@ def run_cma_awgn(
         h = shard_runs(broadcast_runs(h, runs), mesh)
     h, hist = _run_epochs(
         epoch_step, eval_step, h, key, cfg.num_epochs, cfg.epe, runs, progress, compiled,
-        checkpoint=checkpoint, checkpoint_every=checkpoint_every,
+        checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
     return {"ser": hist["ser"], "mi": hist["mi"], "taps": h}

@@ -61,8 +61,6 @@ def test_eval_run_dp_sp_sharded_quick(tmp_path):
 
 def test_eval_run_vaenn_pallas_frame_quick(tmp_path, monkeypatch):
     """--pallas-frame: the whole-experiment NN kernel behind the sweep CLI."""
-    import pytest
-
     import vae_equalizer_tpu.ops.nn_frame_kernel as nfk
     from vae_equalizer_tpu.drivers import eval_run_vaenn
 
@@ -78,8 +76,10 @@ def test_eval_run_vaenn_pallas_frame_quick(tmp_path, monkeypatch):
     mats = list(tmp_path.glob("*.mat"))
     assert len(mats) == 1
 
-    with pytest.raises(SystemExit):
-        eval_run_vaenn.main([
-            "--quick", "--pallas-frame", "--net-type", "Net_BN",
-            "--out", str(tmp_path),
-        ])
+    bn_dir = tmp_path / "bn"
+    bn_dir.mkdir()
+    eval_run_vaenn.main([
+        "--quick", "--iters", "1", "--no-mesh", "--pallas-frame",
+        "--net-type", "Net_BN", "--batch-len", "500", "--out", str(bn_dir),
+    ])
+    assert len(list(bn_dir.glob("*.mat"))) == 1

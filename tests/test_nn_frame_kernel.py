@@ -69,7 +69,7 @@ def test_nn_experiment_kernel_matches_autodiff_loop():
     const, amps, net0, h0, rx = _setup()
     w1f, w2f = flatten_nn_params(net0)
     opt0 = nn_frame_opt_init(w1f, w2f, _to_parity_major(h0))
-    w1f1, w2f1, h1, opt1, losses, w1_ev, w2_ev, h_ev = (
+    (w1f1, w2f1, h1, _, _, opt1, losses, w1_ev, w2_ev, h_ev, _, _) = (
         vae_nn_experiment_train_pallas(
             w1f, w2f, h0, opt0, rx, amps, jnp.float32(LR),
             bl_sym=BL, n_batches=NB, epe=EPE, k1=K1, interpret=True,
@@ -134,8 +134,68 @@ def test_nn_frame_path_rejects_unsupported():
     with pytest.raises(ValueError, match="kernel_2"):
         train_vae_nn_awgn(
             AwgnVaeNnConfig(kernel_2=5), key, use_pallas="frame")
-    with pytest.raises(ValueError, match="Net only"):
-        train_vae_nn_awgn(
-            AwgnVaeNnConfig(batchnorm=True), key, use_pallas="frame")
     with pytest.raises(ValueError, match="no per-step kernel"):
         train_vae_nn_awgn(AwgnVaeNnConfig(), key, use_pallas=True)
+
+
+def test_nn_experiment_kernel_batchnorm_matches_autodiff_loop():
+    """Net_BN: the in-kernel functional BatchNorm (batch stats + VJP +
+    running-average update + trained gamma/beta) matches the XLA path."""
+    const, amps, _, h0, rx = _setup()
+    net0, bn_state = vae_nn_init(jax.random.PRNGKey(5), K1, 3, const.num_lev,
+                                 batchnorm=True)
+    # non-trivial gamma/beta so the VJP terms are exercised
+    rng = np.random.default_rng(31)
+    net0 = dict(net0)
+    net0["bn_scale"] = jnp.asarray(
+        1.0 + 0.2 * rng.normal(size=net0["bn_scale"].shape).astype(np.float32))
+    net0["bn_bias"] = jnp.asarray(
+        0.1 * rng.normal(size=net0["bn_bias"].shape).astype(np.float32))
+
+    # reference: autodiff loop with functional BN (mirrors train_vae_nn_awgn)
+    opt = optax.multi_transform(
+        {"train": optax.amsgrad(LR), "frozen": optax.set_to_zero()},
+        {"net": "train", "h": "train", "bn": "frozen"},
+    )
+    params = {"net": net0, "h": h0, "bn": bn_state}
+    s = opt.init(params)
+
+    def loss_fn(p, x):
+        q, bn = vae_nn_forward(p["net"], x, 2, state=p["bn"], train=True)
+        return elbo_siso(q, x, p["h"], amps, None), bn
+
+    losses_ref = []
+    for e in range(EPOCHS):
+        for b in range(NB):
+            x = rx[e, :, b * 2 * BL : (b + 1) * 2 * BL]
+            (loss, bn), g = jax.value_and_grad(loss_fn, has_aux=True)(params, x)
+            updates, s = opt.update(g, s, params)
+            params = optax.apply_updates(params, updates)
+            params = {**params, "bn": jax.tree.map(jax.lax.stop_gradient, bn)}
+            losses_ref.append(float(loss))
+
+    w1f, w2f = flatten_nn_params(net0)
+    bn0 = (jnp.stack([net0["bn_scale"], net0["bn_bias"]], axis=1),
+           jnp.stack([bn_state["mean"], bn_state["var"]], axis=1))
+    opt0 = nn_frame_opt_init(w1f, w2f, _to_parity_major(h0), bn0[0])
+    (w1f1, w2f1, h1, bnp1, rs1, opt1, losses, _, _, _, bnp_ev, rs_ev) = (
+        vae_nn_experiment_train_pallas(
+            w1f, w2f, h0, opt0, rx, amps, jnp.float32(LR),
+            bn=bn0, momentum=bn_state["momentum"],
+            bl_sym=BL, n_batches=NB, epe=EPE, k1=K1, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(losses, np.asarray(losses_ref), rtol=3e-5)
+    net1 = unflatten_nn_params(w1f1, w2f1, K1)
+    for k in ("w1", "b1", "w2", "b2"):
+        np.testing.assert_allclose(
+            net1[k], params["net"][k], rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(h1, params["h"], rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        bnp1[:, 0], params["net"]["bn_scale"], rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        bnp1[:, 1], params["net"]["bn_bias"], rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        rs1[:, 0], params["bn"]["mean"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        rs1[:, 1], params["bn"]["var"], rtol=1e-4, atol=1e-6)

@@ -323,7 +323,7 @@ def main():
         lambda: nn_exp_run(False),
         lambda: nn_exp_run(True),
         pairs=[(0, 1e-3, 2e-4), (1, 1e-3, 2e-4), (2, 1e-3, 2e-5),
-               (4, 1e-4, 1e-3)],  # w1, w2, h, losses
+               (6, 1e-4, 1e-3)],  # w1, w2, h, losses
     )
 
     from vae_equalizer_tpu.metrics import cpe_dp, find_shift_dp, ser_iqflip

@@ -24,11 +24,9 @@ def main(argv=None):
     p.add_argument("--pallas-frame", action="store_true",
                    help="whole-EXPERIMENT fused kernel: all epochs' steps + "
                         "AMSGrad in one MXU pallas call, evals batched "
-                        "(ops/nn_frame_kernel.py; Net only, sps=2, odd M, "
-                        "k2=3)")
+                        "(ops/nn_frame_kernel.py; Net and Net_BN, sps=2, "
+                        "odd M, k2=3)")
     args = p.parse_args(argv)
-    if args.pallas_frame and args.net_type == "Net_BN":
-        p.error("--pallas-frame supports Net only (no BatchNorm kernel)")
 
     iters = args.iters or 3
     if args.quick:

@@ -32,7 +32,10 @@ One grid step = one minibatch; the grid covers the entire experiment with
 all parameters (W1', W2', h) and their three AMSGrad moments carried in
 VMEM scratch. Parameters stream out at the reference's eval points (same
 output index map as siso_frame_kernel), so the evaluations run VECTORIZED
-afterwards. Net only (batchnorm=False) — Net_BN stays on the XLA path.
+afterwards. Net_BN: the functional BatchNorm (batch stats in train mode,
+torch running-average conventions) runs in-kernel — per-channel sums as
+(C, L) @ (L, 1) matmuls, gamma/beta trained by the same AMSGrad, running
+stats momentum-updated in scratch and streamed out at the eval points.
 
 Restrictions: sps == 2, odd m_est, kernel_2 == 3 (the reference default).
 Parity: tests/test_nn_frame_kernel.py vs the train_vae_nn_awgn epoch scan
@@ -69,32 +72,38 @@ def _dot(a, b, contract=((1,), (0,))):
     )
 
 
-def nn_frame_opt_init(w1f, w2f, hpm) -> dict:
+def nn_frame_opt_init(w1f, w2f, hpm, bnp=None) -> dict:
     """Zero AMSGrad moments (mu, nu, nu_max) in the FLAT param shapes."""
     z = lambda x: jnp.zeros_like(x)
+    if bnp is None:
+        bnp = jnp.zeros((w1f.shape[0], 2), jnp.float32)
     return {
         "m1": z(w1f), "v1": z(w1f), "x1": z(w1f),
         "m2": z(w2f), "v2": z(w2f), "x2": z(w2f),
         "mh": z(hpm), "vh": z(hpm), "xh": z(hpm),
+        "mb": z(bnp), "vb": z(bnp), "xb": z(bnp),
     }
 
 
 def _kernel(
     rx_ref, rxe_ref, rxo_ref,
     maske_ref, masko_ref, masket_ref, maskot_ref,
-    se_ref, so_ref, selh_ref, selsum_ref, eqsel_ref, selamp_ref,
-    w1_in, w2_in, h_in,
+    se_ref, so_ref, selh_ref, selsum_ref, eqsel_ref, selamp_ref, ones_ref,
+    w1_in, w2_in, h_in, bnp_in, rs_in,
     m1_in, v1_in, x1_in, m2_in, v2_in, x2_in, mh_in, vh_in, xh_in,
+    mb_in, vb_in, xb_in,
     scal_ref,
-    w1_out, w2_out, h_out,
+    w1_out, w2_out, h_out, bnp_out, rs_out,
     m1_out, v1_out, x1_out, m2_out, v2_out, x2_out, mh_out, vh_out, xh_out,
-    stats_ref, w1ev_ref, w2ev_ref, hev_ref,
-    w1_sc, w2_sc, h_sc, m1_sc, v1_sc, x1_sc_opt, m2_sc, v2_sc, x2_sc,
-    mh_sc, vh_sc, xh_sc,
-    rxpad_sc, x1_sc, h1_sc, e2_sc, z_sc, mm2_sc, q_sc, g4_sc, shl_sc,
+    mb_out, vb_out, xb_out,
+    stats_ref, w1ev_ref, w2ev_ref, hev_ref, bnpev_ref, rsev_ref,
+    w1_sc, w2_sc, h_sc, bnp_sc, rs_sc, m1_sc, v1_sc, x1_sc_opt,
+    m2_sc, v2_sc, x2_sc, mh_sc, vh_sc, xh_sc, mb_sc, vb_sc, xb_sc,
+    rxpad_sc, x1_sc, h1_sc, xhat_sc, stdi_sc, gbn_sc,
+    e2_sc, z_sc, mm2_sc, q_sc, g4_sc, shl_sc,
     eq_sc, eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc, ct_e_sc, ct_o_sc,
     gh_sc,
-    *, n_sym, m, k1, n_lev,
+    *, n_sym, m, k1, n_lev, batchnorm,
 ):
     mi = pl.program_id(0)
     ch = 2 * n_lev
@@ -112,6 +121,8 @@ def _kernel(
         w1_sc[...] = w1_in[...]
         w2_sc[...] = w2_in[...]
         h_sc[...] = h_in[...]
+        bnp_sc[...] = bnp_in[...]
+        rs_sc[...] = rs_in[...]
         m1_sc[...] = m1_in[...]
         v1_sc[...] = v1_in[...]
         x1_sc_opt[...] = x1_in[...]
@@ -121,6 +132,9 @@ def _kernel(
         mh_sc[...] = mh_in[...]
         vh_sc[...] = vh_in[...]
         xh_sc[...] = xh_in[...]
+        mb_sc[...] = mb_in[...]
+        vb_sc[...] = vb_in[...]
+        xb_sc[...] = xb_in[...]
         # static regions: zero conv1 pad margins, the conv2 shift column,
         # the gE2-shift tail, and set the bias ones rows
         rxpad_sc[...] = jnp.zeros(rxpad_sc.shape, jnp.float32)
@@ -136,6 +150,25 @@ def _kernel(
     h1 = _dot(w1_sc[...], x1_sc[...])  # (C, L)
     h1_sc[...] = h1
     e = jnp.where(h1 > 0.0, h1, jnp.exp(h1) - 1.0)  # ELU
+
+    if batchnorm:
+        # functional BatchNorm on the post-ELU activations (Net_BN): batch
+        # statistics in train mode, torch conventions (biased var in the
+        # normalization, unbiased in the running average). Per-channel sums
+        # are (C, L) @ (L, 1) matmuls; (C, 1) columns broadcast on the VPU.
+        m_bn = scal_ref[0, 2]
+        eps_bn = scal_ref[0, 3]
+        unb = scal_ref[0, 4]  # L / (L - 1)
+        inv_l = 1.0 / float(n_samp)
+        mu = _dot(e, ones_ref[...]) * inv_l  # (C, 1)
+        var_b = _dot(e * e, ones_ref[...]) * inv_l - mu * mu
+        stdi = jax.lax.rsqrt(var_b + eps_bn)
+        stdi_sc[:, 0:1] = stdi
+        xhat = (e - mu) * stdi
+        xhat_sc[...] = xhat
+        e = bnp_sc[:, 0:1] * xhat + bnp_sc[:, 1:2]
+        rs_sc[:, 0:1] = (1.0 - m_bn) * rs_sc[:, 0:1] + m_bn * mu
+        rs_sc[:, 1:2] = (1.0 - m_bn) * rs_sc[:, 1:2] + m_bn * (var_b * unb)
 
     # ---------------- conv2 operand: phase split + shifted odd + bias row
     e_even = _dot(e, se_ref[...])  # (C, N)
@@ -275,6 +308,18 @@ def _kernel(
         ge_odd, so_ref[...], ((1,), (1,))
     )  # (C, L)
 
+    # ---- BatchNorm VJP (between the conv2 and ELU backward passes)
+    if batchnorm:
+        xhat = xhat_sc[...]
+        stdi = stdi_sc[:, 0:1]
+        inv_l = 1.0 / float(n_samp)
+        gbn_sc[:, 0:1] = _dot(ge * xhat, ones_ref[...])  # g_gamma
+        gbn_sc[:, 1:2] = _dot(ge, ones_ref[...])  # g_beta
+        g_xhat = ge * bnp_sc[:, 0:1]
+        s1 = _dot(g_xhat, ones_ref[...]) * inv_l
+        s2 = _dot(g_xhat * xhat, ones_ref[...]) * inv_l
+        ge = stdi * (g_xhat - s1 - xhat * s2)
+
     # ---- ELU VJP + conv1 backward
     h1v = h1_sc[...]
     gh1 = ge * jnp.where(h1v > 0.0, 1.0, jnp.exp(h1v))
@@ -294,10 +339,14 @@ def _kernel(
     ams(m1_sc, v1_sc, x1_sc_opt, w1_sc, gw1)
     ams(m2_sc, v2_sc, x2_sc, w2_sc, gw2)
     ams(mh_sc, vh_sc, xh_sc, h_sc, gh)
+    if batchnorm:
+        ams(mb_sc, vb_sc, xb_sc, bnp_sc, gbn_sc[...])
 
     w1_out[...] = w1_sc[...]
     w2_out[...] = w2_sc[...]
     h_out[...] = h_sc[...]
+    bnp_out[...] = bnp_sc[...]
+    rs_out[...] = rs_sc[...]
     m1_out[...] = m1_sc[...]
     v1_out[...] = v1_sc[...]
     x1_out[...] = x1_sc_opt[...]
@@ -307,9 +356,14 @@ def _kernel(
     mh_out[...] = mh_sc[...]
     vh_out[...] = vh_sc[...]
     xh_out[...] = xh_sc[...]
+    mb_out[...] = mb_sc[...]
+    vb_out[...] = vb_sc[...]
+    xb_out[...] = xb_sc[...]
     w1ev_ref[0] = w1_sc[...]
     w2ev_ref[0] = w2_sc[...]
     hev_ref[0] = h_sc[...]
+    bnpev_ref[0] = bnp_sc[...]
+    rsev_ref[0] = rs_sc[...]
 
 
 def flatten_nn_params(net_params):
@@ -356,10 +410,11 @@ def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bl_sym", "n_batches", "epe", "k1", "interpret")
+    jax.jit,
+    static_argnames=("bl_sym", "n_batches", "epe", "k1", "interpret"),
 )
 def vae_nn_experiment_train_pallas(
-    w1f, w2f, h, opt, rx_epochs, amps, lr,
+    w1f, w2f, h, opt, rx_epochs, amps, lr, bn=None, momentum=0.1,
     *, bl_sym: int, n_batches: int, epe: int, k1: int, interpret: bool = False,
 ):
     """Run the FULL AWGN VAE-NN experiment (all epochs) in one pallas_call.
@@ -367,13 +422,16 @@ def vae_nn_experiment_train_pallas(
     w1f/w2f: flat conv params (flatten_nn_params); h: (2, M) channel taps;
     opt: nn_frame_opt_init dict (moments in the FLAT shapes, h parity-major);
     rx_epochs: (num_epochs, 2, n_samp >= n_batches*2*bl_sym); lr: traced
-    scalar. sps=2, odd M, kernel_2=3 only.
+    scalar; bn (Net_BN): ((C, 2) [gamma | beta], (C, 2) [running mean |
+    running var]) — trained / momentum-updated in-kernel respectively.
+    sps=2, odd M, kernel_2=3 only.
 
-    Returns (w1f', w2f', h', opt', losses (steps,), w1_evals, w2_evals,
-    h_evals) with the eval snapshots at the reference's eval points (slot i
-    = params after epoch i*epe + 1; last slot = final params), exactly like
-    ops/siso_frame_kernel.py.
+    Returns (w1f', w2f', h', bnp', rs', opt', losses (steps,), w1_evals,
+    w2_evals, h_evals, bnp_evals, rs_evals) with the eval snapshots at the
+    reference's eval points (slot i = params after epoch i*epe + 1; last
+    slot = final params), exactly like ops/siso_frame_kernel.py.
     """
+    batchnorm = bn is not None
     m = h.shape[-1]
     assert m % 2 == 1, "odd tap count only"
     ch = w1f.shape[0]
@@ -417,10 +475,19 @@ def vae_nn_experiment_train_pallas(
 
     h8 = _to_parity_major(h)
     scal = jnp.stack(
-        [jnp.float32(1e-12), jnp.float32(lr)] + [jnp.float32(0.0)] * 6
+        [jnp.float32(1e-12), jnp.float32(lr), jnp.float32(momentum),
+         jnp.float32(1e-5), jnp.float32(n_samp_mb / (n_samp_mb - 1))]
+        + [jnp.float32(0.0)] * 3
     ).reshape(1, 8).astype(jnp.float32)
+    if batchnorm:
+        bnp0, rs0 = bn
+    else:
+        bnp0 = jnp.zeros((ch, 2), jnp.float32)
+        rs0 = jnp.zeros((ch, 2), jnp.float32)
 
-    kernel = functools.partial(_kernel, n_sym=n_sym, m=m, k1=k1, n_lev=n_lev)
+    kernel = functools.partial(
+        _kernel, n_sym=n_sym, m=m, k1=k1, n_lev=n_lev, batchnorm=batchnorm
+    )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     per_mb = lambda c, l: pl.BlockSpec(
         (1, c, l), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM
@@ -432,37 +499,45 @@ def vae_nn_experiment_train_pallas(
         kernel,
         grid=(steps,),
         out_shape=(
-            pshape(w1f), pshape(w2f), pshape(h8),
+            pshape(w1f), pshape(w2f), pshape(h8), pshape(bnp0), pshape(rs0),
             pshape(w1f), pshape(w1f), pshape(w1f),
             pshape(w2f), pshape(w2f), pshape(w2f),
             pshape(h8), pshape(h8), pshape(h8),
+            pshape(bnp0), pshape(bnp0), pshape(bnp0),
             jax.ShapeDtypeStruct((steps, 1, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_evals + 1,) + w1f.shape, jnp.float32),
             jax.ShapeDtypeStruct((n_evals + 1,) + w2f.shape, jnp.float32),
             jax.ShapeDtypeStruct((n_evals + 1,) + h8.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_evals + 1,) + bnp0.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_evals + 1,) + rs0.shape, jnp.float32),
         ),
         in_specs=[
             per_mb(2, n_samp_mb), per_mb(2, n_sym), per_mb(2, n_sym),
             full(), full(), full(), full(),  # masks
-            full(), full(), full(), full(), full(), full(),  # selections
-            full(), full(), full(),  # params
+            full(), full(), full(), full(), full(), full(), full(),  # selections + ones
+            full(), full(), full(), full(), full(),  # params (+ bn, stats)
             full(), full(), full(), full(), full(), full(),  # conv moments
             full(), full(), full(),  # h moments
+            full(), full(), full(),  # bn moments
             pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            full(), full(), full(),
+            full(), full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
-            full(), full(), full(),
+            full(), full(), full(), full(), full(), full(),
             pl.BlockSpec((1, 1, 128), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + w1f.shape, ev_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + w2f.shape, ev_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + h8.shape, ev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + bnp0.shape, ev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + rs0.shape, ev_idx, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM(w1f.shape, jnp.float32),  # w1
             pltpu.VMEM(w2f.shape, jnp.float32),  # w2
             pltpu.VMEM(h8.shape, jnp.float32),  # h
+            pltpu.VMEM(bnp0.shape, jnp.float32),  # bn gamma/beta
+            pltpu.VMEM(rs0.shape, jnp.float32),  # bn running stats
             pltpu.VMEM(w1f.shape, jnp.float32),  # m1
             pltpu.VMEM(w1f.shape, jnp.float32),  # v1
             pltpu.VMEM(w1f.shape, jnp.float32),  # x1 (nu_max)
@@ -472,9 +547,15 @@ def vae_nn_experiment_train_pallas(
             pltpu.VMEM(h8.shape, jnp.float32),  # mh
             pltpu.VMEM(h8.shape, jnp.float32),  # vh
             pltpu.VMEM(h8.shape, jnp.float32),  # xh
+            pltpu.VMEM(bnp0.shape, jnp.float32),  # mb
+            pltpu.VMEM(bnp0.shape, jnp.float32),  # vb
+            pltpu.VMEM(bnp0.shape, jnp.float32),  # xb
             pltpu.VMEM((2, k1 - 1 + n_samp_mb), jnp.float32),  # rx padded
             pltpu.VMEM((2 * k1 + 1, n_samp_mb), jnp.float32),  # conv1 im2col
             pltpu.VMEM((ch, n_samp_mb), jnp.float32),  # pre-ELU h1
+            pltpu.VMEM((ch, n_samp_mb), jnp.float32),  # BN xhat
+            pltpu.VMEM((ch, 2), jnp.float32),  # BN 1/std
+            pltpu.VMEM((ch, 2), jnp.float32),  # BN grad rows
             pltpu.VMEM((3 * ch + 1, n_sym), jnp.float32),  # conv2 operand
             pltpu.VMEM((ch, n_sym), jnp.float32),  # z (pre-softmax)
             pltpu.VMEM((2, n_sym), jnp.float32),  # per-half max rows
@@ -496,19 +577,23 @@ def vae_nn_experiment_train_pallas(
         jnp.transpose(mask_e), jnp.transpose(mask_o),
         jnp.asarray(se_np), jnp.asarray(so_np), jnp.asarray(selh_np),
         jnp.asarray(selh_np.T.copy()), eqsel, selamp,
-        w1f, w2f, h8,
+        jnp.ones((n_samp_mb, 1), jnp.float32),
+        w1f, w2f, h8, bnp0, rs0,
         opt["m1"], opt["v1"], opt["x1"], opt["m2"], opt["v2"], opt["x2"],
-        opt["mh"], opt["vh"], opt["xh"], scal,
+        opt["mh"], opt["vh"], opt["xh"],
+        opt["mb"], opt["vb"], opt["xb"], scal,
     )
-    (w1_o, w2_o, h_o, m1_o, v1_o, x1_o, m2_o, v2_o, x2_o,
-     mh_o, vh_o, xh_o, stats, w1_ev, w2_ev, h_ev) = outs
+    (w1_o, w2_o, h_o, bnp_o, rs_o, m1_o, v1_o, x1_o, m2_o, v2_o, x2_o,
+     mh_o, vh_o, xh_o, mb_o, vb_o, xb_o, stats,
+     w1_ev, w2_ev, h_ev, bnp_ev, rs_ev) = outs
     losses = stats[:, 0, 0]
     opt_new = {
         "m1": m1_o, "v1": v1_o, "x1": x1_o,
         "m2": m2_o, "v2": v2_o, "x2": x2_o,
         "mh": mh_o, "vh": vh_o, "xh": xh_o,
+        "mb": mb_o, "vb": vb_o, "xb": xb_o,
     }
     return (
-        w1_o, w2_o, _from_parity_major(h_o, m), opt_new, losses,
-        w1_ev, w2_ev, _from_parity_major(h_ev, m),
+        w1_o, w2_o, _from_parity_major(h_o, m), bnp_o, rs_o, opt_new, losses,
+        w1_ev, w2_ev, _from_parity_major(h_ev, m), bnp_ev, rs_ev,
     )

@@ -331,10 +331,12 @@ def train_vae_le_awgn(
 
 def _run_nn_frame_experiment(
     cfg, key, gen_train, gen_valid, const, amps, P,
-    n_batches, params0, runs, mesh, timings=None,
+    n_batches, params0, bn_state, runs, mesh, timings=None,
 ):
     """use_pallas="frame" driver for VAE-NN: whole-experiment kernel +
-    batched eval (the CNN analog of _run_siso_frame_experiment)."""
+    batched eval (the CNN analog of _run_siso_frame_experiment). With
+    ``bn_state`` (Net_BN) gamma/beta train and the running stats update
+    in-kernel; evals use the streamed running stats (train=False)."""
     from ..ops.nn_frame_kernel import (
         flatten_nn_params,
         nn_frame_opt_init,
@@ -349,29 +351,52 @@ def _run_nn_frame_experiment(
     eval_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), n_evals)
     w1f0, w2f0 = flatten_nn_params(params0["net"])
     h_pm0 = _h_pm(params0["h"])
+    if cfg.batchnorm:
+        bn0 = (
+            jnp.stack([params0["net"]["bn_scale"],
+                       params0["net"]["bn_bias"]], axis=1),
+            jnp.stack([bn_state["mean"], bn_state["var"]], axis=1),
+        )
+        momentum = bn_state["momentum"]
+    else:
+        bn0, momentum = None, 0.1
 
     def one_run(key_run):
         tks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(train_keys, key_run[0])
         eks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(eval_keys, key_run[0])
         rx_all, _ = jax.vmap(gen_train)(tks)  # (E, 2, n_samp)
         opt0 = nn_frame_opt_init(w1f0, w2f0, h_pm0)
-        w1f, w2f, h1, opt1, losses, w1_ev, w2_ev, h_ev = (
-            vae_nn_experiment_train_pallas(
-                w1f0, w2f0, params0["h"], opt0, rx_all, amps,
-                jnp.float32(cfg.lr), bl_sym=cfg.batch_len,
-                n_batches=n_batches, epe=cfg.epe, k1=cfg.kernel_1,
-            )
+        (w1f, w2f, h1, bnp1, rs1, opt1, losses,
+         w1_ev, w2_ev, h_ev, bnp_ev, rs_ev) = vae_nn_experiment_train_pallas(
+            w1f0, w2f0, params0["h"], opt0, rx_all, amps,
+            jnp.float32(cfg.lr), bn=bn0, momentum=momentum,
+            bl_sym=cfg.batch_len, n_batches=n_batches, epe=cfg.epe,
+            k1=cfg.kernel_1,
         )
 
-        def one_eval(w1_e, w2_e, ek):
-            rx_v, tx_v = gen_valid(ek)
+        def net_of(w1_e, w2_e, bnp_e):
             net = unflatten_nn_params(w1_e, w2_e, cfg.kernel_1)
-            q = vae_nn_forward(net, rx_v, cfg.sps)
+            if cfg.batchnorm:
+                net["bn_scale"] = bnp_e[:, 0]
+                net["bn_bias"] = bnp_e[:, 1]
+            return net
+
+        def one_eval(w1_e, w2_e, bnp_e, rs_e, ek):
+            rx_v, tx_v = gen_valid(ek)
+            net = net_of(w1_e, w2_e, bnp_e)
+            if cfg.batchnorm:
+                state = {"mean": rs_e[:, 0], "var": rs_e[:, 1],
+                         "momentum": momentum}
+                q, _ = vae_nn_forward(net, rx_v, cfg.sps, state=state,
+                                      train=False)
+            else:
+                q = vae_nn_forward(net, rx_v, cfg.sps)
             return _siso_eval_pack(q, tx_v, cfg.n_valid, const, amps, P)
 
-        packed = jax.vmap(one_eval)(w1_ev[:n_evals], w2_ev[:n_evals], eks)
-        net1 = unflatten_nn_params(w1f, w2f, cfg.kernel_1)
-        return packed, {"net": net1, "h": h1}
+        packed = jax.vmap(one_eval)(
+            w1_ev[:n_evals], w2_ev[:n_evals], bnp_ev[:n_evals],
+            rs_ev[:n_evals], eks)
+        return packed, {"net": net_of(w1f, w2f, bnp1), "h": h1}
 
     if runs is None:
         fn = jax.jit(lambda: one_run(jnp.zeros((1,), jnp.uint32)))
@@ -421,8 +446,9 @@ def train_vae_nn_awgn(
     (ops/nn_frame_kernel.py: conv1/conv2 as single matmuls with biases
     folded through ones rows, stride-2 phases via selection matmuls) and
     the evaluations vectorized over the streamed parameter snapshots —
-    requires sps=2, odd m_est, kernel_2=3 and batchnorm=False (Net_BN and
-    the per-step kernel mode are unsupported: there is no NN step kernel).
+    requires sps=2, odd m_est and kernel_2=3. Net_BN is supported: gamma/
+    beta train and the running stats update in-kernel; evals use the
+    streamed running stats. (There is no per-step NN kernel mode.)
     """
     const = make_constellation(cfg.mod, 0.0)
     h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
@@ -446,16 +472,12 @@ def train_vae_nn_awgn(
         if cfg.sps != 2 or cfg.m_est % 2 == 0 or cfg.kernel_2 != 3:
             raise ValueError(
                 'use_pallas="frame" requires sps=2, odd m_est and kernel_2=3')
-        if cfg.batchnorm:
-            raise ValueError(
-                'use_pallas="frame" supports Net only (batchnorm=False); '
-                "Net_BN stays on the XLA path")
         if checkpoint:
             raise ValueError('use_pallas="frame" runs the whole experiment '
                              "in one call; checkpointing is unavailable")
         return _run_nn_frame_experiment(
             cfg, key, gen_train, gen_valid, const, amps, P, n_batches,
-            params0, runs, mesh, timings=timings,
+            params0, bn_state, runs, mesh, timings=timings,
         )
     elif use_pallas:
         raise ValueError(

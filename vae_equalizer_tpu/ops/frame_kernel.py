@@ -441,7 +441,6 @@ def _kernel(
     vh_out[...] = vh_sc[...]
 
 
-
 def _support_masks(m: int, n_sym: int):
     """0/1 tap-support masks: mask[t, j] = 1 iff ceil((Mh-j)/2) <= t < (Nsamp-j-1)//2+1.
 
@@ -1043,8 +1042,6 @@ def _kernel_r1(
     vw_out[:, :] = vw_sc[:, :]
     mh_out[:, :] = mh_sc[:, :]
     vh_out[:, :] = vh_sc[:, :]
-
-
 
 
 @functools.partial(jax.jit, static_argnames=("bl_sym", "stride_sym", "interpret"))

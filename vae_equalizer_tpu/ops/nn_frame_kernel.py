@@ -160,8 +160,10 @@ def _kernel(
         eps_bn = scal_ref[0, 3]
         unb = scal_ref[0, 4]  # L / (L - 1)
         inv_l = 1.0 / float(n_samp)
-        mu = _dot(e, ones_ref[...]) * inv_l  # (C, 1)
-        var_b = _dot(e * e, ones_ref[...]) * inv_l - mu * mu
+        # ones is (L, 8): 1-lane matmul outputs are the riskier Mosaic
+        # shape, so reduce to 8 lanes and take a lane slice of the value
+        mu = _dot(e, ones_ref[...])[:, 0:1] * inv_l  # (C, 1)
+        var_b = _dot(e * e, ones_ref[...])[:, 0:1] * inv_l - mu * mu
         stdi = jax.lax.rsqrt(var_b + eps_bn)
         stdi_sc[:, 0:1] = stdi
         xhat = (e - mu) * stdi
@@ -313,11 +315,11 @@ def _kernel(
         xhat = xhat_sc[...]
         stdi = stdi_sc[:, 0:1]
         inv_l = 1.0 / float(n_samp)
-        gbn_sc[:, 0:1] = _dot(ge * xhat, ones_ref[...])  # g_gamma
-        gbn_sc[:, 1:2] = _dot(ge, ones_ref[...])  # g_beta
+        gbn_sc[:, 0:1] = _dot(ge * xhat, ones_ref[...])[:, 0:1]  # g_gamma
+        gbn_sc[:, 1:2] = _dot(ge, ones_ref[...])[:, 0:1]  # g_beta
         g_xhat = ge * bnp_sc[:, 0:1]
-        s1 = _dot(g_xhat, ones_ref[...]) * inv_l
-        s2 = _dot(g_xhat * xhat, ones_ref[...]) * inv_l
+        s1 = _dot(g_xhat, ones_ref[...])[:, 0:1] * inv_l
+        s2 = _dot(g_xhat * xhat, ones_ref[...])[:, 0:1] * inv_l
         ge = stdi * (g_xhat - s1 - xhat * s2)
 
     # ---- ELU VJP + conv1 backward
@@ -577,7 +579,7 @@ def vae_nn_experiment_train_pallas(
         jnp.transpose(mask_e), jnp.transpose(mask_o),
         jnp.asarray(se_np), jnp.asarray(so_np), jnp.asarray(selh_np),
         jnp.asarray(selh_np.T.copy()), eqsel, selamp,
-        jnp.ones((n_samp_mb, 1), jnp.float32),
+        jnp.ones((n_samp_mb, 8), jnp.float32),
         w1f, w2f, h8, bnp0, rs0,
         opt["m1"], opt["v1"], opt["x1"], opt["m2"], opt["v2"], opt["x2"],
         opt["mh"], opt["vh"], opt["xh"],

@@ -543,6 +543,7 @@ def run_cma_awgn(
     compiled: bool = False,
     checkpoint=None,
     checkpoint_every: int = 0,
+    timings: dict | None = None,
 ):
     """CMA baseline on the AWGN ISI channel (no autograd).
 

@@ -114,7 +114,7 @@ def _kernel(
     xi_ref, xq_ref, rx_ref, rxe_ref, rxo_ref,
     maske_ref, masko_ref, masket_ref, maskot_ref,
     selv_ref, selt_ref, sels_ref, eqv_ref,
-    amp32s_ref, amp232n_ref, amp32u_ref, amp232u_ref, s2row_ref,
+    amp232n_ref, selta_ref, selta2_ref, sels2_ref, ones128_ref,
     pfull4_ref, tmask_ref, ones_l_ref, csum_ref, perm_e_ref, perm_o_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
@@ -162,6 +162,11 @@ def _kernel(
         # the sum-stack's uncovered lanes must read zero; every step stores
         # the same static regions, so zeroing once is enough
         st_sc[...] = jnp.zeros(st_sc.shape, jnp.float32)
+        # out4_sc row 4 is a constant ones row: the demapper's (out - amp)
+        # subtraction rides the selv matmul (its 5th column is -amp*s)
+        out4_sc[:, 4:5, :] = jnp.ones(
+            (out4_sc.shape[0], 1, out4_sc.shape[2]), jnp.float32
+        )
 
     n_samp = 2 * n_sym
     mh = m // 2
@@ -178,13 +183,14 @@ def _kernel(
     # ---------------- forward: butterfly as two batched MXU matmuls
     out4_sc[:, 0:2, :] = _bdot(w_sc[...], xi)  # rows (x_I, y_I)
     out4_sc[:, 2:4, :] = _bdot(w_sc[...], xq)  # rows (x_Q, y_Q)
-    outout_ref[0] = out4_sc[...]
+    outout_ref[0] = out4_sc[:, 0:4, :]
 
     # ---------------- demapper, all 4 components at once on (R, 4n, N).
-    # selv = selt * s_pol(row), s = sqrt(0.5/var): d32 = s*(out - amp), so
-    # met = d32^2 + nu*amp^2 with the 1/(2 var) folded into the constants.
-    e4s = _bdot(selv_ref[...], out4_sc[...])  # (R, 4n, N)
-    d32 = e4s - amp32s_ref[...]
+    # selv cols 0-3 = selt * s_pol(row), col 4 (hitting out4's constant
+    # ones row) = -amp*s, s = sqrt(0.5/var): ONE matmul yields
+    # d32 = s*(out - amp); met = d32^2 + nu*amp^2 with the 1/(2 var)
+    # folded into the constants.
+    d32 = _bdot(selv_ref[...], out4_sc[...])  # (R, 4n, N)
     met = d32 * d32 + amp232n_ref[...]
     # met parks in q_sc so the per-component min row-chain slices a ref
     q_sc[...] = met
@@ -285,8 +291,11 @@ def _kernel(
     st_sc[:, 24:kst, : n_sym - 2 * mh] = -q32[:, :, mh : n_sym - mh] * jnp.log(
         ratio32[:, :, mh : n_sym - mh] + eps
     )
-    tot = _bdot(st_sc[...], ones_l_ref[...])  # (R, kst, 128) lane-replicated
-    sums_sc[...] = _bdot(csum_ref[...], tot)  # (R, 8, 128)
+    # lane totals at 8 lanes (a 128-lane ones operand costs ~18M MACs/step
+    # of pure replication), then one tiny expand to the lane-replicated rows
+    tot = _bdot(st_sc[...], ones_l_ref[...])  # (R, kst, 8)
+    sums8 = _bdot(csum_ref[...], tot)  # (R, 8, 8)
+    sums_sc[...] = _bdot(sums8[:, :, 0:1], ones128_ref[...])  # (R, 8, 128)
     c_x = sums_sc[:, 0:1, :]
     c_y = sums_sc[:, 1:2, :]
     kl = sums_sc[:, 2:3, :]
@@ -396,14 +405,13 @@ def _kernel(
             geq_sc[:, gp : gp + 1, :]
             - 2.0 * eq4_sc[:, gp : gp + 1, :] * gv_sc[:, nu : nu + 1, :]
         )
-    gq32 = amp32u_ref[...] * _bdot(selt, ge4_sc[...]) + amp232u_ref[...] * _bdot(
-        selt, gv4_sc[...]
-    )
+    # selta/selta2 = selt with the row's amp / amp^2 folded in
+    gq32 = _bdot(selta_ref[...], ge4_sc[...]) + _bdot(selta2_ref[...], gv4_sc[...])
     gq32 = gq32 + (jnp.log(ratio32 + eps) + ratio32 / (ratio32 + eps)) * tmask_ref[...]
     inner = _bdot(sels, q32 * gq32)  # (R, 4, N)
     gm = -q32 * (gq32 - _bdot(selt, inner))
-    # (out - amp)/var = 2 s * d32 (s2row rows = 2 s_pol; d32 = s (out - amp))
-    gout_sc[...] = _bdot(sels, gm * (s2row_ref[...] * d32))
+    # (out - amp)/var = 2 s * d32; the 2 s_pol factor is folded into sels2
+    gout_sc[...] = _bdot(sels2_ref[...], gm * d32)
 
     # ---- gw: (R, 2, 4M) = gout_I @ XI^T + gout_Q @ XQ^T
     gw = _bdot(gout_sc[:, 0:2, :], xi, ((2,), (2,))) + _bdot(
@@ -597,15 +605,26 @@ def vae_dp_frame_train_pallas_rb(
     a_row = amps_f[lev_of_row]  # (nl4,) level amplitude per row
     s_pol = jnp.sqrt(0.5 / var.astype(jnp.float32))  # (2,)
     s_row = s_pol[comp_of_row % 2]  # rows of pol x get s_x, y rows s_y
-    selv3 = jnp.broadcast_to(
-        (jnp.asarray(selt_np) * s_row[:, None])[None], (n_rb, nl4, 4)
+    # selv: cols 0-3 select the component scaled by s; col 4 hits out4's
+    # constant ones row with -amp*s, so ONE matmul yields s*(out - amp)
+    selv5 = jnp.concatenate(
+        [jnp.asarray(selt_np) * s_row[:, None], (-a_row * s_row)[:, None]],
+        axis=1,
     )
+    selv3 = jnp.broadcast_to(selv5[None], (n_rb, nl4, 5))
     brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_rb, nl4, n_sym))
-    amp32s = brow(a_row * s_row)
     amp232n = brow(jnp.float32(nu_sc) * a_row * a_row)
-    amp32u = brow(a_row)
-    amp232u = brow(a_row * a_row)
-    s2row = brow(2.0 * s_row)
+    # selt with the row's amp / amp^2 folded in (backward gq build), and
+    # sels with the component's 2 s_pol folded in (softmin VJP -> gout)
+    selta3 = jnp.broadcast_to(
+        (jnp.asarray(selt_np) * a_row[:, None])[None], (n_rb, nl4, 4))
+    selta23 = jnp.broadcast_to(
+        (jnp.asarray(selt_np) * (a_row * a_row)[:, None])[None],
+        (n_rb, nl4, 4))
+    sels23 = jnp.broadcast_to(
+        (jnp.asarray(selt_np.T) * (2.0 * s_row)[None, :])[None],
+        (n_rb, 4, nl4))
+    ones128 = jnp.ones((n_rb, 1, 128), jnp.float32)
     eqv_m = jnp.concatenate(
         [
             jnp.asarray(ind_g) * a_row[None, :],  # E_q, group order
@@ -624,7 +643,7 @@ def vae_dp_frame_train_pallas_rb(
     tmask32 = jnp.broadcast_to(
         jnp.asarray(inner_np)[None, None, :], (n_rb, nl4, n_sym)
     )
-    ones_l = jnp.ones((n_rb, n_samp_mb, 128), jnp.float32)
+    ones_l = jnp.ones((n_rb, n_samp_mb, 8), jnp.float32)
     # csum rows: 0 = c_x, 1 = c_y, 2 = kl (see the st row map in _kernel)
     csum_np = _np.zeros((8, kst), _np.float32)
     csum_np[0, [0, 1, 12, 13, 16, 17, 20, 21]] = 1.0
@@ -676,7 +695,7 @@ def vae_dp_frame_train_pallas_rb(
             per_mb4(4, n_sym),
             full(), full(), full(), full(),  # masks
             full(), full(), full(), full(),  # selv/selt/sels/eqv
-            full(), full(), full(), full(), full(),  # amp rows, s2row
+            full(), full(), full(), full(), full(),  # amp232n, selta(2), sels2, ones128
             full(), full(), full(), full(),  # pfull4, tmask, ones_l, csum
             full(), full(),  # perms
             full(), full(), full(), full(), full(), full(),  # params/moments
@@ -703,7 +722,7 @@ def vae_dp_frame_train_pallas_rb(
             pltpu.VMEM((n_rb, 8, m), jnp.float32),  # gh assembly
             pltpu.VMEM((n_rb, 4, 4 * mhe), jnp.float32),  # CT coeffs, even taps
             pltpu.VMEM((n_rb, 4, 4 * mh), jnp.float32),  # CT coeffs, odd taps
-            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # out rows
+            pltpu.VMEM((n_rb, 5, n_sym), jnp.float32),  # out rows + ones row
             pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # Eq rows
             pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # Var rows
             pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # d even
@@ -730,7 +749,7 @@ def vae_dp_frame_train_pallas_rb(
     )(
         xi, xq, rx4, rxe, rxo, maske3, masko3, maskte3, maskto3,
         selv3, selt3, sels3, eqv3,
-        amp32s, amp232n, amp32u, amp232u, s2row,
+        amp232n, selta3, selta23, sels23, ones128,
         pfull4, tmask32, ones_l, csum3, perm_e3, perm_o3,
         w2, h8, mw2, vw2, mh8, vh8, scal,
     )

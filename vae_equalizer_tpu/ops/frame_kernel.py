@@ -111,18 +111,18 @@ def _bdot(a, b, contract=((2,), (1,))):
 
 
 def _kernel(
-    xi_ref, xq_ref, rx_ref, rxe_ref, rxo_ref,
-    maske_ref, masko_ref, masket_ref, maskot_ref,
+    xc_ref, rx_ref, rxe_ref, rxo_ref,
+    maskpm_ref, masktpm_ref,
     selv_ref, selt_ref, sels_ref, eqv_ref,
-    amp232n_ref, selta_ref, selta2_ref, sels2_ref, ones128_ref,
+    amp232n_ref, selta8_ref, sels2_ref, ones128_ref,
     pfull4_ref, tmask_ref, ones_l_ref, csum_ref, perm_e_ref, perm_o_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
     eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc, gh_sc, ct_e_sc, ct_o_sc,
     out4_sc, eq4_sc, v4_sc, d_e_sc, d_o_sc, gd_e_sc, gd_o_sc, ghm_sc, geq_sc,
-    gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, stats_sc,
-    mm4_sc, eq12_sc, st_sc, sums_sc, ge4_sc, gv4_sc, gfac_sc,
+    gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, goutc_sc, stats_sc,
+    mm4_sc, eq12_sc, st_sc, sums_sc, gev8_sc, gfac_sc,
     *, n_sym, m, n_lev, n_rb,
 ):
     # Mosaic-safe construct policy for R > 1 (the compiler SIGABRTs on
@@ -174,15 +174,16 @@ def _kernel(
     n_eff = float(n_samp - 2 * mh)
     ne = n_sym - mh  # positions per tap parity (even == odd count here)
     eps = scal_ref[0, 3]
-    xi = xi_ref[0]  # (R, 4M, n_sym) im2col, I arrangement
-    xq = xq_ref[0]
+    xc = xc_ref[0]  # (R, 4M, 2*n_sym) im2col, I lanes then Q lanes
     f32 = jnp.float32
     selt = selt_ref[...]  # (R, 4n, 4): row r*n+l -> component r
     sels = sels_ref[...]  # (R, 4, 4n): component r <- sum of its level rows
 
-    # ---------------- forward: butterfly as two batched MXU matmuls
-    out4_sc[:, 0:2, :] = _bdot(w_sc[...], xi)  # rows (x_I, y_I)
-    out4_sc[:, 2:4, :] = _bdot(w_sc[...], xq)  # rows (x_Q, y_Q)
+    # ---------------- forward: butterfly as ONE batched MXU matmul over the
+    # lane-concatenated I|Q im2col arrangement
+    oiq = _bdot(w_sc[...], xc)  # (R, 2, 2N) rows (x, y)
+    out4_sc[:, 0:2, :] = oiq[:, :, :n_sym]  # rows (x_I, y_I)
+    out4_sc[:, 2:4, :] = oiq[:, :, n_sym:]  # rows (x_Q, y_Q)
     outout_ref[0] = out4_sc[:, 0:4, :]
 
     # ---------------- demapper, all 4 components at once on (R, 4n, N).
@@ -245,15 +246,13 @@ def _kernel(
     d_e_sc[...] = _bdot(_bdot(ct_d(ct_e_sc, 0, mhe, mhe), perm_e), eqwin_e)  # (R, 4, ne)
     d_o_sc[...] = _bdot(_bdot(ct_d(ct_o_sc, mhe, m, mh), perm_o), eqwin_o)
 
-    # ---------------- E term: S_p (R, 2, n_a) = Vsum (R, 2, N) @ MASK_p
+    # ---------------- E term: S (R, 2, M) = Vsum (R, 2, N) @ MASK, with the
+    # even|odd tap-support masks lane-concatenated (parity-major) into ONE dot
     vsum = jnp.concatenate(
         [v4_sc[:, 0:1, :] + v4_sc[:, 2:3, :], v4_sc[:, 1:2, :] + v4_sc[:, 3:4, :]],
         axis=1,
     )  # (R, 2, N) per pol
-    s_e = _bdot(vsum, maske_ref[...])  # (R, 2, mhe)
-    s_o = _bdot(vsum, masko_ref[...])  # (R, 2, mh)
-    scat_sc[:, :, :mhe] = s_e
-    scat_sc[:, :, mhe:] = s_o  # (R, 2, M) parity-major
+    scat_sc[...] = _bdot(vsum, maskpm_ref[...])  # (R, 2, M) parity-major
     for g in range(4):  # |h|^2 rows (chi*2 + nu)
         h0 = h_sc[:, 2 * g : 2 * g + 1, :]
         h1 = h_sc[:, 2 * g + 1 : 2 * g + 2, :]
@@ -392,31 +391,31 @@ def _kernel(
         ],
         axis=1,
     )  # (R, 2, M) rows nu
-    gv_sc[...] = _bdot(gco[:, :, :mhe], masket_ref[...]) + _bdot(
-        gco[:, :, mhe:], maskot_ref[...]
-    )
+    gv_sc[...] = _bdot(gco, masktpm_ref[...])
 
-    # ---- moments -> gq -> softmin VJP -> gout, all 4 components at once
+    # ---- moments -> gq -> softmin VJP -> gout, all 4 components at once.
+    # gE (rows 0-3) and gVar (rows 4-7) stack into one scratch so the gq
+    # build is ONE dot against [selt*amp | selt*amp^2].
     for r in range(4):
         gp = _EQP[r]  # geq_sc / eq4_sc rows are in group order
         nu = r % 2
-        gv4_sc[:, r : r + 1, :] = gv_sc[:, nu : nu + 1, :]
-        ge4_sc[:, r : r + 1, :] = (
+        gev8_sc[:, 4 + r : 5 + r, :] = gv_sc[:, nu : nu + 1, :]
+        gev8_sc[:, r : r + 1, :] = (
             geq_sc[:, gp : gp + 1, :]
             - 2.0 * eq4_sc[:, gp : gp + 1, :] * gv_sc[:, nu : nu + 1, :]
         )
-    # selta/selta2 = selt with the row's amp / amp^2 folded in
-    gq32 = _bdot(selta_ref[...], ge4_sc[...]) + _bdot(selta2_ref[...], gv4_sc[...])
+    gq32 = _bdot(selta8_ref[...], gev8_sc[...])
     gq32 = gq32 + (jnp.log(ratio32 + eps) + ratio32 / (ratio32 + eps)) * tmask_ref[...]
     inner = _bdot(sels, q32 * gq32)  # (R, 4, N)
     gm = -q32 * (gq32 - _bdot(selt, inner))
     # (out - amp)/var = 2 s * d32; the 2 s_pol factor is folded into sels2
     gout_sc[...] = _bdot(sels2_ref[...], gm * d32)
 
-    # ---- gw: (R, 2, 4M) = gout_I @ XI^T + gout_Q @ XQ^T
-    gw = _bdot(gout_sc[:, 0:2, :], xi, ((2,), (2,))) + _bdot(
-        gout_sc[:, 2:4, :], xq, ((2,), (2,))
-    )
+    # ---- gw: (R, 2, 4M) = gout_cat @ XC^T — the I|Q contributions sum in
+    # ONE dot by contracting over the lane-concatenated sample axis
+    goutc_sc[:, :, :n_sym] = gout_sc[:, 0:2, :]
+    goutc_sc[:, :, n_sym:] = gout_sc[:, 2:4, :]
+    gw = _bdot(goutc_sc[...], xc, ((2,), (2,)))
 
     # ================ in-kernel Adam (optax.adam semantics) ================
     lr = scal_ref[0, 4]
@@ -570,9 +569,12 @@ def vae_dp_frame_train_pallas_rb(
             return cols.reshape(4 * m, n_sym)
 
         rx4 = x.reshape(4, n_samp_mb)
-        return im2col(x_i), im2col(x_q), rx4, rx4[:, 0::2], rx4[:, 1::2]
+        # I|Q arrangements lane-concatenated: the forward and gw each run as
+        # ONE batched dot over the combined sample axis
+        xcat = jnp.concatenate([im2col(x_i), im2col(x_q)], axis=-1)
+        return xcat, rx4, rx4[:, 0::2], rx4[:, 1::2]
 
-    xi, xq, rx4, rxe, rxo = jax.vmap(jax.vmap(arrange))(rx_mb)
+    xc, rx4, rxe, rxo = jax.vmap(jax.vmap(arrange))(rx_mb)
 
     mask_e, mask_o = _support_masks(m, n_sym)
 
@@ -581,10 +583,9 @@ def vae_dp_frame_train_pallas_rb(
     import numpy as _np
 
     bcast = lambda a: jnp.broadcast_to(jnp.asarray(a, jnp.float32), (n_rb,) + a.shape)
-    maske3 = bcast(mask_e)
-    masko3 = bcast(mask_o)
-    maskte3 = bcast(mask_e.T)
-    maskto3 = bcast(mask_o.T)
+    mask_pm = _np.concatenate([mask_e, mask_o], axis=1)  # (N, M) parity-major
+    maskpm3 = bcast(mask_pm)
+    masktpm3 = bcast(mask_pm.T.copy())
 
     # constant selection matrices + row-constant tensors for the merged
     # all-component demapper / softmin / stacked-sum formulation (see the
@@ -614,13 +615,14 @@ def vae_dp_frame_train_pallas_rb(
     selv3 = jnp.broadcast_to(selv5[None], (n_rb, nl4, 5))
     brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_rb, nl4, n_sym))
     amp232n = brow(jnp.float32(nu_sc) * a_row * a_row)
-    # selt with the row's amp / amp^2 folded in (backward gq build), and
-    # sels with the component's 2 s_pol folded in (softmin VJP -> gout)
-    selta3 = jnp.broadcast_to(
-        (jnp.asarray(selt_np) * a_row[:, None])[None], (n_rb, nl4, 4))
-    selta23 = jnp.broadcast_to(
-        (jnp.asarray(selt_np) * (a_row * a_row)[:, None])[None],
-        (n_rb, nl4, 4))
+    # [selt*amp | selt*amp^2] against the stacked (gE; gVar) rows (backward
+    # gq build in ONE dot), and sels with 2 s_pol folded in (softmin -> gout)
+    selta8m = jnp.concatenate(
+        [jnp.asarray(selt_np) * a_row[:, None],
+         jnp.asarray(selt_np) * (a_row * a_row)[:, None]],
+        axis=1,
+    )  # (nl4, 8)
+    selta83 = jnp.broadcast_to(selta8m[None], (n_rb, nl4, 8))
     sels23 = jnp.broadcast_to(
         (jnp.asarray(selt_np.T) * (2.0 * s_row)[None, :])[None],
         (n_rb, 4, nl4))
@@ -688,14 +690,13 @@ def vae_dp_frame_train_pallas_rb(
             jax.ShapeDtypeStruct((m_max, n_rb, 4, n_sym), jnp.float32),
         ),
         in_specs=[
-            per_mb4(4 * m, n_sym),
-            per_mb4(4 * m, n_sym),
+            per_mb4(4 * m, 2 * n_sym),  # xc (I|Q lane-concatenated im2col)
             per_mb4(4, n_samp_mb),
             per_mb4(4, n_sym),
             per_mb4(4, n_sym),
-            full(), full(), full(), full(),  # masks
+            full(), full(),  # parity-major mask + its transpose
             full(), full(), full(), full(),  # selv/selt/sels/eqv
-            full(), full(), full(), full(), full(),  # amp232n, selta(2), sels2, ones128
+            full(), full(), full(), full(),  # amp232n, selta8, sels2, ones128
             full(), full(), full(), full(),  # pfull4, tmask, ones_l, csum
             full(), full(),  # perms
             full(), full(), full(), full(), full(), full(),  # params/moments
@@ -736,20 +737,20 @@ def vae_dp_frame_train_pallas_rb(
             pltpu.VMEM((n_rb, 2, m), jnp.float32),  # S rows (parity-major)
             pltpu.VMEM((n_rb, 4, n_sym + mhe - 1), jnp.float32),  # gd padded
             pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gout rows
+            pltpu.VMEM((n_rb, 2, 2 * n_sym), jnp.float32),  # gout I|Q concat
             pltpu.VMEM((n_rb, 1, 128), jnp.float32),  # stats row
             pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # per-comp min rows
             pltpu.VMEM((n_rb, 12, n_sym), jnp.float32),  # EQV moment rows
             pltpu.VMEM((n_rb, kst, n_samp_mb), jnp.float32),  # sum stack
             pltpu.VMEM((n_rb, 8, 128), jnp.float32),  # combined sums
-            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gEq comp rows
-            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gv comp rows
+            pltpu.VMEM((n_rb, 8, n_sym), jnp.float32),  # stacked (gE; gVar) rows
             pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # gfac rows
         ],
         interpret=interpret,
     )(
-        xi, xq, rx4, rxe, rxo, maske3, masko3, maskte3, maskto3,
+        xc, rx4, rxe, rxo, maskpm3, masktpm3,
         selv3, selt3, sels3, eqv3,
-        amp232n, selta3, selta23, sels23, ones128,
+        amp232n, selta83, sels23, ones128,
         pfull4, tmask32, ones_l, csum3, perm_e3, perm_o3,
         w2, h8, mw2, vw2, mh8, vh8, scal,
     )

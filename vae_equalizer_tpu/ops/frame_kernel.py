@@ -115,12 +115,12 @@ def _kernel(
     maskpm_ref, masktpm_ref,
     selv_ref, selt_ref, sels_ref, eqv_ref,
     amp232n_ref, selta8_ref, sels2_ref, ones128_ref,
-    pfull4_ref, tmask_ref, ones_l_ref, csum_ref, perm_e_ref, perm_o_ref,
+    pfull4_ref, tmask_ref, ones_l_ref, csum_ref, permcat_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
-    eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc, gh_sc, ct_e_sc, ct_o_sc,
-    out4_sc, eq4_sc, v4_sc, d_e_sc, d_o_sc, gd_e_sc, gd_o_sc, ghm_sc, geq_sc,
+    eqwin_sc, gdwin_sc, gh_sc, ctd_sc, ct2_sc,
+    out4_sc, eq4_sc, v4_sc, d_sc, gd_sc, ghm_sc, geq_sc,
     gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, goutc_sc, stats_sc,
     mm4_sc, eq12_sc, st_sc, sums_sc, gev8_sc, gfac_sc,
     *, n_sym, m, n_lev, n_rb,
@@ -162,6 +162,10 @@ def _kernel(
         # the sum-stack's uncovered lanes must read zero; every step stores
         # the same static regions, so zeroing once is enough
         st_sc[...] = jnp.zeros(st_sc.shape, jnp.float32)
+        # ctd is a BLOCK-DIAGONAL operand (rows 0-3 even-parity lanes, rows
+        # 4-7 odd): the off-diagonal blocks must read zero, and every step
+        # writes only the diagonal blocks, so zeroing once is enough
+        ctd_sc[...] = jnp.zeros(ctd_sc.shape, jnp.float32)
         # out4_sc row 4 is a constant ones row: the demapper's (out - amp)
         # subtraction rides the selv matmul (its 5th column is -amp*s)
         out4_sc[:, 4:5, :] = jnp.ones(
@@ -213,38 +217,44 @@ def _kernel(
     eq4_sc[...] = eq12_sc[:, 0:4, :]
     v4_sc[...] = eq12_sc[:, 8:12, :] - eq12_sc[:, 4:8, :] * eq12_sc[:, 4:8, :]
 
-    # ---------------- D conv as batched matmuls over shifted-window stacks.
-    # Window rows are SHIFT-major (row a*4 + g): one 4-row block store per
+    # ---------------- D conv: BOTH tap parities in one matmul pair.
+    # Window rows are SHIFT-major within each parity block (row r0 + a*4 + g,
+    # even block rows [0, 4*mhe), odd block after): one 4-row block store per
     # shift a from a lane slice of the group-ordered eq4 value. The
-    # coefficient matrices stay (g, a)-major; the constant permutation PERM
-    # (perm_*_ref, PERM[g*n_a + a, a*4 + g] = 1) is folded into the
-    # adjacent matmuls: CT @ EQwin_g = (CT @ PERM) @ EQwin_a.
+    # coefficient matrix ctd is BLOCK-DIAGONAL over parities (rows 0-3 hit
+    # even lanes, rows 4-7 odd lanes; off-blocks zeroed once) and stays
+    # (g, a)-major; the constant block-diag permutation PERM
+    # (permcat_ref, PERM[g*n_a + a, a*4 + g] = 1 per block) is folded into
+    # the adjacent matmul: CTD @ EQwin_g = (CTD @ PERM) @ EQwin_a. One
+    # (R, 8, 4M) @ (R, 4M, ne) dot then yields d_e (rows 0-3) AND d_o
+    # (rows 4-7) — half the dot count of the per-parity formulation.
     eq4v = eq4_sc[...]  # (R, 4, N) group order (xI, xQ, yI, yQ)
 
-    def win_stack(sc, n_a):
+    def win_stack(sc, r0, n_a):
         for a in range(n_a):
-            sc[:, 4 * a : 4 * a + 4, :] = eq4v[:, :, mh - a : n_sym - a]
-        return sc[...]
+            sc[:, r0 + 4 * a : r0 + 4 * a + 4, :] = eq4v[:, :, mh - a : n_sym - a]
 
-    eqwin_e = win_stack(eqwin_e_sc, mhe)
-    eqwin_o = win_stack(eqwin_o_sc, mh)
-    perm_e = perm_e_ref[...]
-    perm_o = perm_o_ref[...]
+    win_stack(eqwin_sc, 0, mhe)
+    win_stack(eqwin_sc, 4 * mhe, mh)
+    eqwin = eqwin_sc[...]  # (R, 4M, ne) parity-blocked shift-major stack
+    permcat = permcat_ref[...]
 
-    def ct_d(sc, lane0, lane1, n_a):  # (R, 4, 4*n_a), rows (chi*2 + c)
+    def ct_d(r0, base, lane0, lane1, n_a):  # rows r0 + (chi*2 + c)
         for chi in range(2):
             hr0 = h_sc[:, chi * 4 : chi * 4 + 1, lane0:lane1]
             hi0 = h_sc[:, chi * 4 + 1 : chi * 4 + 2, lane0:lane1]
             hr1 = h_sc[:, chi * 4 + 2 : chi * 4 + 3, lane0:lane1]
             hi1 = h_sc[:, chi * 4 + 3 : chi * 4 + 4, lane0:lane1]
             for b, blk in enumerate((hr0, -hi0, hr1, -hi1)):  # D_re
-                sc[:, chi * 2 : chi * 2 + 1, b * n_a : (b + 1) * n_a] = blk
+                ctd_sc[:, r0 + chi * 2 : r0 + chi * 2 + 1,
+                       base + b * n_a : base + (b + 1) * n_a] = blk
             for b, blk in enumerate((hi0, hr0, hi1, hr1)):  # D_im
-                sc[:, chi * 2 + 1 : chi * 2 + 2, b * n_a : (b + 1) * n_a] = blk
-        return sc[...]
+                ctd_sc[:, r0 + chi * 2 + 1 : r0 + chi * 2 + 2,
+                       base + b * n_a : base + (b + 1) * n_a] = blk
 
-    d_e_sc[...] = _bdot(_bdot(ct_d(ct_e_sc, 0, mhe, mhe), perm_e), eqwin_e)  # (R, 4, ne)
-    d_o_sc[...] = _bdot(_bdot(ct_d(ct_o_sc, mhe, m, mh), perm_o), eqwin_o)
+    ct_d(0, 0, 0, mhe, mhe)
+    ct_d(4, 4 * mhe, mhe, m, mh)
+    d_sc[...] = _bdot(_bdot(ctd_sc[...], permcat), eqwin)  # (R, 8, ne)
 
     # ---------------- E term: S (R, 2, M) = Vsum (R, 2, N) @ MASK, with the
     # even|odd tap-support masks lane-concatenated (parity-major) into ONE dot
@@ -279,11 +289,11 @@ def _kernel(
     rx_al_e = rx_e_ref[0, :, :, al_lo : al_lo + ne]  # (R, 4, ne)
     rx_al_o = rx_o_ref[0, :, :, al_lo_o : al_lo_o + ne]
 
+    dall = d_sc[...]  # (R, 8, ne): rows 0-3 d_e, rows 4-7 d_o
     st_sc[:, 0:4, : n_samp - 2 * mh] = rx_w2 * rx_w2
-    st_sc[:, 4:8, :ne] = rx_al_e * d_e_sc[...]
-    st_sc[:, 8:12, :ne] = rx_al_o * d_o_sc[...]
-    st_sc[:, 12:16, :ne] = d_e_sc[...] * d_e_sc[...]
-    st_sc[:, 16:20, :ne] = d_o_sc[...] * d_o_sc[...]
+    st_sc[:, 4:8, :ne] = rx_al_e * d_sc[:, 0:4, :]
+    st_sc[:, 8:12, :ne] = rx_al_o * d_sc[:, 4:8, :]
+    st_sc[:, 12:20, :ne] = dall * dall
     st_sc[:, 20:22, :m] = habsq_sc[:, 0:2, :] * scat_sc[...]
     st_sc[:, 22:24, :m] = habsq_sc[:, 2:4, :] * scat_sc[...]
     ratio32 = q32 / pfull4_ref[...]
@@ -315,70 +325,79 @@ def _kernel(
     gfac_sc[:, 2:3, :] = g_cy[:, :, :ne]
     gfac_sc[:, 3:4, :] = g_cy[:, :, :ne]
     gfac = gfac_sc[...]
-    gd_e_sc[...] = gfac * (2.0 * d_e_sc[...] - 2.0 * rx_al_e)
-    gd_o_sc[...] = gfac * (2.0 * d_o_sc[...] - 2.0 * rx_al_o)
+    gd_sc[:, 0:4, :] = gfac * (2.0 * d_sc[:, 0:4, :] - 2.0 * rx_al_e)
+    gd_sc[:, 4:8, :] = gfac * (2.0 * d_sc[:, 4:8, :] - 2.0 * rx_al_o)
 
-    # ---- gh: GH_p (R, 4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E
-    # (EQwin is shift-major, so multiply by PERM^T — contract dim 2 of the
-    # permutation — to restore the (g, a)-major columns gh_assemble slices)
-    def gh_assemble(gd_sc_p, eqwin_p, perm_p, lane0, lane1, n_a):
-        ghm_sc[:, :, : 4 * n_a] = _bdot(
-            _bdot(gd_sc_p[...], eqwin_p, ((2,), (2,))), perm_p, ((2,), (2,))
-        )
+    # ---- gh: GHM (R, 8, 4M) = gd (both parities stacked) @ EQwin^T, one
+    # matmul pair for both parities — rows 0-3 even (valid in the even lane
+    # block), rows 4-7 odd (odd lanes); the off-blocks are computed garbage
+    # the assembly never reads. EQwin is shift-major, so multiply by PERM^T
+    # (contract dim 2 of the block-diag permutation) to restore the
+    # (g, a)-major columns gh_assemble slices.
+    ghm_sc[...] = _bdot(
+        _bdot(gd_sc[...], eqwin, ((2,), (2,))), permcat, ((2,), (2,))
+    )
+
+    def gh_assemble(r0, base, lane0, lane1, n_a):
         for chi in range(2):
             g_c = g_cx if chi == 0 else g_cy
             g_c_na = g_c[:, :, :n_a]
             for nu in range(2):
-                bi = (2 * nu) * n_a  # (nu, I) block
-                bq = (2 * nu + 1) * n_a  # (nu, Q) block
+                bi = base + (2 * nu) * n_a  # (nu, I) block
+                bq = base + (2 * nu + 1) * n_a  # (nu, Q) block
                 ghr = (
-                    ghm_sc[:, chi * 2 : chi * 2 + 1, bi : bi + n_a]
-                    + ghm_sc[:, chi * 2 + 1 : chi * 2 + 2, bq : bq + n_a]
+                    ghm_sc[:, r0 + chi * 2 : r0 + chi * 2 + 1, bi : bi + n_a]
+                    + ghm_sc[:, r0 + chi * 2 + 1 : r0 + chi * 2 + 2, bq : bq + n_a]
                 )
                 ghi = (
-                    -ghm_sc[:, chi * 2 : chi * 2 + 1, bq : bq + n_a]
-                    + ghm_sc[:, chi * 2 + 1 : chi * 2 + 2, bi : bi + n_a]
+                    -ghm_sc[:, r0 + chi * 2 : r0 + chi * 2 + 1, bq : bq + n_a]
+                    + ghm_sc[:, r0 + chi * 2 + 1 : r0 + chi * 2 + 2, bi : bi + n_a]
                 )
                 s_nu = scat_sc[:, nu : nu + 1, lane0:lane1]
-                r0 = chi * 4 + nu * 2
-                gh_sc[:, r0 : r0 + 1, lane0:lane1] = (
-                    ghr + 2.0 * g_c_na * h_sc[:, r0 : r0 + 1, lane0:lane1] * s_nu
+                rh = chi * 4 + nu * 2
+                gh_sc[:, rh : rh + 1, lane0:lane1] = (
+                    ghr + 2.0 * g_c_na * h_sc[:, rh : rh + 1, lane0:lane1] * s_nu
                 )
-                gh_sc[:, r0 + 1 : r0 + 2, lane0:lane1] = (
-                    ghi + 2.0 * g_c_na * h_sc[:, r0 + 1 : r0 + 2, lane0:lane1] * s_nu
+                gh_sc[:, rh + 1 : rh + 2, lane0:lane1] = (
+                    ghi + 2.0 * g_c_na * h_sc[:, rh + 1 : rh + 2, lane0:lane1] * s_nu
                 )
 
-    gh_assemble(gd_e_sc, eqwin_e, perm_e, 0, mhe, mhe)
-    gh_assemble(gd_o_sc, eqwin_o, perm_o, mhe, m, mh)
+    gh_assemble(0, 0, 0, mhe, mhe)
+    gh_assemble(4, 4 * mhe, mhe, m, mh)
     gh = gh_sc[...]  # (R, 8, M) parity-major
 
-    # ---- gEq: GEQ (R, 4, N) = CT2 (R, 4, 4*n_a) @ gDwin (R, 4*n_a, N)
-    # (shift-major rows like eqwin: one 4-row block store per shift)
-    def gdwin(sc, gd_sc_p, n_a):
+    # ---- gEq: GEQ (R, 4, N) = CT2 (R, 4, 4M) @ gDwin (R, 4M, N) — the
+    # parity sum rides the contraction: ct2 lane-concatenates the even and
+    # odd coefficient blocks in the SAME 4 rows (not block-diagonal — the
+    # two parities' contributions must ADD), gdwin stacks both parities'
+    # shift-major windows, and one matmul pair yields geq_e + geq_o.
+    def gdwin(r0, gd_r0, n_a):
         # gdpad[t] = gd_p[t - mh]; window a places gd_p[b] at t = mh - a + b
         gdpad_sc[...] = jnp.zeros(gdpad_sc.shape, f32)
-        gdpad_sc[:, :, mh : mh + ne] = gd_sc_p[...]
+        gdpad_sc[:, :, mh : mh + ne] = gd_sc[:, gd_r0 : gd_r0 + 4, :]
         gdpad = gdpad_sc[...]
         for a in range(n_a):
-            sc[:, 4 * a : 4 * a + 4, :] = gdpad[:, :, a : a + n_sym]
-        return sc[...]  # (R, 4*n_a, N)
+            gdwin_sc[:, r0 + 4 * a : r0 + 4 * a + 4, :] = gdpad[:, :, a : a + n_sym]
 
-    def ct2(sc, lane0, lane1, n_a):  # rows (nu, c') order (x,I)(x,Q)(y,I)(y,Q)
+    def ct2(base, lane0, lane1, n_a):  # rows (nu, c') order (x,I)(x,Q)(y,I)(y,Q)
         for nu in range(2):
             hr0 = h_sc[:, nu * 2 : nu * 2 + 1, lane0:lane1]
             hi0 = h_sc[:, nu * 2 + 1 : nu * 2 + 2, lane0:lane1]
             hr1 = h_sc[:, 4 + nu * 2 : 4 + nu * 2 + 1, lane0:lane1]
             hi1 = h_sc[:, 4 + nu * 2 + 1 : 4 + nu * 2 + 2, lane0:lane1]
             for b, blk in enumerate((hr0, hi0, hr1, hi1)):  # (nu, I)
-                sc[:, nu * 2 : nu * 2 + 1, b * n_a : (b + 1) * n_a] = blk
+                ct2_sc[:, nu * 2 : nu * 2 + 1,
+                       base + b * n_a : base + (b + 1) * n_a] = blk
             for b, blk in enumerate((-hi0, hr0, -hi1, hr1)):  # (nu, Q)
-                sc[:, nu * 2 + 1 : nu * 2 + 2, b * n_a : (b + 1) * n_a] = blk
-        return sc[...]
+                ct2_sc[:, nu * 2 + 1 : nu * 2 + 2,
+                       base + b * n_a : base + (b + 1) * n_a] = blk
 
+    gdwin(0, 0, mhe)
+    gdwin(4 * mhe, 4, mh)
+    ct2(0, 0, mhe, mhe)
+    ct2(4 * mhe, mhe, m, mh)
     geq_sc[...] = _bdot(
-        _bdot(ct2(ct_e_sc, 0, mhe, mhe), perm_e), gdwin(gdwin_e_sc, gd_e_sc, mhe)
-    ) + _bdot(
-        _bdot(ct2(ct_o_sc, mhe, m, mh), perm_o), gdwin(gdwin_o_sc, gd_o_sc, mh)
+        _bdot(ct2_sc[...], permcat), gdwin_sc[...]
     )  # rows (x,I)(x,Q)(y,I)(y,Q)
 
     # ---- gV: gv (R, 2, N) = GCO (R, 2, n_a) @ MASK_p^T per parity
@@ -654,8 +673,10 @@ def vae_dp_frame_train_pallas_rb(
     csum_np[1, [6, 7, 10, 11]] = -2.0
     csum_np[2, 24:kst] = 1.0
     csum3 = bcast(csum_np)
-    perm_e3 = bcast(_win_perm(mhe))
-    perm_o3 = bcast(_win_perm(mh))
+    permcat_np = _np.zeros((4 * m, 4 * m), _np.float32)  # blockdiag(perm_e, perm_o)
+    permcat_np[: 4 * mhe, : 4 * mhe] = _win_perm(mhe)
+    permcat_np[4 * mhe :, 4 * mhe :] = _win_perm(mh)
+    permcat3 = bcast(permcat_np)
 
     w2 = w.reshape(n_rb, 2, 4 * m)
     h8 = _to_parity_major(h.reshape(n_rb, 8, m))
@@ -698,7 +719,7 @@ def vae_dp_frame_train_pallas_rb(
             full(), full(), full(), full(),  # selv/selt/sels/eqv
             full(), full(), full(), full(),  # amp232n, selta8, sels2, ones128
             full(), full(), full(), full(),  # pfull4, tmask, ones_l, csum
-            full(), full(),  # perms
+            full(),  # block-diag window permutation
             full(), full(), full(), full(), full(), full(),  # params/moments
             pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -716,21 +737,17 @@ def vae_dp_frame_train_pallas_rb(
             pltpu.VMEM((n_rb, 8, m), jnp.float32),  # mh
             pltpu.VMEM((n_rb, 8, m), jnp.float32),  # vh
             pltpu.VMEM((n_rb, 4 * n_lev, n_sym), jnp.float32),  # q
-            pltpu.VMEM((n_rb, 4 * mhe, n_sym - mh), jnp.float32),  # eqwin even
-            pltpu.VMEM((n_rb, 4 * mh, n_sym - mh), jnp.float32),  # eqwin odd
-            pltpu.VMEM((n_rb, 4 * mhe, n_sym), jnp.float32),  # gdwin even
-            pltpu.VMEM((n_rb, 4 * mh, n_sym), jnp.float32),  # gdwin odd
+            pltpu.VMEM((n_rb, 4 * m, n_sym - mh), jnp.float32),  # eqwin (e|o stack)
+            pltpu.VMEM((n_rb, 4 * m, n_sym), jnp.float32),  # gdwin (e|o stack)
             pltpu.VMEM((n_rb, 8, m), jnp.float32),  # gh assembly
-            pltpu.VMEM((n_rb, 4, 4 * mhe), jnp.float32),  # CT coeffs, even taps
-            pltpu.VMEM((n_rb, 4, 4 * mh), jnp.float32),  # CT coeffs, odd taps
+            pltpu.VMEM((n_rb, 8, 4 * m), jnp.float32),  # ctd (block-diag coeffs)
+            pltpu.VMEM((n_rb, 4, 4 * m), jnp.float32),  # ct2 (lane-concat coeffs)
             pltpu.VMEM((n_rb, 5, n_sym), jnp.float32),  # out rows + ones row
             pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # Eq rows
             pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # Var rows
-            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # d even
-            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # d odd
-            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # gd even
-            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # gd odd
-            pltpu.VMEM((n_rb, 4, 4 * mhe), jnp.float32),  # ghm
+            pltpu.VMEM((n_rb, 8, n_sym - mh), jnp.float32),  # d (e|o rows)
+            pltpu.VMEM((n_rb, 8, n_sym - mh), jnp.float32),  # gd (e|o rows)
+            pltpu.VMEM((n_rb, 8, 4 * m), jnp.float32),  # ghm (e|o rows)
             pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gEq rows
             pltpu.VMEM((n_rb, 2, n_sym), jnp.float32),  # gV rows
             pltpu.VMEM((n_rb, 4, m), jnp.float32),  # |h|^2 rows
@@ -751,7 +768,7 @@ def vae_dp_frame_train_pallas_rb(
         xc, rx4, rxe, rxo, maskpm3, masktpm3,
         selv3, selt3, sels3, eqv3,
         amp232n, selta83, sels23, ones128,
-        pfull4, tmask32, ones_l, csum3, perm_e3, perm_o3,
+        pfull4, tmask32, ones_l, csum3, permcat3,
         w2, h8, mw2, vw2, mh8, vh8, scal,
     )
 

@@ -70,6 +70,19 @@ def make_dot_kernel(variant: str, reps: int):
                 d = _bdot(a4, conv_ref[...])  # (r, 4, 88)
                 a4 = d[:, :, :52] * (1.0 - 1e-6)
             out = jnp.pad(a4, ((0, 0), (0, 4), (0, N - 52)))
+        elif variant == "mix3d2d":
+            # batched 3D operand against an UN-replicated 2D constant: if
+            # Mosaic lowers this, every broadcast constant in the rb kernel
+            # can drop its R dim (R-fold VMEM saving -> rb=16 headroom)
+            a4 = acc[:, 0:4, :52]
+            c2 = conv_ref[0]  # (52, 88) value
+            for _ in range(reps):
+                d = jax.lax.dot_general(
+                    a4, c2, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )  # (r, 4, 88)
+                a4 = d[:, :, :52] * (1.0 - 1e-6)
+            out = jnp.pad(a4, ((0, 0), (0, 4), (0, N - 52)))
         elif variant == "dep8":
             # 8 serially-dependent dots per rep
             a1 = acc[:, 0:1, :52]
@@ -210,6 +223,14 @@ def main():
         t_hi, _ = run_dot("dotR", 8, S_HI, r)
         per = (t_hi - t_lo) * 1e9 / (S_HI - S_LO) / 8
         print(f"dotR R={r:2d}: {per:7.1f} ns/dot (compile {comp:.0f}s)", flush=True)
+    print("--- 1b. batched 3D @ un-replicated 2D constant (R=8)")
+    try:
+        t_lo, comp = run_dot("mix3d2d", 8, S_LO, 8)
+        t_hi, _ = run_dot("mix3d2d", 8, S_HI, 8)
+        per = (t_hi - t_lo) * 1e9 / (S_HI - S_LO) / 8
+        print(f"mix3d2d: {per:7.1f} ns/dot (compile {comp:.0f}s)", flush=True)
+    except Exception as e:  # noqa: BLE001 — Mosaic lowering may reject it
+        print(f"mix3d2d: UNSUPPORTED ({type(e).__name__}: {str(e)[:200]})", flush=True)
     print("--- 2. dependent vs independent dots (R=8)")
     for variant, nops in (("dep8", 8), ("ind8", 8)):
         t_lo, comp = run_dot(variant, 4, S_LO, 8)

@@ -206,8 +206,12 @@ def test_train_vae_flex_dp_frame_path_matches_step_path(monkeypatch):
     )
 
 
-def test_runs_batched_kernel_matches_single_run_stack():
+@pytest.mark.parametrize("mod", ["4-QAM", "64-QAM"])
+def test_runs_batched_kernel_matches_single_run_stack(mod):
     """R runs in one pallas_call == R independent single-run calls.
+
+    Parametrized over num_lev (4- and 64-QAM): the rb body's merged
+    selection matrices and stacked-sum row offsets are n_lev-dependent.
 
     Invariants chosen to survive float chaos (measured: trajectories under
     lr=2.5e-3 on this toy amplify 1e-7 reduction-order differences by ~30x
@@ -222,7 +226,7 @@ def test_runs_batched_kernel_matches_single_run_stack():
     """
     from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
 
-    const, amps, P, var, _, _, _ = _setup("4-QAM")
+    const, amps, P, var, _, _, _ = _setup(mod)
     rng = np.random.default_rng(11)
     R = 3
     w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)

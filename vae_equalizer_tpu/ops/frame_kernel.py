@@ -289,11 +289,13 @@ def _kernel(
     rx_al_e = rx_e_ref[0, :, :, al_lo : al_lo + ne]  # (R, 4, ne)
     rx_al_o = rx_o_ref[0, :, :, al_lo_o : al_lo_o + ne]
 
-    dall = d_sc[...]  # (R, 8, ne): rows 0-3 d_e, rows 4-7 d_o
+    d_e = d_sc[:, 0:4, :]  # rows 0-3 d_e, rows 4-7 d_o
+    d_o = d_sc[:, 4:8, :]
     st_sc[:, 0:4, : n_samp - 2 * mh] = rx_w2 * rx_w2
-    st_sc[:, 4:8, :ne] = rx_al_e * d_sc[:, 0:4, :]
-    st_sc[:, 8:12, :ne] = rx_al_o * d_sc[:, 4:8, :]
-    st_sc[:, 12:20, :ne] = dall * dall
+    st_sc[:, 4:8, :ne] = rx_al_e * d_e
+    st_sc[:, 8:12, :ne] = rx_al_o * d_o
+    st_sc[:, 12:16, :ne] = d_e * d_e
+    st_sc[:, 16:20, :ne] = d_o * d_o
     st_sc[:, 20:22, :m] = habsq_sc[:, 0:2, :] * scat_sc[...]
     st_sc[:, 22:24, :m] = habsq_sc[:, 2:4, :] * scat_sc[...]
     ratio32 = q32 / pfull4_ref[...]

@@ -197,6 +197,18 @@ def main(argv=None):
         # note: the JAX_PLATFORMS env var does NOT override the axon TPU
         # plugin; only the config flag works
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # a wedged tunnel hangs backend init indefinitely — fail fast with a
+        # clear message instead (the probe runs in a subprocess, so this
+        # process's backend stays untouched either way)
+        from vae_equalizer_tpu.utils.profiling import backend_preflight
+
+        if not backend_preflight():
+            import sys
+
+            print("# bench aborted: TPU backend unreachable (tunnel down?) — "
+                  "no trivial op completed in 120 s", file=sys.stderr, flush=True)
+            raise SystemExit(2)
 
     n_frame = 2000 if args.quick else N_FRAME
     frames = 3 if args.quick else args.frames

@@ -12,7 +12,32 @@ import time
 
 import jax
 
-__all__ = ["trace", "timed", "enable_compilation_cache"]
+__all__ = ["trace", "timed", "enable_compilation_cache", "backend_preflight"]
+
+
+def backend_preflight(timeout_s: float = 120.0) -> bool:
+    """True iff a trivial device op completes within ``timeout_s``.
+
+    Probes in a SUBPROCESS: when the axon tunnel is wedged, backend init
+    hangs indefinitely (and the hang is per-process — a timed-out probe in
+    this process would leave its backend unusable). Entry points that need
+    a real chip (bench.py, the measurement tools) call this first so a dead
+    tunnel fails fast with a clear message instead of hanging the caller.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp; print(float(jnp.ones((2, 2)).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "4.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 @contextlib.contextmanager

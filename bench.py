@@ -160,6 +160,26 @@ def measure_reference_baseline(n_frame: int) -> dict:
     }
 
 
+def collect_aggregates(measure, runs_list) -> dict:
+    """Run one measurement per runs-count, skipping rows that fail.
+
+    A transient tunnel error on one row must not erase the remaining rows
+    from the official record (VERDICT r3 weak #6: the old loop ``break``-ed
+    on first failure, silently dropping the 32- and 128-run rows).
+    """
+    aggs: dict = {}
+    for nruns in runs_list:
+        try:
+            a = measure(nruns)
+            aggs[nruns] = a
+            print(f"# aggregate {nruns} runs: "
+                  f"{a['symbols_per_sec']:,.0f} sym/s", flush=True)
+        except Exception as e:
+            print(f"# aggregate {nruns} runs failed: {e}", flush=True)
+            continue
+    return aggs
+
+
 def get_baseline(n_frame: int, force: bool = False) -> dict:
     """Per-n_frame cached baselines: {"10000": {...}, "2000": {...}}."""
     cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
@@ -200,15 +220,21 @@ def main(argv=None):
     else:
         # a wedged tunnel hangs backend init indefinitely — fail fast with a
         # clear message instead (the probe runs in a subprocess, so this
-        # process's backend stays untouched either way)
+        # process's backend stays untouched either way). One retry after a
+        # backoff: a transient hiccup (e.g. a queued remote compile just
+        # draining) should not erase a round's official perf record.
         from vae_equalizer_tpu.utils.profiling import backend_preflight
 
         if not backend_preflight():
-            import sys
+            print("# preflight failed once — retrying in 60 s", flush=True)
+            time.sleep(60)
+            if not backend_preflight():
+                import sys
 
-            print("# bench aborted: TPU backend unreachable (tunnel down?) — "
-                  "no trivial op completed in 120 s", file=sys.stderr, flush=True)
-            raise SystemExit(2)
+                print("# bench aborted: TPU backend unreachable (tunnel down?)"
+                      " — no trivial op completed in 120 s (2 attempts)",
+                      file=sys.stderr, flush=True)
+                raise SystemExit(2)
 
     n_frame = 2000 if args.quick else N_FRAME
     frames = 3 if args.quick else args.frames
@@ -241,27 +267,14 @@ def main(argv=None):
     # would prepend a serial grid dimension, which is why round-2 saturated
     # at 1.8x one run. Measured at the FULL workload (same AOT program as
     # the headline, so the aggregate can never under-amortize below it).
-    aggs = {}
-    if not args.quick:
-        for nruns in (8, 32, 128):
-            try:
-                a = measure_tpu_compiled(
-                    frames if args.quick else max(frames, 170), n_frame,
-                    runs=nruns, use_pallas=False if args.cpu else "frame",
-                )
-                aggs[nruns] = a
-                print(f"# aggregate {nruns} runs: "
-                      f"{a['symbols_per_sec']:,.0f} sym/s", flush=True)
-            except Exception as e:
-                print(f"# aggregate {nruns} runs failed: {e}", flush=True)
-                break
-    else:
-        try:
-            aggs[args.runs] = measure_tpu_compiled(
-                frames, n_frame, runs=args.runs,
-                use_pallas=False if args.cpu else "frame")
-        except Exception as e:
-            print(f"# quick aggregate failed: {e}", flush=True)
+    agg_runs = (8, 32, 128) if not args.quick else (args.runs,)
+    aggs = collect_aggregates(
+        lambda nruns: measure_tpu_compiled(
+            frames if args.quick else max(frames, 170), n_frame,
+            runs=nruns, use_pallas=False if args.cpu else "frame",
+        ),
+        agg_runs,
+    )
     baseline = get_baseline(n_frame, force=args.measure_baseline)
     base_sps = baseline.get("symbols_per_sec")
     # the committed cache holds the full-size baseline; scale mismatch only

@@ -69,7 +69,7 @@ def measure_tpu(frames: int, n_frame: int, runs: int | None = None) -> dict:
 
 def measure_tpu_compiled(
     frames: int, n_frame: int, runs: int | None = None, use_pallas: bool = False,
-    runs_batch: int | None = None,
+    runs_batch: int | None = None, runs_pack: int = 1,
 ) -> dict:
     """Whole-experiment lax.scan mode: ONE jitted call for all frames, one
     packed D2H at the end — no per-frame host round trips. This is the
@@ -87,6 +87,8 @@ def measure_tpu_compiled(
     cfg = DpConfig(mod=MOD, n_frame_max=n_frame, num_frames=frames, n_lrhalf=10**9)
     timings: dict = {}
     kw = {} if runs_batch is None else {"runs_batch": runs_batch}
+    if runs_pack != 1:
+        kw["runs_pack"] = runs_pack
     train_vae_dp(cfg, key, compiled=True, runs=runs, use_pallas=use_pallas,
                  timings=timings, **kw)
     dt = timings["run_s"]  # pure execution of the AOT-compiled program

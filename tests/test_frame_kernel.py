@@ -340,3 +340,145 @@ def test_frame_experiment_runs_batched(monkeypatch):
     assert np.all(np.isfinite(res["ser"]))
     # independent per-run channel draws -> distinct results across runs
     assert len({float(s) for s in res["ser"][:, 0, -1]}) > 1
+
+
+@pytest.mark.parametrize("mod", ["4-QAM", "64-QAM"])
+def test_sublane_packed_kernel_matches_unpacked(mod):
+    """pack=2 (two runs per batch element, sublane-stacked with block-diag
+    contractions) == pack=1 per run.
+
+    Same invariant structure as test_runs_batched_kernel_matches_single_run
+    _stack: lr=0 forwards to float noise, one optimizer step to float noise
+    (moments relative — gw magnitudes reach O(1e3), so absolute tolerances
+    don't apply), multi-step well-formed.
+    """
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
+
+    const, amps, P, var, _, _, _ = _setup(mod)
+    rng = np.random.default_rng(17)
+    R = 4
+    w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
+    h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
+    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * M_MAX)).astype(np.float32) * 0.5)
+
+    def run(pack, lr, x):
+        opt0 = frame_opt_init({"w": w, "h": h})
+        return vae_dp_frame_train_pallas_rb(
+            w, h, opt0, x, amps, var, const.nu_sc, P,
+            jnp.float32(lr), jnp.float32(0.0), jnp.float32(10**9),
+            bl_sym=BL, interpret=True, pack=pack,
+        )
+
+    # (a) lr=0: forward/streaming parity over all grid steps
+    _, _, _, l1, v1, q1, o1 = run(1, 0.0, rx)
+    _, _, _, l2, v2, q2, o2 = run(2, 0.0, rx)
+    np.testing.assert_allclose(l2, l1, rtol=1e-6)
+    np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(v2, v1, rtol=1e-5)
+
+    # (b) one minibatch at lr>0: packed backward + Adam per run
+    w1, h1, s1, *_ = run(1, LR, rx[..., : 2 * BL])
+    w2, h2, s2, *_ = run(2, LR, rx[..., : 2 * BL])
+    np.testing.assert_allclose(w2, w1, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(h2, h1, rtol=1e-5, atol=1e-7)
+    for k in ("mw", "vw", "mh", "vh"):
+        np.testing.assert_allclose(s2[k], s1[k], rtol=1e-4, atol=1e-7)
+
+    # (c) multi-step training: well-formed
+    w2, h2, _, l2, _, q2, o2 = run(2, LR, rx)
+    assert q2.shape == (M_MAX, R, 2, 2 * const.num_lev, BL)
+    assert all(np.all(np.isfinite(np.asarray(t))) for t in (w2, h2, l2, q2, o2))
+
+
+def test_sublane_packed_kernel_flex_windows():
+    """pack=2 with the VAEflex stride: window assembly must pack identically."""
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
+
+    const, amps, P, var, _, _, _ = _setup("4-QAM")
+    rng = np.random.default_rng(19)
+    R, FS = 2, 25
+    w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
+    h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
+    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * M_MAX)).astype(np.float32) * 0.5)
+
+    def run(pack):
+        opt0 = frame_opt_init({"w": w, "h": h})
+        return vae_dp_frame_train_pallas_rb(
+            w, h, opt0, rx, amps, var, const.nu_sc, P,
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(10**9),
+            bl_sym=BL, stride_sym=FS, interpret=True, pack=pack,
+        )
+
+    _, _, _, l1, _, q1, o1 = run(1)
+    _, _, _, l2, _, q2, o2 = run(2)
+    np.testing.assert_allclose(l2, l1, rtol=1e-6)
+    np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-6)
+
+
+def test_runs_batched_kernel_r1_matches_single_run_body():
+    """rb body at R=1 == the dedicated single-run kernel body (consolidation
+    check, VERDICT r3 item 4: if the on-chip step costs also match, the
+    single-run body can be retired)."""
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
+
+    const, amps, P, var, w, h, rx = _setup("64-QAM")
+    wb, hb = w[None], h[None]
+
+    def run_rb(lr, x):
+        opt0 = frame_opt_init({"w": wb, "h": hb})
+        return vae_dp_frame_train_pallas_rb(
+            wb, hb, opt0, x, amps, var, const.nu_sc, P,
+            jnp.float32(lr), jnp.float32(0.0), jnp.float32(10**9),
+            bl_sym=BL, interpret=True,
+        )
+
+    def run_one(lr, x):
+        o1 = frame_opt_init({"w": w, "h": h})
+        return vae_dp_frame_train_pallas(
+            w, h, o1, x, amps, var, const.nu_sc, P,
+            jnp.float32(lr), jnp.float32(0.0), jnp.float32(10**9),
+            bl_sym=BL, interpret=True,
+        )
+
+    _, _, _, lb, vb, qb, ob = run_rb(0.0, rx[None])
+    _, _, _, l1, v1, q1, o1 = run_one(0.0, rx)
+    np.testing.assert_allclose(lb[:, 0], l1, rtol=1e-6)
+    np.testing.assert_allclose(qb[:, 0], q1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ob[:, 0], o1, rtol=1e-6, atol=1e-7)
+
+    wb2, hb2, sb, *_ = run_rb(LR, rx[None][..., : 2 * BL])
+    w2, h2, s1, *_ = run_one(LR, rx[..., : 2 * BL])
+    np.testing.assert_allclose(wb2[0], w2, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(hb2[0], h2, rtol=1e-5, atol=1e-7)
+    for k in ("mw", "vw", "mh", "vh"):
+        np.testing.assert_allclose(sb[k][0], s1[k], rtol=1e-4, atol=1e-5)
+
+
+def test_frame_experiment_runs_packed(monkeypatch):
+    """use_pallas="frame" with runs_pack=2: same semantics as unpacked."""
+    from vae_equalizer_tpu.train.dp import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    _interpret_kernels(monkeypatch)
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+
+    orig = fk.vae_dp_frame_train_pallas_rb
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = DpConfig(
+        mod="4-QAM", num_frames=2, n_frame_max=400, batch_len=100,
+        n_lrhalf=10**6,
+    )
+    key = jax.random.PRNGKey(0)
+    res = train_vae_dp(cfg, key, runs=4, use_pallas="frame",
+                       runs_batch=4, runs_pack=2)
+    ref = train_vae_dp(cfg, key, runs=4, use_pallas="frame", runs_batch=4)
+    assert res["ser"].shape == (4, 4, 2)
+    np.testing.assert_allclose(res["ser"][..., 0], ref["ser"][..., 0], atol=2e-3)
+    np.testing.assert_allclose(res["params"]["w"], ref["params"]["w"],
+                               rtol=1e-3, atol=1e-4)

@@ -245,6 +245,23 @@ def main():
                (5, 5e-3, 2e-3), (6, 1e-3, 1e-4)],
     )
 
+    # sublane-packed variant: R=2 packed into ONE batch element (pack=2,
+    # block-diag contractions) must lower on Mosaic and match interpret
+    def frame_kernel_pk_run(interpret):
+        return vae_dp_frame_train_pallas_rb(
+            w_rb, h_rb, opt_rb, rx_rb, amps_np, var_np, const.nu_sc, p_np,
+            jnp.float32(2.5e-3), jnp.float32(0.0), jnp.float32(1e9),
+            bl_sym=100, interpret=interpret, pack=2,
+        )
+
+    check(
+        "sublane-packed frame kernel (R=2, pack=2)",
+        lambda: frame_kernel_pk_run(False),
+        lambda: frame_kernel_pk_run(True),
+        pairs=[(0, 1e-3, 5e-5), (1, 1e-3, 2e-5), (3, 1e-4, 0), (4, 1e-4, 1e-5),
+               (5, 5e-3, 2e-3), (6, 1e-3, 1e-4)],
+    )
+
     # whole-frame CMA chunk kernel vs the lax.scan chunked engine, on-chip
     from vae_equalizer_tpu.models import cma_batch_dp
     from vae_equalizer_tpu.ops.cma_frame_kernel import cma_chunked_frame_pallas

@@ -117,14 +117,31 @@ def _kernel(
     amp232n_ref, selta8_ref, sels2_ref, ones128_ref,
     pfull4_ref, tmask_ref, ones_l_ref, csum_ref, permcat_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
-    w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
-    w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
-    eqwin_sc, gdwin_sc, gh_sc, ctd_sc, ct2_sc,
-    out4_sc, eq4_sc, v4_sc, d_sc, gd_sc, ghm_sc, geq_sc,
-    gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, goutc_sc, stats_sc,
-    mm4_sc, eq12_sc, st_sc, sums_sc, gev8_sc, gfac_sc,
-    *, n_sym, m, n_lev, n_rb,
+    *rest,
+    n_sym, m, n_lev, n_rb, n_pk=1,
 ):
+    # sublane packing (n_pk = P > 1, VERDICT r3 item 2): each batch element
+    # carries P runs stacked along SUBLANES — every per-run tensor's rows
+    # repeat P times (run p's block at row offset p*rows), the 5 per-runx
+    # per-run contractions (forward w, D conv, gh, gEq, gw) become BLOCK-
+    # DIAGONAL over the pair, and the constant selection matrices arrive
+    # block-diag'd from the host. The dot COUNT per grid step is unchanged,
+    # so per-run dot cost divides by P; formerly-half-empty (<8-row) tiles
+    # fill up. Extra refs at P > 1: wmask (input, zeroes gw's cross-run
+    # off-blocks so Adam never updates w's zero blocks) and vsum/gco scratch
+    # (their P=1 formulation is a 2-piece value concat that does not
+    # generalize to 2P mismatched-offset pieces).
+    if n_pk > 1:
+        wmask_ref, *rest = rest
+    (w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref,
+     outout_ref,
+     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
+     eqwin_sc, gdwin_sc, gh_sc, ctd_sc, ct2_sc,
+     out4_sc, eq4_sc, v4_sc, d_sc, gd_sc, ghm_sc, geq_sc,
+     gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, goutc_sc, stats_sc,
+     mm4_sc, eq12_sc, st_sc, sums_sc, gev8_sc, gfac_sc, *xsc) = rest
+    if n_pk > 1:
+        vsum_sc, gco_sc = xsc
     # Mosaic-safe construct policy for R > 1 (the compiler SIGABRTs on
     # several 3D patterns when the leading dim exceeds 1): only same-shape
     # elementwise ops, batched dot_general, scratch/input ref loads and
@@ -149,7 +166,8 @@ def _kernel(
     #     by constant selection matmuls (selv/selt/sels/eqv).
     mi = pl.program_id(0)
     nl4 = 4 * n_lev
-    kst = 24 + nl4  # stacked-sum rows: 4 C-base + 16 cross/dd + 4 E + KL
+    kst = 24 + nl4  # stacked-sum rows PER RUN: 4 C-base + 16 cross/dd + 4 E + KL
+    m4 = 4 * m  # im2col rows per run
 
     @pl.when(mi == 0)
     def _():
@@ -163,12 +181,16 @@ def _kernel(
         # the same static regions, so zeroing once is enough
         st_sc[...] = jnp.zeros(st_sc.shape, jnp.float32)
         # ctd is a BLOCK-DIAGONAL operand (rows 0-3 even-parity lanes, rows
-        # 4-7 odd): the off-diagonal blocks must read zero, and every step
-        # writes only the diagonal blocks, so zeroing once is enough
+        # 4-7 odd; at P > 1 additionally block-diag over runs): the
+        # off-diagonal blocks must read zero, and every step writes only the
+        # diagonal blocks, so zeroing once is enough
         ctd_sc[...] = jnp.zeros(ctd_sc.shape, jnp.float32)
-        # out4_sc row 4 is a constant ones row: the demapper's (out - amp)
-        # subtraction rides the selv matmul (its 5th column is -amp*s)
-        out4_sc[:, 4:5, :] = jnp.ones(
+        if n_pk > 1:  # ct2 is block-diag over runs at P > 1 (dense at P=1)
+            ct2_sc[...] = jnp.zeros(ct2_sc.shape, jnp.float32)
+        # out4_sc row 4P is a constant ones row shared by all packed runs:
+        # the demapper's (out - amp) subtraction rides the selv matmul (its
+        # last column is -amp*s)
+        out4_sc[:, 4 * n_pk : 4 * n_pk + 1, :] = jnp.ones(
             (out4_sc.shape[0], 1, out4_sc.shape[2]), jnp.float32
         )
 
@@ -178,28 +200,29 @@ def _kernel(
     n_eff = float(n_samp - 2 * mh)
     ne = n_sym - mh  # positions per tap parity (even == odd count here)
     eps = scal_ref[0, 3]
-    xc = xc_ref[0]  # (R, 4M, 2*n_sym) im2col, I lanes then Q lanes
+    xc = xc_ref[0]  # (R, P*4M, 2*n_sym) im2col, I lanes then Q lanes, run-stacked rows
     f32 = jnp.float32
-    selt = selt_ref[...]  # (R, 4n, 4): row r*n+l -> component r
-    sels = sels_ref[...]  # (R, 4, 4n): component r <- sum of its level rows
+    selt = selt_ref[...]  # (R, P*4n, 4P): row p*4n + r*n + l -> component col 4p + r
+    sels = sels_ref[...]  # (R, 4P, P*4n): component <- sum of its level rows
 
     # ---------------- forward: butterfly as ONE batched MXU matmul over the
-    # lane-concatenated I|Q im2col arrangement
-    oiq = _bdot(w_sc[...], xc)  # (R, 2, 2N) rows (x, y)
-    out4_sc[:, 0:2, :] = oiq[:, :, :n_sym]  # rows (x_I, y_I)
-    out4_sc[:, 2:4, :] = oiq[:, :, n_sym:]  # rows (x_Q, y_Q)
-    outout_ref[0] = out4_sc[:, 0:4, :]
+    # lane-concatenated I|Q im2col arrangement (w block-diag over packed runs)
+    oiq = _bdot(w_sc[...], xc)  # (R, 2P, 2N) rows (x, y) per run
+    for p in range(n_pk):
+        out4_sc[:, 4 * p : 4 * p + 2, :] = oiq[:, 2 * p : 2 * p + 2, :n_sym]
+        out4_sc[:, 4 * p + 2 : 4 * p + 4, :] = oiq[:, 2 * p : 2 * p + 2, n_sym:]
+    outout_ref[0] = out4_sc[:, 0 : 4 * n_pk, :]
 
     # ---------------- demapper, all 4 components at once on (R, 4n, N).
     # selv cols 0-3 = selt * s_pol(row), col 4 (hitting out4's constant
     # ones row) = -amp*s, s = sqrt(0.5/var): ONE matmul yields
     # d32 = s*(out - amp); met = d32^2 + nu*amp^2 with the 1/(2 var)
     # folded into the constants.
-    d32 = _bdot(selv_ref[...], out4_sc[...])  # (R, 4n, N)
+    d32 = _bdot(selv_ref[...], out4_sc[...])  # (R, P*4n, N)
     met = d32 * d32 + amp232n_ref[...]
     # met parks in q_sc so the per-component min row-chain slices a ref
     q_sc[...] = met
-    for r in range(4):
+    for r in range(4 * n_pk):
         r0 = r * n_lev
         mm = q_sc[:, r0 : r0 + 1, :]
         for l in range(1, n_lev):
@@ -207,15 +230,18 @@ def _kernel(
         mm4_sc[:, r : r + 1, :] = mm
     e32 = jnp.exp(_bdot(selt, mm4_sc[...]) - met)
     q_sc[...] = e32
-    s1 = _bdot(sels, q_sc[...])  # (R, 4, N) per-component normalizers
+    s1 = _bdot(sels, q_sc[...])  # (R, 4P, N) per-component normalizers
     q32 = q_sc[...] * _bdot(selt, 1.0 / s1)
     q_sc[...] = q32
     qout_ref[0] = q32
-    # eqv rows: 0-3 E_q in GROUP order (xI, xQ, yI, yQ) for the window
-    # stacks, 4-7 E_q in component order, 8-11 E_q[x^2] in component order
+    # eqv rows: 0-4P E_q in GROUP order (xI, xQ, yI, yQ; run-blocked) for the
+    # window stacks, 4P-8P E_q in component order, 8P-12P E_q[x^2]
     eq12_sc[...] = _bdot(eqv_ref[...], q32)
-    eq4_sc[...] = eq12_sc[:, 0:4, :]
-    v4_sc[...] = eq12_sc[:, 8:12, :] - eq12_sc[:, 4:8, :] * eq12_sc[:, 4:8, :]
+    eq4_sc[...] = eq12_sc[:, 0 : 4 * n_pk, :]
+    v4_sc[...] = (
+        eq12_sc[:, 8 * n_pk : 12 * n_pk, :]
+        - eq12_sc[:, 4 * n_pk : 8 * n_pk, :] * eq12_sc[:, 4 * n_pk : 8 * n_pk, :]
+    )
 
     # ---------------- D conv: BOTH tap parities in one matmul pair.
     # Window rows are SHIFT-major within each parity block (row r0 + a*4 + g,
@@ -228,42 +254,58 @@ def _kernel(
     # the adjacent matmul: CTD @ EQwin_g = (CTD @ PERM) @ EQwin_a. One
     # (R, 8, 4M) @ (R, 4M, ne) dot then yields d_e (rows 0-3) AND d_o
     # (rows 4-7) — half the dot count of the per-parity formulation.
-    eq4v = eq4_sc[...]  # (R, 4, N) group order (xI, xQ, yI, yQ)
-
-    def win_stack(sc, r0, n_a):
+    def win_stack(sc, src, rbase, r0, n_a):
         for a in range(n_a):
-            sc[:, r0 + 4 * a : r0 + 4 * a + 4, :] = eq4v[:, :, mh - a : n_sym - a]
+            sc[:, rbase + r0 + 4 * a : rbase + r0 + 4 * a + 4, :] = (
+                src[:, :, mh - a : n_sym - a]
+            )
 
-    win_stack(eqwin_sc, 0, mhe)
-    win_stack(eqwin_sc, 4 * mhe, mh)
-    eqwin = eqwin_sc[...]  # (R, 4M, ne) parity-blocked shift-major stack
+    for p in range(n_pk):
+        eq4v = eq4_sc[:, 4 * p : 4 * p + 4, :]  # (R, 4, N) group order, run p
+        win_stack(eqwin_sc, eq4v, m4 * p, 0, mhe)
+        win_stack(eqwin_sc, eq4v, m4 * p, 4 * mhe, mh)
+    eqwin = eqwin_sc[...]  # (R, P*4M, ne) run-blocked parity-blocked shift-major
     permcat = permcat_ref[...]
 
-    def ct_d(r0, base, lane0, lane1, n_a):  # rows r0 + (chi*2 + c)
+    def ct_d(p, r0, base, lane0, lane1, n_a):  # rows p*8 + r0 + (chi*2 + c)
+        hrow = 8 * p
+        cbase = m4 * p + base
         for chi in range(2):
-            hr0 = h_sc[:, chi * 4 : chi * 4 + 1, lane0:lane1]
-            hi0 = h_sc[:, chi * 4 + 1 : chi * 4 + 2, lane0:lane1]
-            hr1 = h_sc[:, chi * 4 + 2 : chi * 4 + 3, lane0:lane1]
-            hi1 = h_sc[:, chi * 4 + 3 : chi * 4 + 4, lane0:lane1]
+            hr0 = h_sc[:, hrow + chi * 4 : hrow + chi * 4 + 1, lane0:lane1]
+            hi0 = h_sc[:, hrow + chi * 4 + 1 : hrow + chi * 4 + 2, lane0:lane1]
+            hr1 = h_sc[:, hrow + chi * 4 + 2 : hrow + chi * 4 + 3, lane0:lane1]
+            hi1 = h_sc[:, hrow + chi * 4 + 3 : hrow + chi * 4 + 4, lane0:lane1]
+            r_re = 8 * p + r0 + chi * 2
             for b, blk in enumerate((hr0, -hi0, hr1, -hi1)):  # D_re
-                ctd_sc[:, r0 + chi * 2 : r0 + chi * 2 + 1,
-                       base + b * n_a : base + (b + 1) * n_a] = blk
+                ctd_sc[:, r_re : r_re + 1,
+                       cbase + b * n_a : cbase + (b + 1) * n_a] = blk
             for b, blk in enumerate((hi0, hr0, hi1, hr1)):  # D_im
-                ctd_sc[:, r0 + chi * 2 + 1 : r0 + chi * 2 + 2,
-                       base + b * n_a : base + (b + 1) * n_a] = blk
+                ctd_sc[:, r_re + 1 : r_re + 2,
+                       cbase + b * n_a : cbase + (b + 1) * n_a] = blk
 
-    ct_d(0, 0, 0, mhe, mhe)
-    ct_d(4, 4 * mhe, mhe, m, mh)
-    d_sc[...] = _bdot(_bdot(ctd_sc[...], permcat), eqwin)  # (R, 8, ne)
+    for p in range(n_pk):
+        ct_d(p, 0, 0, 0, mhe, mhe)
+        ct_d(p, 4, 4 * mhe, mhe, m, mh)
+    d_sc[...] = _bdot(_bdot(ctd_sc[...], permcat), eqwin)  # (R, 8P, ne)
 
     # ---------------- E term: S (R, 2, M) = Vsum (R, 2, N) @ MASK, with the
     # even|odd tap-support masks lane-concatenated (parity-major) into ONE dot
-    vsum = jnp.concatenate(
-        [v4_sc[:, 0:1, :] + v4_sc[:, 2:3, :], v4_sc[:, 1:2, :] + v4_sc[:, 3:4, :]],
-        axis=1,
-    )  # (R, 2, N) per pol
-    scat_sc[...] = _bdot(vsum, maskpm_ref[...])  # (R, 2, M) parity-major
-    for g in range(4):  # |h|^2 rows (chi*2 + nu)
+    if n_pk == 1:
+        vsum = jnp.concatenate(
+            [v4_sc[:, 0:1, :] + v4_sc[:, 2:3, :], v4_sc[:, 1:2, :] + v4_sc[:, 3:4, :]],
+            axis=1,
+        )  # (R, 2, N) per pol
+    else:  # 2P mismatched-offset pieces: assemble via scratch stores
+        for p in range(n_pk):
+            vsum_sc[:, 2 * p : 2 * p + 1, :] = (
+                v4_sc[:, 4 * p : 4 * p + 1, :] + v4_sc[:, 4 * p + 2 : 4 * p + 3, :]
+            )
+            vsum_sc[:, 2 * p + 1 : 2 * p + 2, :] = (
+                v4_sc[:, 4 * p + 1 : 4 * p + 2, :] + v4_sc[:, 4 * p + 3 : 4 * p + 4, :]
+            )
+        vsum = vsum_sc[...]
+    scat_sc[...] = _bdot(vsum, maskpm_ref[...])  # (R, 2P, M) parity-major
+    for g in range(4 * n_pk):  # |h|^2 rows p*4 + (chi*2 + nu)
         h0 = h_sc[:, 2 * g : 2 * g + 1, :]
         h1 = h_sc[:, 2 * g + 1 : 2 * g + 2, :]
         habsq_sc[:, g : g + 1, :] = h0 * h0 + h1 * h1
@@ -277,7 +319,6 @@ def _kernel(
     #   20-23 |h|^2 * S               (E term; x rows 20-21, y rows 22-23)
     #   24-.. -q log(q/P + eps)       (KL, inner symbols)
     # csum then combines rows into c_x / c_y / kl with the -2 cross signs.
-    rx_w2 = rx_ref[0, :, :, mh : n_samp - mh]  # (R, 4, n_samp - 2mh)
     if mh % 2 == 0:
         al_lo = mh - mh // 2
         rx_e_ref, rx_o_ref = rxe_ref, rxo_ref
@@ -286,49 +327,77 @@ def _kernel(
         al_lo = mh - (mh + 1) // 2
         rx_e_ref, rx_o_ref = rxo_ref, rxe_ref
         al_lo_o = mh - mh // 2
-    rx_al_e = rx_e_ref[0, :, :, al_lo : al_lo + ne]  # (R, 4, ne)
-    rx_al_o = rx_o_ref[0, :, :, al_lo_o : al_lo_o + ne]
 
-    d_e = d_sc[:, 0:4, :]  # rows 0-3 d_e, rows 4-7 d_o
-    d_o = d_sc[:, 4:8, :]
-    st_sc[:, 0:4, : n_samp - 2 * mh] = rx_w2 * rx_w2
-    st_sc[:, 4:8, :ne] = rx_al_e * d_e
-    st_sc[:, 8:12, :ne] = rx_al_o * d_o
-    st_sc[:, 12:16, :ne] = d_e * d_e
-    st_sc[:, 16:20, :ne] = d_o * d_o
-    st_sc[:, 20:22, :m] = habsq_sc[:, 0:2, :] * scat_sc[...]
-    st_sc[:, 22:24, :m] = habsq_sc[:, 2:4, :] * scat_sc[...]
+    rx_al_e_l, rx_al_o_l, d_e_l, d_o_l = [], [], [], []
+    for p in range(n_pk):
+        o = p * kst
+        r4 = 4 * p
+        rx_w2 = rx_ref[0, :, r4 : r4 + 4, mh : n_samp - mh]  # (R, 4, n_samp-2mh)
+        rx_al_e = rx_e_ref[0, :, r4 : r4 + 4, al_lo : al_lo + ne]  # (R, 4, ne)
+        rx_al_o = rx_o_ref[0, :, r4 : r4 + 4, al_lo_o : al_lo_o + ne]
+        d_e = d_sc[:, 8 * p : 8 * p + 4, :]  # run p: rows +0-3 d_e, +4-7 d_o
+        d_o = d_sc[:, 8 * p + 4 : 8 * p + 8, :]
+        rx_al_e_l.append(rx_al_e)
+        rx_al_o_l.append(rx_al_o)
+        d_e_l.append(d_e)
+        d_o_l.append(d_o)
+        st_sc[:, o : o + 4, : n_samp - 2 * mh] = rx_w2 * rx_w2
+        st_sc[:, o + 4 : o + 8, :ne] = rx_al_e * d_e
+        st_sc[:, o + 8 : o + 12, :ne] = rx_al_o * d_o
+        st_sc[:, o + 12 : o + 16, :ne] = d_e * d_e
+        st_sc[:, o + 16 : o + 20, :ne] = d_o * d_o
+        st_sc[:, o + 20 : o + 22, :m] = (
+            habsq_sc[:, r4 : r4 + 2, :] * scat_sc[:, 2 * p : 2 * p + 2, :]
+        )
+        st_sc[:, o + 22 : o + 24, :m] = (
+            habsq_sc[:, r4 + 2 : r4 + 4, :] * scat_sc[:, 2 * p : 2 * p + 2, :]
+        )
     ratio32 = q32 / pfull4_ref[...]
-    st_sc[:, 24:kst, : n_sym - 2 * mh] = -q32[:, :, mh : n_sym - mh] * jnp.log(
-        ratio32[:, :, mh : n_sym - mh] + eps
-    )
+    if n_pk == 1:
+        st_sc[:, 24:kst, : n_sym - 2 * mh] = -q32[:, :, mh : n_sym - mh] * jnp.log(
+            ratio32[:, :, mh : n_sym - mh] + eps
+        )
+    else:  # per-run rows of q32 via the q_sc ref (value sublane slices crash)
+        for p in range(n_pk):
+            qp = q_sc[:, p * nl4 : (p + 1) * nl4, mh : n_sym - mh]
+            rp = qp / pfull4_ref[:, p * nl4 : (p + 1) * nl4, mh : n_sym - mh]
+            st_sc[:, p * kst + 24 : p * kst + kst, : n_sym - 2 * mh] = (
+                -qp * jnp.log(rp + eps)
+            )
     # lane totals at 8 lanes (a 128-lane ones operand costs ~18M MACs/step
     # of pure replication), then one tiny expand to the lane-replicated rows
-    tot = _bdot(st_sc[...], ones_l_ref[...])  # (R, kst, 8)
-    sums8 = _bdot(csum_ref[...], tot)  # (R, 8, 8)
-    sums_sc[...] = _bdot(sums8[:, :, 0:1], ones128_ref[...])  # (R, 8, 128)
-    c_x = sums_sc[:, 0:1, :]
-    c_y = sums_sc[:, 1:2, :]
-    kl = sums_sc[:, 2:3, :]
-
-    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl  # (R, 1, 128)
+    tot = _bdot(st_sc[...], ones_l_ref[...])  # (R, P*kst, 8)
+    sums8 = _bdot(csum_ref[...], tot)  # (R, 8P, 8)
+    sums_sc[...] = _bdot(sums8[:, :, 0:1], ones128_ref[...])  # (R, 8P, 128)
     stats_sc[...] = jnp.zeros(stats_sc.shape, f32)
-    stats_sc[:, :, 0:1] = loss[:, :, 0:1]
-    stats_sc[:, :, 1:2] = (c_x / n_eff)[:, :, 0:1]
-    stats_sc[:, :, 2:3] = (c_y / n_eff)[:, :, 0:1]
+    g_cx_l, g_cy_l = [], []
+    for p in range(n_pk):
+        c_x = sums_sc[:, 8 * p : 8 * p + 1, :]
+        c_y = sums_sc[:, 8 * p + 1 : 8 * p + 2, :]
+        kl = sums_sc[:, 8 * p + 2 : 8 * p + 3, :]
+
+        loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl  # (R, 1, 128)
+        stats_sc[:, p : p + 1, 0:1] = loss[:, :, 0:1]
+        stats_sc[:, p : p + 1, 1:2] = (c_x / n_eff)[:, :, 0:1]
+        stats_sc[:, p : p + 1, 2:3] = (c_y / n_eff)[:, :, 0:1]
+        g_cx_l.append(n_eff / c_x)  # (R, 1, 128) lane-replicated
+        g_cy_l.append(n_eff / c_y)
     stats_ref[0] = stats_sc[...]
 
     # ================ backward ================
-    g_cx = n_eff / c_x  # (R, 1, 128) lane-replicated
-    g_cy = n_eff / c_y
-    # gfac rows (chi*2 + c) = (g_cx, g_cx, g_cy, g_cy): row stores, no dots
-    gfac_sc[:, 0:1, :] = g_cx[:, :, :ne]
-    gfac_sc[:, 1:2, :] = g_cx[:, :, :ne]
-    gfac_sc[:, 2:3, :] = g_cy[:, :, :ne]
-    gfac_sc[:, 3:4, :] = g_cy[:, :, :ne]
-    gfac = gfac_sc[...]
-    gd_sc[:, 0:4, :] = gfac * (2.0 * d_sc[:, 0:4, :] - 2.0 * rx_al_e)
-    gd_sc[:, 4:8, :] = gfac * (2.0 * d_sc[:, 4:8, :] - 2.0 * rx_al_o)
+    for p in range(n_pk):
+        g_cx, g_cy = g_cx_l[p], g_cy_l[p]
+        r4 = 4 * p
+        # gfac rows p*4 + (chi*2 + c) = (g_cx, g_cx, g_cy, g_cy): row stores
+        gfac_sc[:, r4 : r4 + 1, :] = g_cx[:, :, :ne]
+        gfac_sc[:, r4 + 1 : r4 + 2, :] = g_cx[:, :, :ne]
+        gfac_sc[:, r4 + 2 : r4 + 3, :] = g_cy[:, :, :ne]
+        gfac_sc[:, r4 + 3 : r4 + 4, :] = g_cy[:, :, :ne]
+        gfac = gfac_sc[:, r4 : r4 + 4, :]
+        gd_sc[:, 8 * p : 8 * p + 4, :] = gfac * (2.0 * d_e_l[p] - 2.0 * rx_al_e_l[p])
+        gd_sc[:, 8 * p + 4 : 8 * p + 8, :] = gfac * (
+            2.0 * d_o_l[p] - 2.0 * rx_al_o_l[p]
+        )
 
     # ---- gh: GHM (R, 8, 4M) = gd (both parities stacked) @ EQwin^T, one
     # matmul pair for both parities — rows 0-3 even (valid in the even lane
@@ -340,23 +409,25 @@ def _kernel(
         _bdot(gd_sc[...], eqwin, ((2,), (2,))), permcat, ((2,), (2,))
     )
 
-    def gh_assemble(r0, base, lane0, lane1, n_a):
+    def gh_assemble(p, r0, base, lane0, lane1, n_a):
+        rr = 8 * p + r0
+        cb = m4 * p + base
         for chi in range(2):
-            g_c = g_cx if chi == 0 else g_cy
+            g_c = g_cx_l[p] if chi == 0 else g_cy_l[p]
             g_c_na = g_c[:, :, :n_a]
             for nu in range(2):
-                bi = base + (2 * nu) * n_a  # (nu, I) block
-                bq = base + (2 * nu + 1) * n_a  # (nu, Q) block
+                bi = cb + (2 * nu) * n_a  # (nu, I) block
+                bq = cb + (2 * nu + 1) * n_a  # (nu, Q) block
                 ghr = (
-                    ghm_sc[:, r0 + chi * 2 : r0 + chi * 2 + 1, bi : bi + n_a]
-                    + ghm_sc[:, r0 + chi * 2 + 1 : r0 + chi * 2 + 2, bq : bq + n_a]
+                    ghm_sc[:, rr + chi * 2 : rr + chi * 2 + 1, bi : bi + n_a]
+                    + ghm_sc[:, rr + chi * 2 + 1 : rr + chi * 2 + 2, bq : bq + n_a]
                 )
                 ghi = (
-                    -ghm_sc[:, r0 + chi * 2 : r0 + chi * 2 + 1, bq : bq + n_a]
-                    + ghm_sc[:, r0 + chi * 2 + 1 : r0 + chi * 2 + 2, bi : bi + n_a]
+                    -ghm_sc[:, rr + chi * 2 : rr + chi * 2 + 1, bq : bq + n_a]
+                    + ghm_sc[:, rr + chi * 2 + 1 : rr + chi * 2 + 2, bi : bi + n_a]
                 )
-                s_nu = scat_sc[:, nu : nu + 1, lane0:lane1]
-                rh = chi * 4 + nu * 2
+                s_nu = scat_sc[:, 2 * p + nu : 2 * p + nu + 1, lane0:lane1]
+                rh = 8 * p + chi * 4 + nu * 2
                 gh_sc[:, rh : rh + 1, lane0:lane1] = (
                     ghr + 2.0 * g_c_na * h_sc[:, rh : rh + 1, lane0:lane1] * s_nu
                 )
@@ -364,79 +435,107 @@ def _kernel(
                     ghi + 2.0 * g_c_na * h_sc[:, rh + 1 : rh + 2, lane0:lane1] * s_nu
                 )
 
-    gh_assemble(0, 0, 0, mhe, mhe)
-    gh_assemble(4, 4 * mhe, mhe, m, mh)
-    gh = gh_sc[...]  # (R, 8, M) parity-major
+    for p in range(n_pk):
+        gh_assemble(p, 0, 0, 0, mhe, mhe)
+        gh_assemble(p, 4, 4 * mhe, mhe, m, mh)
+    gh = gh_sc[...]  # (R, 8P, M) parity-major, run-blocked
 
     # ---- gEq: GEQ (R, 4, N) = CT2 (R, 4, 4M) @ gDwin (R, 4M, N) — the
     # parity sum rides the contraction: ct2 lane-concatenates the even and
     # odd coefficient blocks in the SAME 4 rows (not block-diagonal — the
     # two parities' contributions must ADD), gdwin stacks both parities'
     # shift-major windows, and one matmul pair yields geq_e + geq_o.
-    def gdwin(r0, gd_r0, n_a):
+    def gdwin(p, r0, gd_r0, n_a):
         # gdpad[t] = gd_p[t - mh]; window a places gd_p[b] at t = mh - a + b
         gdpad_sc[...] = jnp.zeros(gdpad_sc.shape, f32)
-        gdpad_sc[:, :, mh : mh + ne] = gd_sc[:, gd_r0 : gd_r0 + 4, :]
+        gdpad_sc[:, :, mh : mh + ne] = gd_sc[:, 8 * p + gd_r0 : 8 * p + gd_r0 + 4, :]
         gdpad = gdpad_sc[...]
+        rb0 = m4 * p + r0
         for a in range(n_a):
-            gdwin_sc[:, r0 + 4 * a : r0 + 4 * a + 4, :] = gdpad[:, :, a : a + n_sym]
+            gdwin_sc[:, rb0 + 4 * a : rb0 + 4 * a + 4, :] = gdpad[:, :, a : a + n_sym]
 
-    def ct2(base, lane0, lane1, n_a):  # rows (nu, c') order (x,I)(x,Q)(y,I)(y,Q)
+    def ct2(p, base, lane0, lane1, n_a):  # rows p*4 + (nu, c'), (x,I)(x,Q)(y,I)(y,Q)
+        hrow = 8 * p
+        cb = m4 * p + base
         for nu in range(2):
-            hr0 = h_sc[:, nu * 2 : nu * 2 + 1, lane0:lane1]
-            hi0 = h_sc[:, nu * 2 + 1 : nu * 2 + 2, lane0:lane1]
-            hr1 = h_sc[:, 4 + nu * 2 : 4 + nu * 2 + 1, lane0:lane1]
-            hi1 = h_sc[:, 4 + nu * 2 + 1 : 4 + nu * 2 + 2, lane0:lane1]
+            hr0 = h_sc[:, hrow + nu * 2 : hrow + nu * 2 + 1, lane0:lane1]
+            hi0 = h_sc[:, hrow + nu * 2 + 1 : hrow + nu * 2 + 2, lane0:lane1]
+            hr1 = h_sc[:, hrow + 4 + nu * 2 : hrow + 4 + nu * 2 + 1, lane0:lane1]
+            hi1 = h_sc[:, hrow + 4 + nu * 2 + 1 : hrow + 4 + nu * 2 + 2, lane0:lane1]
+            r_i = 4 * p + nu * 2
             for b, blk in enumerate((hr0, hi0, hr1, hi1)):  # (nu, I)
-                ct2_sc[:, nu * 2 : nu * 2 + 1,
-                       base + b * n_a : base + (b + 1) * n_a] = blk
+                ct2_sc[:, r_i : r_i + 1,
+                       cb + b * n_a : cb + (b + 1) * n_a] = blk
             for b, blk in enumerate((-hi0, hr0, -hi1, hr1)):  # (nu, Q)
-                ct2_sc[:, nu * 2 + 1 : nu * 2 + 2,
-                       base + b * n_a : base + (b + 1) * n_a] = blk
+                ct2_sc[:, r_i + 1 : r_i + 2,
+                       cb + b * n_a : cb + (b + 1) * n_a] = blk
 
-    gdwin(0, 0, mhe)
-    gdwin(4 * mhe, 4, mh)
-    ct2(0, 0, mhe, mhe)
-    ct2(4 * mhe, mhe, m, mh)
+    for p in range(n_pk):
+        gdwin(p, 0, 0, mhe)
+        gdwin(p, 4 * mhe, 4, mh)
+        ct2(p, 0, 0, mhe, mhe)
+        ct2(p, 4 * mhe, mhe, m, mh)
     geq_sc[...] = _bdot(
         _bdot(ct2_sc[...], permcat), gdwin_sc[...]
-    )  # rows (x,I)(x,Q)(y,I)(y,Q)
+    )  # (R, 4P, N) rows p*4 + (x,I)(x,Q)(y,I)(y,Q)
 
-    # ---- gV: gv (R, 2, N) = GCO (R, 2, n_a) @ MASK_p^T per parity
-    g_cx_m = g_cx[:, :, :m]
-    g_cy_m = g_cy[:, :, :m]
-    gco = jnp.concatenate(
-        [
-            g_cx_m * habsq_sc[:, 0:1, :] + g_cy_m * habsq_sc[:, 2:3, :],
-            g_cx_m * habsq_sc[:, 1:2, :] + g_cy_m * habsq_sc[:, 3:4, :],
-        ],
-        axis=1,
-    )  # (R, 2, M) rows nu
+    # ---- gV: gv (R, 2P, N) = GCO (R, 2P, M) @ MASK_pm^T
+    if n_pk == 1:
+        g_cx_m = g_cx_l[0][:, :, :m]
+        g_cy_m = g_cy_l[0][:, :, :m]
+        gco = jnp.concatenate(
+            [
+                g_cx_m * habsq_sc[:, 0:1, :] + g_cy_m * habsq_sc[:, 2:3, :],
+                g_cx_m * habsq_sc[:, 1:2, :] + g_cy_m * habsq_sc[:, 3:4, :],
+            ],
+            axis=1,
+        )  # (R, 2, M) rows nu
+    else:  # 2P mismatched-offset pieces: assemble via scratch stores
+        for p in range(n_pk):
+            g_cx_m = g_cx_l[p][:, :, :m]
+            g_cy_m = g_cy_l[p][:, :, :m]
+            r4 = 4 * p
+            gco_sc[:, 2 * p : 2 * p + 1, :] = (
+                g_cx_m * habsq_sc[:, r4 : r4 + 1, :]
+                + g_cy_m * habsq_sc[:, r4 + 2 : r4 + 3, :]
+            )
+            gco_sc[:, 2 * p + 1 : 2 * p + 2, :] = (
+                g_cx_m * habsq_sc[:, r4 + 1 : r4 + 2, :]
+                + g_cy_m * habsq_sc[:, r4 + 3 : r4 + 4, :]
+            )
+        gco = gco_sc[...]
     gv_sc[...] = _bdot(gco, masktpm_ref[...])
 
-    # ---- moments -> gq -> softmin VJP -> gout, all 4 components at once.
-    # gE (rows 0-3) and gVar (rows 4-7) stack into one scratch so the gq
-    # build is ONE dot against [selt*amp | selt*amp^2].
-    for r in range(4):
-        gp = _EQP[r]  # geq_sc / eq4_sc rows are in group order
-        nu = r % 2
-        gev8_sc[:, 4 + r : 5 + r, :] = gv_sc[:, nu : nu + 1, :]
-        gev8_sc[:, r : r + 1, :] = (
-            geq_sc[:, gp : gp + 1, :]
-            - 2.0 * eq4_sc[:, gp : gp + 1, :] * gv_sc[:, nu : nu + 1, :]
-        )
+    # ---- moments -> gq -> softmin VJP -> gout, all 4P components at once.
+    # gE (rows p*8+0-3) and gVar (rows p*8+4-7) stack into one scratch so the
+    # gq build is ONE dot against the block-diag [selt*amp | selt*amp^2].
+    for p in range(n_pk):
+        for r in range(4):
+            gp = 4 * p + _EQP[r]  # geq_sc / eq4_sc rows are in group order
+            nu = 2 * p + r % 2
+            rr = 8 * p + r
+            gev8_sc[:, rr + 4 : rr + 5, :] = gv_sc[:, nu : nu + 1, :]
+            gev8_sc[:, rr : rr + 1, :] = (
+                geq_sc[:, gp : gp + 1, :]
+                - 2.0 * eq4_sc[:, gp : gp + 1, :] * gv_sc[:, nu : nu + 1, :]
+            )
     gq32 = _bdot(selta8_ref[...], gev8_sc[...])
     gq32 = gq32 + (jnp.log(ratio32 + eps) + ratio32 / (ratio32 + eps)) * tmask_ref[...]
-    inner = _bdot(sels, q32 * gq32)  # (R, 4, N)
+    inner = _bdot(sels, q32 * gq32)  # (R, 4P, N)
     gm = -q32 * (gq32 - _bdot(selt, inner))
     # (out - amp)/var = 2 s * d32; the 2 s_pol factor is folded into sels2
     gout_sc[...] = _bdot(sels2_ref[...], gm * d32)
 
-    # ---- gw: (R, 2, 4M) = gout_cat @ XC^T — the I|Q contributions sum in
-    # ONE dot by contracting over the lane-concatenated sample axis
-    goutc_sc[:, :, :n_sym] = gout_sc[:, 0:2, :]
-    goutc_sc[:, :, n_sym:] = gout_sc[:, 2:4, :]
+    # ---- gw: (R, 2P, P*4M) = gout_cat @ XC^T — the I|Q contributions sum in
+    # ONE dot by contracting over the lane-concatenated sample axis; at P > 1
+    # the cross-run off-blocks are garbage and wmask zeroes them so Adam's
+    # moments/updates never touch w's structural zero blocks
+    for p in range(n_pk):
+        goutc_sc[:, 2 * p : 2 * p + 2, :n_sym] = gout_sc[:, 4 * p : 4 * p + 2, :]
+        goutc_sc[:, 2 * p : 2 * p + 2, n_sym:] = gout_sc[:, 4 * p + 2 : 4 * p + 4, :]
     gw = _bdot(goutc_sc[...], xc, ((2,), (2,)))
+    if n_pk > 1:
+        gw = gw * wmask_ref[...]
 
     # ================ in-kernel Adam (optax.adam semantics) ================
     lr = scal_ref[0, 4]
@@ -510,10 +609,13 @@ def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
     return out.at[..., 1::2].set(hpm[..., mhe:])
 
 
-@functools.partial(jax.jit, static_argnames=("bl_sym", "stride_sym", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bl_sym", "stride_sym", "interpret", "pack")
+)
 def vae_dp_frame_train_pallas_rb(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
+    pack: int = 1,
 ):
     """Run one frame's FULL online training for R independent runs, fused.
 
@@ -547,8 +649,17 @@ def vae_dp_frame_train_pallas_rb(
     q (m_max, R, 2, 2*n_lev, bl_sym), out (m_max, R, 2, 2, bl_sym)) — the
     per-frame quantities of the lax.scan step path in train/dp.py with a
     runs axis after the minibatch axis.
+
+    ``pack`` (sublane packing, must divide R): P consecutive runs share one
+    batch element, stacked along sublanes — the per-step dot COUNT covers P
+    runs at once (see the packing note in _kernel), measured as the rb
+    body's remaining ~2x at the PARITY_RESULTS saturation analysis.
     """
     n_rb = w.shape[0]
+    n_pk = pack
+    if n_rb % n_pk != 0:
+        raise ValueError(f"pack={n_pk} must divide the runs batch {n_rb}")
+    n_gp = n_rb // n_pk  # packed batch elements
     m = w.shape[-1]
     assert m % 2 == 1, "odd tap count only"
     n_sym = bl_sym
@@ -603,10 +714,17 @@ def vae_dp_frame_train_pallas_rb(
     # note in _kernel: rank-promoting broadcasts crash Mosaic at R > 1)
     import numpy as _np
 
-    bcast = lambda a: jnp.broadcast_to(jnp.asarray(a, jnp.float32), (n_rb,) + a.shape)
+    bcast = lambda a: jnp.broadcast_to(jnp.asarray(a, jnp.float32), (n_gp,) + a.shape)
     mask_pm = _np.concatenate([mask_e, mask_o], axis=1)  # (N, M) parity-major
     maskpm3 = bcast(mask_pm)
     masktpm3 = bcast(mask_pm.T.copy())
+
+    # block-diag replication over the n_pk packed runs: identity at P=1 (the
+    # validated trace must not change), kron(eye(P), .) otherwise. Static
+    # (numpy) and traced (jnp, amps/var-dependent) variants.
+    _pblkn = lambda a: a if n_pk == 1 else _np.kron(_np.eye(n_pk, dtype=_np.float32), a)
+    _pblkj = lambda a: a if n_pk == 1 else jnp.kron(jnp.eye(n_pk, dtype=jnp.float32), a)
+    _ptile = lambda v: v if n_pk == 1 else jnp.tile(v, n_pk)
 
     # constant selection matrices + row-constant tensors for the merged
     # all-component demapper / softmin / stacked-sum formulation (see the
@@ -617,8 +735,8 @@ def vae_dp_frame_train_pallas_rb(
     lev_of_row = _np.arange(nl4) % n_lev
     selt_np = _np.zeros((nl4, 4), _np.float32)
     selt_np[_np.arange(nl4), comp_of_row] = 1.0
-    selt3 = bcast(selt_np)
-    sels3 = bcast(selt_np.T.copy())
+    selt3 = bcast(_pblkn(selt_np))
+    sels3 = bcast(_pblkn(selt_np).T.copy())
     ind_g = _np.zeros((4, nl4), _np.float32)  # group row gpos(r) <- comp rows
     for r in range(4):
         ind_g[_EQP[r], r * n_lev : (r + 1) * n_lev] = 1.0
@@ -627,58 +745,60 @@ def vae_dp_frame_train_pallas_rb(
     a_row = amps_f[lev_of_row]  # (nl4,) level amplitude per row
     s_pol = jnp.sqrt(0.5 / var.astype(jnp.float32))  # (2,)
     s_row = s_pol[comp_of_row % 2]  # rows of pol x get s_x, y rows s_y
-    # selv: cols 0-3 select the component scaled by s; col 4 hits out4's
-    # constant ones row with -amp*s, so ONE matmul yields s*(out - amp)
+    # selv: cols 0-4P select the (run-blocked) component scaled by s; the
+    # last col hits out4's shared constant ones row with -amp*s, so ONE
+    # matmul yields s*(out - amp) for all packed runs
     selv5 = jnp.concatenate(
-        [jnp.asarray(selt_np) * s_row[:, None], (-a_row * s_row)[:, None]],
+        [_pblkj(jnp.asarray(selt_np) * s_row[:, None]),
+         _ptile(-a_row * s_row)[:, None]],
         axis=1,
     )
-    selv3 = jnp.broadcast_to(selv5[None], (n_rb, nl4, 5))
-    brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_rb, nl4, n_sym))
-    amp232n = brow(jnp.float32(nu_sc) * a_row * a_row)
+    selv3 = jnp.broadcast_to(selv5[None], (n_gp, n_pk * nl4, 4 * n_pk + 1))
+    brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_gp, n_pk * nl4, n_sym))
+    amp232n = brow(_ptile(jnp.float32(nu_sc) * a_row * a_row))
     # [selt*amp | selt*amp^2] against the stacked (gE; gVar) rows (backward
     # gq build in ONE dot), and sels with 2 s_pol folded in (softmin -> gout)
-    selta8m = jnp.concatenate(
+    selta8m = _pblkj(jnp.concatenate(
         [jnp.asarray(selt_np) * a_row[:, None],
          jnp.asarray(selt_np) * (a_row * a_row)[:, None]],
         axis=1,
-    )  # (nl4, 8)
-    selta83 = jnp.broadcast_to(selta8m[None], (n_rb, nl4, 8))
+    ))  # (P*nl4, 8P)
+    selta83 = jnp.broadcast_to(selta8m[None], (n_gp, n_pk * nl4, 8 * n_pk))
     sels23 = jnp.broadcast_to(
-        (jnp.asarray(selt_np.T) * (2.0 * s_row)[None, :])[None],
-        (n_rb, 4, nl4))
-    ones128 = jnp.ones((n_rb, 1, 128), jnp.float32)
+        _pblkj(jnp.asarray(selt_np.T) * (2.0 * s_row)[None, :])[None],
+        (n_gp, 4 * n_pk, n_pk * nl4))
+    ones128 = jnp.ones((n_gp, 1, 128), jnp.float32)
     eqv_m = jnp.concatenate(
         [
-            jnp.asarray(ind_g) * a_row[None, :],  # E_q, group order
-            jnp.asarray(selt_np.T) * a_row[None, :],  # E_q, component order
-            jnp.asarray(selt_np.T) * (a_row * a_row)[None, :],  # E_q[x^2]
+            _pblkj(jnp.asarray(ind_g) * a_row[None, :]),  # E_q, group order
+            _pblkj(jnp.asarray(selt_np.T) * a_row[None, :]),  # E_q, comp order
+            _pblkj(jnp.asarray(selt_np.T) * (a_row * a_row)[None, :]),  # E_q[x^2]
         ]
-    )  # (12, nl4)
-    eqv3 = jnp.broadcast_to(eqv_m[None], (n_rb, 12, nl4))
+    )  # (12P, P*nl4) — row sections 0:4P / 4P:8P / 8P:12P, run-blocked inside
+    eqv3 = jnp.broadcast_to(eqv_m[None], (n_gp, 12 * n_pk, n_pk * nl4))
 
     p_f = P.astype(jnp.float32)
     pfull4 = jnp.broadcast_to(
-        jnp.tile(p_f, 4)[None, :, None], (n_rb, nl4, n_sym)
+        jnp.tile(p_f, 4 * n_pk)[None, :, None], (n_gp, n_pk * nl4, n_sym)
     )
     t_np = _np.arange(n_sym)
     inner_np = ((t_np >= mh) & (t_np < n_sym - mh)).astype(_np.float32)
     tmask32 = jnp.broadcast_to(
-        jnp.asarray(inner_np)[None, None, :], (n_rb, nl4, n_sym)
+        jnp.asarray(inner_np)[None, None, :], (n_gp, n_pk * nl4, n_sym)
     )
-    ones_l = jnp.ones((n_rb, n_samp_mb, 8), jnp.float32)
-    # csum rows: 0 = c_x, 1 = c_y, 2 = kl (see the st row map in _kernel)
+    ones_l = jnp.ones((n_gp, n_samp_mb, 8), jnp.float32)
+    # csum rows: p*8 + (0 = c_x, 1 = c_y, 2 = kl) (see the st row map in _kernel)
     csum_np = _np.zeros((8, kst), _np.float32)
     csum_np[0, [0, 1, 12, 13, 16, 17, 20, 21]] = 1.0
     csum_np[0, [4, 5, 8, 9]] = -2.0
     csum_np[1, [2, 3, 14, 15, 18, 19, 22, 23]] = 1.0
     csum_np[1, [6, 7, 10, 11]] = -2.0
     csum_np[2, 24:kst] = 1.0
-    csum3 = bcast(csum_np)
+    csum3 = bcast(_pblkn(csum_np))
     permcat_np = _np.zeros((4 * m, 4 * m), _np.float32)  # blockdiag(perm_e, perm_o)
     permcat_np[: 4 * mhe, : 4 * mhe] = _win_perm(mhe)
     permcat_np[4 * mhe :, 4 * mhe :] = _win_perm(mh)
-    permcat3 = bcast(permcat_np)
+    permcat3 = bcast(_pblkn(permcat_np))
 
     w2 = w.reshape(n_rb, 2, 4 * m)
     h8 = _to_parity_major(h.reshape(n_rb, 8, m))
@@ -686,93 +806,145 @@ def vae_dp_frame_train_pallas_rb(
     vw2 = opt["vw"].reshape(n_rb, 2, 4 * m)
     mh8 = _to_parity_major(opt["mh"].reshape(n_rb, 8, m))
     vh8 = _to_parity_major(opt["vh"].reshape(n_rb, 8, m))
+    if n_pk > 1:
+        # pack P consecutive runs per batch element: w-group tensors become
+        # block-diag (run p's (2, 4M) block at rows 2p, lanes 4M*p), h-group
+        # tensors stack along sublanes (plain reshape); the im2col inputs
+        # stack their row axes (reshape below, after the vmapped arrange)
+        def _wpack(a):
+            g = a.reshape(n_gp, n_pk, 2, 4 * m)
+            out = jnp.zeros((n_gp, 2 * n_pk, 4 * m * n_pk), a.dtype)
+            for p in range(n_pk):
+                out = out.at[:, 2 * p : 2 * p + 2,
+                             4 * m * p : 4 * m * (p + 1)].set(g[:, p])
+            return out
+
+        w2, mw2, vw2 = _wpack(w2), _wpack(mw2), _wpack(vw2)
+        h8 = h8.reshape(n_gp, 8 * n_pk, m)
+        mh8 = mh8.reshape(n_gp, 8 * n_pk, m)
+        vh8 = vh8.reshape(n_gp, 8 * n_pk, m)
+        xc = xc.reshape(m_max, n_gp, n_pk * 4 * m, 2 * n_sym)
+        rx4 = rx4.reshape(m_max, n_gp, 4 * n_pk, n_samp_mb)
+        rxe = rxe.reshape(m_max, n_gp, 4 * n_pk, n_sym)
+        rxo = rxo.reshape(m_max, n_gp, 4 * n_pk, n_sym)
+        wmask3 = bcast(_pblkn(_np.ones((2, 4 * m), _np.float32)))
     scal = jnp.stack(
         [var[0], var[1], jnp.float32(nu_sc), jnp.float32(1e-12),
          jnp.float32(lr), jnp.float32(lr_half_step), jnp.float32(step0),
          jnp.float32(0.0)]
     ).reshape(1, 8).astype(jnp.float32)
 
-    kernel = functools.partial(_kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb)
+    kernel = functools.partial(
+        _kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb, n_pk=n_pk
+    )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     per_mb4 = lambda c, l: pl.BlockSpec(
-        (1, n_rb, c, l), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, n_gp, c, l), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM
     )
+    pk = n_pk  # row scale of every per-run scratch/output
 
-    (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, q_all, out_all) = pl.pallas_call(
-        kernel,
-        grid=(m_max,),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rb, 2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((n_rb, 8, m), jnp.float32),
-            jax.ShapeDtypeStruct((n_rb, 2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((n_rb, 2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((n_rb, 8, m), jnp.float32),
-            jax.ShapeDtypeStruct((n_rb, 8, m), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, n_rb, 1, 128), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, n_rb, 4 * n_lev, n_sym), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, n_rb, 4, n_sym), jnp.float32),
-        ),
-        in_specs=[
-            per_mb4(4 * m, 2 * n_sym),  # xc (I|Q lane-concatenated im2col)
-            per_mb4(4, n_samp_mb),
-            per_mb4(4, n_sym),
-            per_mb4(4, n_sym),
-            full(), full(),  # parity-major mask + its transpose
-            full(), full(), full(), full(),  # selv/selt/sels/eqv
-            full(), full(), full(), full(),  # amp232n, selta8, sels2, ones128
-            full(), full(), full(), full(),  # pfull4, tmask, ones_l, csum
-            full(),  # block-diag window permutation
-            full(), full(), full(), full(), full(), full(),  # params/moments
-            pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            full(), full(), full(), full(), full(), full(),
-            pl.BlockSpec((1, n_rb, 1, 128), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
-            per_mb4(4 * n_lev, n_sym),
-            per_mb4(4, n_sym),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((n_rb, 2, 4 * m), jnp.float32),  # w
-            pltpu.VMEM((n_rb, 8, m), jnp.float32),  # h (parity-major)
-            pltpu.VMEM((n_rb, 2, 4 * m), jnp.float32),  # mw
-            pltpu.VMEM((n_rb, 2, 4 * m), jnp.float32),  # vw
-            pltpu.VMEM((n_rb, 8, m), jnp.float32),  # mh
-            pltpu.VMEM((n_rb, 8, m), jnp.float32),  # vh
-            pltpu.VMEM((n_rb, 4 * n_lev, n_sym), jnp.float32),  # q
-            pltpu.VMEM((n_rb, 4 * m, n_sym - mh), jnp.float32),  # eqwin (e|o stack)
-            pltpu.VMEM((n_rb, 4 * m, n_sym), jnp.float32),  # gdwin (e|o stack)
-            pltpu.VMEM((n_rb, 8, m), jnp.float32),  # gh assembly
-            pltpu.VMEM((n_rb, 8, 4 * m), jnp.float32),  # ctd (block-diag coeffs)
-            pltpu.VMEM((n_rb, 4, 4 * m), jnp.float32),  # ct2 (lane-concat coeffs)
-            pltpu.VMEM((n_rb, 5, n_sym), jnp.float32),  # out rows + ones row
-            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # Eq rows
-            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # Var rows
-            pltpu.VMEM((n_rb, 8, n_sym - mh), jnp.float32),  # d (e|o rows)
-            pltpu.VMEM((n_rb, 8, n_sym - mh), jnp.float32),  # gd (e|o rows)
-            pltpu.VMEM((n_rb, 8, 4 * m), jnp.float32),  # ghm (e|o rows)
-            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gEq rows
-            pltpu.VMEM((n_rb, 2, n_sym), jnp.float32),  # gV rows
-            pltpu.VMEM((n_rb, 4, m), jnp.float32),  # |h|^2 rows
-            pltpu.VMEM((n_rb, 2, m), jnp.float32),  # S rows (parity-major)
-            pltpu.VMEM((n_rb, 4, n_sym + mhe - 1), jnp.float32),  # gd padded
-            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # gout rows
-            pltpu.VMEM((n_rb, 2, 2 * n_sym), jnp.float32),  # gout I|Q concat
-            pltpu.VMEM((n_rb, 1, 128), jnp.float32),  # stats row
-            pltpu.VMEM((n_rb, 4, n_sym), jnp.float32),  # per-comp min rows
-            pltpu.VMEM((n_rb, 12, n_sym), jnp.float32),  # EQV moment rows
-            pltpu.VMEM((n_rb, kst, n_samp_mb), jnp.float32),  # sum stack
-            pltpu.VMEM((n_rb, 8, 128), jnp.float32),  # combined sums
-            pltpu.VMEM((n_rb, 8, n_sym), jnp.float32),  # stacked (gE; gVar) rows
-            pltpu.VMEM((n_rb, 4, n_sym - mh), jnp.float32),  # gfac rows
-        ],
-        interpret=interpret,
-    )(
+    in_specs = [
+        per_mb4(pk * 4 * m, 2 * n_sym),  # xc (I|Q lane-concatenated im2col)
+        per_mb4(4 * pk, n_samp_mb),
+        per_mb4(4 * pk, n_sym),
+        per_mb4(4 * pk, n_sym),
+        full(), full(),  # parity-major mask + its transpose
+        full(), full(), full(), full(),  # selv/selt/sels/eqv
+        full(), full(), full(), full(),  # amp232n, selta8, sels2, ones128
+        full(), full(), full(), full(),  # pfull4, tmask, ones_l, csum
+        full(),  # block-diag window permutation
+        full(), full(), full(), full(), full(), full(),  # params/moments
+        pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    inputs = [
         xc, rx4, rxe, rxo, maskpm3, masktpm3,
         selv3, selt3, sels3, eqv3,
         amp232n, selta83, sels23, ones128,
         pfull4, tmask32, ones_l, csum3, permcat3,
         w2, h8, mw2, vw2, mh8, vh8, scal,
-    )
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((n_gp, 2 * pk, pk * 4 * m), jnp.float32),  # w (block-diag)
+        pltpu.VMEM((n_gp, 8 * pk, m), jnp.float32),  # h (parity-major)
+        pltpu.VMEM((n_gp, 2 * pk, pk * 4 * m), jnp.float32),  # mw
+        pltpu.VMEM((n_gp, 2 * pk, pk * 4 * m), jnp.float32),  # vw
+        pltpu.VMEM((n_gp, 8 * pk, m), jnp.float32),  # mh
+        pltpu.VMEM((n_gp, 8 * pk, m), jnp.float32),  # vh
+        pltpu.VMEM((n_gp, pk * 4 * n_lev, n_sym), jnp.float32),  # q
+        pltpu.VMEM((n_gp, pk * 4 * m, n_sym - mh), jnp.float32),  # eqwin (e|o stack)
+        pltpu.VMEM((n_gp, pk * 4 * m, n_sym), jnp.float32),  # gdwin (e|o stack)
+        pltpu.VMEM((n_gp, 8 * pk, m), jnp.float32),  # gh assembly
+        pltpu.VMEM((n_gp, 8 * pk, pk * 4 * m), jnp.float32),  # ctd (block-diag coeffs)
+        pltpu.VMEM((n_gp, 4 * pk, pk * 4 * m), jnp.float32),  # ct2 (lane-concat coeffs)
+        pltpu.VMEM((n_gp, 4 * pk + 1, n_sym), jnp.float32),  # out rows + ones row
+        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # Eq rows
+        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # Var rows
+        pltpu.VMEM((n_gp, 8 * pk, n_sym - mh), jnp.float32),  # d (e|o rows)
+        pltpu.VMEM((n_gp, 8 * pk, n_sym - mh), jnp.float32),  # gd (e|o rows)
+        pltpu.VMEM((n_gp, 8 * pk, pk * 4 * m), jnp.float32),  # ghm (e|o rows)
+        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # gEq rows
+        pltpu.VMEM((n_gp, 2 * pk, n_sym), jnp.float32),  # gV rows
+        pltpu.VMEM((n_gp, 4 * pk, m), jnp.float32),  # |h|^2 rows
+        pltpu.VMEM((n_gp, 2 * pk, m), jnp.float32),  # S rows (parity-major)
+        pltpu.VMEM((n_gp, 4, n_sym + mhe - 1), jnp.float32),  # gd padded
+        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # gout rows
+        pltpu.VMEM((n_gp, 2 * pk, 2 * n_sym), jnp.float32),  # gout I|Q concat
+        pltpu.VMEM((n_gp, pk, 128), jnp.float32),  # stats rows (one per run)
+        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # per-comp min rows
+        pltpu.VMEM((n_gp, 12 * pk, n_sym), jnp.float32),  # EQV moment rows
+        pltpu.VMEM((n_gp, pk * kst, n_samp_mb), jnp.float32),  # sum stack
+        pltpu.VMEM((n_gp, 8 * pk, 128), jnp.float32),  # combined sums
+        pltpu.VMEM((n_gp, 8 * pk, n_sym), jnp.float32),  # stacked (gE; gVar) rows
+        pltpu.VMEM((n_gp, 4 * pk, n_sym - mh), jnp.float32),  # gfac rows
+    ]
+    if n_pk > 1:
+        in_specs.append(full())  # wmask (gw off-block zeroing)
+        inputs.append(wmask3)
+        scratch_shapes += [
+            pltpu.VMEM((n_gp, 2 * pk, n_sym), jnp.float32),  # vsum rows
+            pltpu.VMEM((n_gp, 2 * pk, m), jnp.float32),  # gco rows
+        ]
+
+    (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, q_all, out_all) = pl.pallas_call(
+        kernel,
+        grid=(m_max,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
+            jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
+            jax.ShapeDtypeStruct((m_max, n_gp, pk, 128), jnp.float32),
+            jax.ShapeDtypeStruct((m_max, n_gp, pk * 4 * n_lev, n_sym), jnp.float32),
+            jax.ShapeDtypeStruct((m_max, n_gp, 4 * pk, n_sym), jnp.float32),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            full(), full(), full(), full(), full(), full(),
+            pl.BlockSpec((1, n_gp, pk, 128), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
+            per_mb4(pk * 4 * n_lev, n_sym),
+            per_mb4(4 * pk, n_sym),
+        ),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*inputs)
+
+    if n_pk > 1:
+        # unpack: block-diag w-group blocks back to a runs axis; sublane
+        # stacks are plain reshapes (consecutive runs)
+        def _wunpack(a):
+            parts = [a[:, 2 * p : 2 * p + 2, 4 * m * p : 4 * m * (p + 1)]
+                     for p in range(n_pk)]
+            return jnp.stack(parts, axis=1).reshape(n_rb, 2, 4 * m)
+
+        w_o, mw_o, vw_o = _wunpack(w_o), _wunpack(mw_o), _wunpack(vw_o)
+        h_o = h_o.reshape(n_rb, 8, m)
+        mh_o = mh_o.reshape(n_rb, 8, m)
+        vh_o = vh_o.reshape(n_rb, 8, m)
+        stats = stats.reshape(m_max, n_rb, 1, 128)
+        q_all = q_all.reshape(m_max, n_rb, 4 * n_lev, n_sym)
+        out_all = out_all.reshape(m_max, n_rb, 4, n_sym)
 
     losses = stats[:, :, 0, 0]  # (m_max, R)
     var_est = stats[:, :, 0, 1:3]  # (m_max, R, 2)

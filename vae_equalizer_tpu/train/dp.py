@@ -211,7 +211,7 @@ def _default_runs_batch(runs: int, cap: int = 8) -> int:
 def _run_frame_kernel_experiment(
     cfg, key, gen, const, amps, P, var, *, steps_per_frame, stride_sym,
     tx_of, weight_fn, params, runs, mesh, progress, compiled, chunk_frames,
-    checkpoint, checkpoint_every, timings, runs_batch=None,
+    checkpoint, checkpoint_every, timings, runs_batch=None, runs_pack=1,
 ):
     """Shared use_pallas="frame" experiment driver for VAE and VAEflex.
 
@@ -290,6 +290,7 @@ def _run_frame_kernel_experiment(
                 p["w"], p["h"], o, rxg, amps, var, const.nu_sc, P,
                 jnp.float32(cfg.lr), count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
+                pack=runs_pack,
             )
 
         w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
@@ -332,6 +333,7 @@ def train_vae_dp(
     timings: dict | None = None,
     chunk_frames: int = 1,
     runs_batch: int | None = None,
+    runs_pack: int = 1,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -369,7 +371,7 @@ def train_vae_dp(
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
-            runs_batch=runs_batch,
+            runs_batch=runs_batch, runs_pack=runs_pack,
         )
 
     opt = _vae_optimizer(cfg, m_max)
@@ -435,6 +437,7 @@ def train_vae_flex_dp(
     timings: dict | None = None,
     chunk_frames: int = 1,
     runs_batch: int | None = None,
+    runs_pack: int = 1,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
@@ -472,7 +475,7 @@ def train_vae_flex_dp(
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
-            runs_batch=runs_batch,
+            runs_batch=runs_batch, runs_pack=runs_pack,
         )
 
     opt = _vae_optimizer(cfg, n_windows)

@@ -269,14 +269,21 @@ def main(argv=None):
     # would prepend a serial grid dimension, which is why round-2 saturated
     # at 1.8x one run. Measured at the FULL workload (same AOT program as
     # the headline, so the aggregate can never under-amortize below it).
-    agg_runs = (8, 32, 128) if not args.quick else (args.runs,)
-    aggs = collect_aggregates(
-        lambda nruns: measure_tpu_compiled(
+    # keys: runs count, or "<runs>p2" for the sublane-packed (pack=2) kernel
+    # variant — measured alongside pack=1 so the official record captures
+    # whichever is faster (ops/frame_kernel.py packing note)
+    agg_keys = (8, 32, 128, "32p2", "128p2") if not args.quick else (args.runs,)
+
+    def agg_measure(key):
+        nruns = int(str(key).split("p")[0])
+        pk = 2 if str(key).endswith("p2") else 1
+        return measure_tpu_compiled(
             frames if args.quick else max(frames, 170), n_frame,
             runs=nruns, use_pallas=False if args.cpu else "frame",
-        ),
-        agg_runs,
-    )
+            runs_pack=pk,
+        )
+
+    aggs = collect_aggregates(agg_measure, agg_keys)
     baseline = get_baseline(n_frame, force=args.measure_baseline)
     base_sps = baseline.get("symbols_per_sec")
     # the committed cache holds the full-size baseline; scale mismatch only

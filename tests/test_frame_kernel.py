@@ -475,10 +475,82 @@ def test_frame_experiment_runs_packed(monkeypatch):
         n_lrhalf=10**6,
     )
     key = jax.random.PRNGKey(0)
+    # runs_batch=2 + pack=2: TWO vmapped groups, each ONE fully-packed batch
+    # element — exercises the groups vmap over the packed pallas_call
     res = train_vae_dp(cfg, key, runs=4, use_pallas="frame",
-                       runs_batch=4, runs_pack=2)
+                       runs_batch=2, runs_pack=2)
     ref = train_vae_dp(cfg, key, runs=4, use_pallas="frame", runs_batch=4)
     assert res["ser"].shape == (4, 4, 2)
     np.testing.assert_allclose(res["ser"][..., 0], ref["ser"][..., 0], atol=2e-3)
     np.testing.assert_allclose(res["params"]["w"], ref["params"]["w"],
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("mod", ["4-QAM", "64-QAM"])
+def test_runs_batched_kernel_stream_bf16(mod):
+    """stream_bf16=True: the f32 training state (params, moments, losses,
+    var_est) is IDENTICAL to the f32-stream call — the cast touches only the
+    two output stores — and the bf16 q/out streams match the f32 streams to
+    1 bf16 ulp."""
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
+
+    const, amps, P, var, _, _, _ = _setup(mod)
+    rng = np.random.default_rng(13)
+    R = 2
+    w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
+    h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
+    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * M_MAX)).astype(np.float32) * 0.5)
+
+    def run(bf16):
+        opt0 = frame_opt_init({"w": w, "h": h})
+        return vae_dp_frame_train_pallas_rb(
+            w, h, opt0, rx, amps, var, const.nu_sc, P,
+            jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
+            bl_sym=BL, interpret=True, stream_bf16=bf16,
+        )
+
+    wf, hf, sf, lf, vf, qf, of = run(False)
+    wb, hb, sb, lb, vb, qb, ob = run(True)
+    assert qb.dtype == jnp.bfloat16 and ob.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(wb), np.asarray(wf))
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hf))
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(lf))
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(vf))
+    for k in ("mw", "vw", "mh", "vh"):
+        np.testing.assert_array_equal(np.asarray(sb[k]), np.asarray(sf[k]))
+    # q in [0, 1], out O(1): 1 bf16 ulp = 2^-8 relative
+    np.testing.assert_allclose(
+        np.asarray(qb, np.float32), np.asarray(qf), rtol=4.5e-3, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ob, np.float32), np.asarray(of), rtol=4.5e-3, atol=1e-4
+    )
+
+
+def test_frame_experiment_stream_bf16(monkeypatch):
+    """use_pallas="frame" with stream_bf16: trained params identical to the
+    f32-stream experiment (training never reads the streams); SER/MI within
+    the bf16 quantization band."""
+    from vae_equalizer_tpu.train.dp import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    _interpret_kernels(monkeypatch)
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+
+    orig = fk.vae_dp_frame_train_pallas_rb
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = DpConfig(
+        mod="4-QAM", num_frames=2, n_frame_max=400, batch_len=100,
+        n_lrhalf=10**6,
+    )
+    key = jax.random.PRNGKey(0)
+    res = train_vae_dp(cfg, key, runs=4, use_pallas="frame", runs_batch=4,
+                       stream_bf16=True)
+    ref = train_vae_dp(cfg, key, runs=4, use_pallas="frame", runs_batch=4)
+    np.testing.assert_array_equal(res["params"]["w"], ref["params"]["w"])
+    np.testing.assert_allclose(res["ser"][..., 0], ref["ser"][..., 0], atol=2e-3)
+    np.testing.assert_allclose(res["mi"], ref["mi"], rtol=2e-2, atol=2e-2)

@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--frames", type=int, default=170)
     ap.add_argument("--n-frame", type=int, default=10000)
     ap.add_argument("--parts", nargs="*", default=PARTS)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 q/out output streams (stream_bf16)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU plumbing check (pallas interpret mode)")
     args = ap.parse_args()
@@ -156,7 +158,7 @@ def main():
                 pg["w"], pg["h"], og, rxg, amps, var, const.nu_sc, P,
                 jnp.float32(cfg.lr), count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len,
-                interpret=args.interpret,
+                interpret=args.interpret, stream_bf16=args.bf16,
             )
 
         w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(

@@ -57,7 +57,10 @@ def check(name, f_tpu, f_ref, pairs):
             got, ref = (got,), (ref,)
         worst = 0.0
         for idx, rtol, atol in pairs:
-            g, r = np.asarray(got[idx]), np.asarray(ref[idx])
+            # f32 upcast: bf16 outputs (stream_bf16) land as ml_dtypes
+            # arrays whose ufunc coverage is spotty in older numpy
+            g = np.asarray(got[idx]).astype(np.float32)
+            r = np.asarray(ref[idx]).astype(np.float32)
             np.testing.assert_allclose(g, r, rtol=rtol, atol=atol)
             denom = np.maximum(np.abs(r), atol)
             worst = max(worst, float(np.max(np.abs(g - r) / denom)))
@@ -260,6 +263,25 @@ def main():
         lambda: frame_kernel_pk_run(True),
         pairs=[(0, 1e-3, 5e-5), (1, 1e-3, 2e-5), (3, 1e-4, 0), (4, 1e-4, 1e-5),
                (5, 5e-3, 2e-3), (6, 1e-3, 1e-4)],
+    )
+
+    # bf16 q/out streams: the ONLY new Mosaic pattern is the astype+store of
+    # the two output blocks — params/losses keep their f32 tolerances, q/out
+    # widen to ~1 bf16 ulp (both sides quantize, but on different rounding
+    # of the f32 compute)
+    def frame_kernel_bf16_run(interpret):
+        return vae_dp_frame_train_pallas_rb(
+            w_rb, h_rb, opt_rb, rx_rb, amps_np, var_np, const.nu_sc, p_np,
+            jnp.float32(2.5e-3), jnp.float32(0.0), jnp.float32(1e9),
+            bl_sym=100, interpret=interpret, stream_bf16=True,
+        )
+
+    check(
+        "bf16-stream frame kernel (R=2, stream_bf16)",
+        lambda: frame_kernel_bf16_run(False),
+        lambda: frame_kernel_bf16_run(True),
+        pairs=[(0, 1e-3, 5e-5), (1, 1e-3, 2e-5), (3, 1e-4, 0), (4, 1e-4, 1e-5),
+               (5, 2e-2, 8e-3), (6, 1e-2, 2e-3)],
     )
 
     # whole-frame CMA chunk kernel vs the lax.scan chunked engine, on-chip

@@ -35,6 +35,15 @@ def main(argv=None):
                    help="whole-frame fused train kernel: all minibatch steps "
                         "+ Adam in one MXU-based pallas call (VAE/VAEflex, "
                         "sps=2, odd M; ~5-10x the per-step scan on v5e)")
+    p.add_argument("--runs-pack", type=int, default=1, metavar="P",
+                   help="sublane packing inside the frame kernel's runs "
+                        "batch (with --pallas-frame): P runs share one "
+                        "batch element via block-diag contractions")
+    p.add_argument("--stream-bf16", action="store_true",
+                   help="store the frame kernel's q/out output streams as "
+                        "bfloat16 (with --pallas-frame + runs): halves the "
+                        "HBM-bound train-stage write and eval-stage read; "
+                        "SER/MI move less than the run-to-run band")
     p.add_argument("--frames-per-call", type=int, default=1, metavar="K",
                    help="run K frames per device call (one lax.scan): cuts "
                         "the per-call host/tunnel latency K-fold while "
@@ -46,6 +55,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.pallas and args.pallas_frame:
         p.error("--pallas and --pallas-frame are mutually exclusive")
+    if args.runs_pack > 1 and not args.pallas_frame:
+        p.error("--runs-pack needs --pallas-frame")
+    if args.stream_bf16 and not args.pallas_frame:
+        p.error("--stream-bf16 needs --pallas-frame")
     # kernel-path support comes from the runners' own table so the CLI can
     # never accept a combination the runner would reject (train/modes.py)
     from ..train.modes import PALLAS_MODES
@@ -119,6 +132,8 @@ def main(argv=None):
             **({"use_pallas": True} if args.pallas else {}),
             **({"use_pallas": "frame"} if args.pallas_frame else {}),
             **({"chunk_frames": args.frames_per_call} if args.frames_per_call > 1 else {}),
+            **({"runs_pack": args.runs_pack} if args.runs_pack > 1 else {}),
+            **({"stream_bf16": True} if args.stream_bf16 else {}),
         } or None,
     )
     ser = assemble_mat(results, axes_values, iters, (4,))

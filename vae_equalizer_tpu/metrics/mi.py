@@ -194,8 +194,11 @@ def mutual_information_ambiguity_mb(
     idx = _decode_levels(tx, n)  # (2, 2, N)
     idx_i, idx_q = to_mb(idx[:, 0, :]), to_mb(idx[:, 1, :])  # (n_mb, 2, bl)
     idx_ir, idx_qr = (n - 1) - idx_i, (n - 1) - idx_q
-    lqi = jnp.log2(q_mb[:, :, :n, :] + eps)  # (n_mb, 2, n, bl)
-    lqq = jnp.log2(q_mb[:, :, n:, :] + eps)
+    # f32 upcast at the log site: q_mb may arrive bfloat16 (the kernel's
+    # stream_bf16 mode) and the 10k-term reductions below must accumulate
+    # in f32 (the convert fuses into the log2, no extra HBM traffic)
+    lqi = jnp.log2(q_mb[:, :, :n, :].astype(jnp.float32) + eps)  # (n_mb, 2, n, bl)
+    lqq = jnp.log2(q_mb[:, :, n:, :].astype(jnp.float32) + eps)
     lp = jnp.log2(P.astype(jnp.float32))  # (n,)
 
     if weight is None:

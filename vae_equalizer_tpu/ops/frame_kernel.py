@@ -118,7 +118,7 @@ def _kernel(
     pfull4_ref, tmask_ref, ones_l_ref, csum_ref, permcat_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     *rest,
-    n_sym, m, n_lev, n_rb, n_pk=1,
+    n_sym, m, n_lev, n_rb, n_pk=1, stream_dtype=jnp.float32,
 ):
     # sublane packing (n_pk = P > 1, VERDICT r3 item 2): each batch element
     # carries P runs stacked along SUBLANES — every per-run tensor's rows
@@ -211,7 +211,12 @@ def _kernel(
     for p in range(n_pk):
         out4_sc[:, 4 * p : 4 * p + 2, :] = oiq[:, 2 * p : 2 * p + 2, :n_sym]
         out4_sc[:, 4 * p + 2 : 4 * p + 4, :] = oiq[:, 2 * p : 2 * p + 2, n_sym:]
-    outout_ref[0] = out4_sc[:, 0 : 4 * n_pk, :]
+    # stream_dtype=bf16 halves the HBM write of the two big per-step streams
+    # (q dominates: (m_max, R, 4n, N) f32 is the kernel's largest output);
+    # the f32 path stores as-is so the validated trace is unchanged
+    out_cast = (lambda a: a) if stream_dtype == jnp.float32 else (
+        lambda a: a.astype(stream_dtype))
+    outout_ref[0] = out_cast(out4_sc[:, 0 : 4 * n_pk, :])
 
     # ---------------- demapper, all 4 components at once on (R, 4n, N).
     # selv cols 0-3 = selt * s_pol(row), col 4 (hitting out4's constant
@@ -233,7 +238,7 @@ def _kernel(
     s1 = _bdot(sels, q_sc[...])  # (R, 4P, N) per-component normalizers
     q32 = q_sc[...] * _bdot(selt, 1.0 / s1)
     q_sc[...] = q32
-    qout_ref[0] = q32
+    qout_ref[0] = out_cast(q32)
     # eqv rows: 0-4P E_q in GROUP order (xI, xQ, yI, yQ; run-blocked) for the
     # window stacks, 4P-8P E_q in component order, 8P-12P E_q[x^2]
     eq12_sc[...] = _bdot(eqv_ref[...], q32)
@@ -610,12 +615,13 @@ def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bl_sym", "stride_sym", "interpret", "pack")
+    jax.jit,
+    static_argnames=("bl_sym", "stride_sym", "interpret", "pack", "stream_bf16"),
 )
 def vae_dp_frame_train_pallas_rb(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
-    pack: int = 1,
+    pack: int = 1, stream_bf16: bool = False,
 ):
     """Run one frame's FULL online training for R independent runs, fused.
 
@@ -654,6 +660,13 @@ def vae_dp_frame_train_pallas_rb(
     batch element, stacked along sublanes — the per-step dot COUNT covers P
     runs at once (see the packing note in _kernel), measured as the rb
     body's remaining ~2x at the PARITY_RESULTS saturation analysis.
+
+    ``stream_bf16``: store the two big per-step output streams (q, out) as
+    bfloat16 — halves their HBM write here and their read in the eval stage
+    (both HBM-bound at saturation, PARITY_RESULTS round 3). Training is
+    unaffected (the in-VMEM f32 scratch carries the backward pass); only
+    the recorded posteriors/constellation stream lose precision, which
+    moves SER/MI by < the run-to-run band (tests/test_frame_kernel.py).
     """
     n_rb = w.shape[0]
     n_pk = pack
@@ -834,8 +847,10 @@ def vae_dp_frame_train_pallas_rb(
          jnp.float32(0.0)]
     ).reshape(1, 8).astype(jnp.float32)
 
+    sdt = jnp.bfloat16 if stream_bf16 else jnp.float32
     kernel = functools.partial(
-        _kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb, n_pk=n_pk
+        _kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb, n_pk=n_pk,
+        stream_dtype=sdt,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     per_mb4 = lambda c, l: pl.BlockSpec(
@@ -916,8 +931,8 @@ def vae_dp_frame_train_pallas_rb(
             jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
             jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
             jax.ShapeDtypeStruct((m_max, n_gp, pk, 128), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, n_gp, pk * 4 * n_lev, n_sym), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, n_gp, 4 * pk, n_sym), jnp.float32),
+            jax.ShapeDtypeStruct((m_max, n_gp, pk * 4 * n_lev, n_sym), sdt),
+            jax.ShapeDtypeStruct((m_max, n_gp, 4 * pk, n_sym), sdt),
         ),
         in_specs=in_specs,
         out_specs=(

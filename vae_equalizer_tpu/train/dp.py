@@ -212,6 +212,7 @@ def _run_frame_kernel_experiment(
     cfg, key, gen, const, amps, P, var, *, steps_per_frame, stride_sym,
     tx_of, weight_fn, params, runs, mesh, progress, compiled, chunk_frames,
     checkpoint, checkpoint_every, timings, runs_batch=None, runs_pack=1,
+    stream_bf16=False,
 ):
     """Shared use_pallas="frame" experiment driver for VAE and VAEflex.
 
@@ -239,6 +240,10 @@ def _run_frame_kernel_experiment(
     thresh = float(cfg.n_lrhalf) * steps_per_frame
 
     if runs is None:
+        if stream_bf16:
+            raise ValueError(
+                "stream_bf16 needs the runs-batched kernel (set runs)"
+            )
         rb = None
         carry = (params, frame_opt_init(params), jnp.int32(0))
     else:
@@ -290,7 +295,7 @@ def _run_frame_kernel_experiment(
                 p["w"], p["h"], o, rxg, amps, var, const.nu_sc, P,
                 jnp.float32(cfg.lr), count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
-                pack=runs_pack,
+                pack=runs_pack, stream_bf16=stream_bf16,
             )
 
         w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
@@ -334,6 +339,7 @@ def train_vae_dp(
     chunk_frames: int = 1,
     runs_batch: int | None = None,
     runs_pack: int = 1,
+    stream_bf16: bool = False,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -371,7 +377,7 @@ def train_vae_dp(
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
-            runs_batch=runs_batch, runs_pack=runs_pack,
+            runs_batch=runs_batch, runs_pack=runs_pack, stream_bf16=stream_bf16,
         )
 
     opt = _vae_optimizer(cfg, m_max)
@@ -438,6 +444,7 @@ def train_vae_flex_dp(
     chunk_frames: int = 1,
     runs_batch: int | None = None,
     runs_pack: int = 1,
+    stream_bf16: bool = False,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
@@ -475,7 +482,7 @@ def train_vae_flex_dp(
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
-            runs_batch=runs_batch, runs_pack=runs_pack,
+            runs_batch=runs_batch, runs_pack=runs_pack, stream_bf16=stream_bf16,
         )
 
     opt = _vae_optimizer(cfg, n_windows)

@@ -8,9 +8,13 @@ compiled, best-of-3 pure executions via the runners' ``timings`` hooks:
 
 The compiled rows use the harness ``compiled=True`` scan; the kernel rows
 use ``use_pallas="frame"``. Trained symbols/sec counts the training stream
-only (num_epochs * n_train), matching PARITY_RESULTS convention.
+only (num_epochs * n_train), matching PARITY_RESULTS convention. For
+VAE-LE a third row measures the reference's full 20-run repeat workload
+(Eval_run_shaping_vaele.py) through the runs-batched experiment kernel
+(--runs/--rb; sym/s scales by runs).
 
-Usage: python tools/awgn_tpu_bench.py [--epochs N] [--cpu] [--runner vaele|vaenn]
+Usage: python tools/awgn_tpu_bench.py [--epochs N] [--runs R] [--rb B]
+       [--cpu] [--runner vaele|vaenn]
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def measure(runner_name: str, epochs: int) -> list[dict]:
+def measure(runner_name: str, epochs: int, runs: int, rb: int) -> list[dict]:
     import jax
     import numpy as np
 
@@ -40,13 +44,18 @@ def measure(runner_name: str, epochs: int) -> list[dict]:
         runner = train_vae_nn_awgn
     n_train_total = cfg.num_epochs * cfg.n_train
 
-    for label, kw in (("compiled", {"compiled": True}),
-                      ("frame-kernel", {"use_pallas": "frame"})):
+    cases = [("compiled", {"compiled": True}, 1),
+             ("frame-kernel", {"use_pallas": "frame"}, 1)]
+    if runner_name == "vaele" and runs:
+        cases.append((f"frame-kernel-rb{rb}x{runs}",
+                      {"use_pallas": "frame", "runs": runs, "runs_batch": rb},
+                      runs))
+    for label, kw, n_runs in cases:
         timings: dict = {}
         out = runner(cfg, jax.random.PRNGKey(0), timings=timings, **kw)
         rows.append({
             "runner": f"{runner_name}+{label}",
-            "trained_sym_per_sec": n_train_total / timings["run_s"],
+            "trained_sym_per_sec": n_runs * n_train_total / timings["run_s"],
             "wall_best_s": timings["run_s"],
             "compile_s": timings["compile_s"],
             "final_ser": float(np.asarray(out["ser"]).reshape(-1)[-1]),
@@ -58,6 +67,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--runner", choices=["vaele", "vaenn", "all"], default="all")
+    ap.add_argument("--runs", type=int, default=20,
+                    help="aggregate repeat count for the vaele rb row (0 = off)")
+    ap.add_argument("--rb", type=int, default=5,
+                    help="kernel-level runs batch for the aggregate row")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU plumbing check (pallas interpret mode)")
@@ -75,6 +88,7 @@ def main():
         import vae_equalizer_tpu.ops.siso_frame_kernel as sfk
 
         for mod, name in ((sfk, "vae_siso_experiment_train_pallas"),
+                          (sfk, "vae_siso_experiment_train_pallas_rb"),
                           (nfk, "vae_nn_experiment_train_pallas")):
             orig = getattr(mod, name)
             setattr(mod, name,
@@ -82,7 +96,7 @@ def main():
 
     names = ["vaele", "vaenn"] if args.runner == "all" else [args.runner]
     for name in names:
-        for row in measure(name, args.epochs):
+        for row in measure(name, args.epochs, args.runs, args.rb):
             print(json.dumps(row), flush=True)
 
 

@@ -338,6 +338,32 @@ def main():
         pairs=[(0, 1e-3, 2e-4), (1, 1e-3, 2e-5), (3, 1e-4, 1e-3)],  # w, h, losses
     )
 
+    # runs-batched whole-experiment SISO kernel: R=2 independent experiments
+    from vae_equalizer_tpu.ops.siso_frame_kernel import (
+        vae_siso_experiment_train_pallas_rb,
+    )
+
+    ws2 = jnp.stack([ws, jnp.asarray(
+        np.asarray(ws) + 0.01 * rng.normal(size=ws.shape).astype(np.float32))])
+    hs2 = jnp.stack([hs, jnp.asarray(
+        np.asarray(hs) + 0.01 * rng.normal(size=hs.shape).astype(np.float32))])
+    rx_ep2 = jnp.asarray(rng.normal(size=(2, 2, 2, 400)).astype(np.float32) * 0.5)
+    sopt2 = siso_frame_opt_init({"w": ws2, "h": hs2})
+
+    def siso_rb_run(interpret):
+        return vae_siso_experiment_train_pallas_rb(
+            ws2, hs2, sopt2, rx_ep2, amps_np, amp_mean, var_s, p_np,
+            jnp.float32(5e-3), bl_sym=100, n_batches=2, epe=2,
+            interpret=interpret,
+        )
+
+    check(
+        "runs-batched SISO experiment kernel (R=2, 2 epochs)",
+        lambda: siso_rb_run(False),
+        lambda: siso_rb_run(True),
+        pairs=[(0, 1e-3, 2e-4), (1, 1e-3, 2e-5), (3, 1e-4, 1e-3)],  # w, h, losses
+    )
+
     # whole-experiment VAE-NN kernel: 2 epochs x 2 minibatches on-chip
     from vae_equalizer_tpu.models import vae_nn_init
     from vae_equalizer_tpu.ops.nn_frame_kernel import (

@@ -25,6 +25,10 @@ def main(argv=None):
                    help="whole-EXPERIMENT fused kernel: all epochs' steps + "
                         "AMSGrad in one MXU pallas call, evals batched "
                         "(ops/siso_frame_kernel.py; sps=2, odd M)")
+    p.add_argument("--runs-batch", type=int, default=None,
+                   help="with --pallas-frame: repeats per kernel-level batch "
+                        "(runs-batched experiment kernel; default: largest "
+                        "divisor of iters <= 8)")
     args = p.parse_args(argv)
     if args.pallas and args.pallas_frame:
         p.error("--pallas and --pallas-frame are mutually exclusive")
@@ -45,7 +49,9 @@ def main(argv=None):
         tag=f"VAELE_shaping_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, **sweep_resume_kwargs(args),
         runner_kwargs={"use_pallas": True} if args.pallas
-        else {"use_pallas": "frame"} if args.pallas_frame else None,
+        else {"use_pallas": "frame",
+              **({"runs_batch": args.runs_batch} if args.runs_batch else {})}
+        if args.pallas_frame else None,
     )
     ser = assemble_mat(results, axes_values, iters, ())
     save_results(args.out, f"VAELE_shaping_{args.nu[0]}_{args.channel}_{args.mod}", {

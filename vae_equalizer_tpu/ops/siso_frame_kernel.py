@@ -50,7 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .frame_kernel import _support_masks
 
-__all__ = ["siso_frame_opt_init", "vae_siso_experiment_train_pallas"]
+__all__ = [
+    "siso_frame_opt_init",
+    "vae_siso_experiment_train_pallas",
+    "vae_siso_experiment_train_pallas_rb",
+]
 
 _B1 = 0.9
 _B2 = 0.999
@@ -442,6 +446,489 @@ def vae_siso_experiment_train_pallas(
     h_evals = _from_parity_major(h_ev, m)
     return (
         w_o.reshape(1, 2, m),
+        _from_parity_major(h_o, m),
+        opt_new,
+        losses,
+        w_evals,
+        h_evals,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Runs-batched variant: R independent experiments in ONE pallas_call
+# ---------------------------------------------------------------------------
+
+def _bdot(a, b, contract=((2,), (1,))):
+    """Runs-batched matmul: contract over given dims, batch over dim 0."""
+    return jax.lax.dot_general(
+        a, b, (contract, ((0,), (0,))), preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+
+def _kernel_rb(
+    xpe_ref, xpo_ref, rx_ref, rxe_ref, rxo_ref,
+    maskpm_ref, masktpm_ref, ampsf_ref, pfull_ref, tmask_ref,
+    pair_ref, iqsel_ref, maskiq8_ref, ones_l8_ref, oneslev_ref, ones2n_ref,
+    csum_ref,
+    w_in, h_in, mw_in, vw_in, xw_in, mh_in, vh_in, xh_in, scal_ref,
+    w_out, h_out, mw_out, vw_out, xw_out, mh_out, vh_out, xh_out,
+    stats_ref, wev_ref, hev_ref,
+    w_sc, h_sc, mw_sc, vw_sc, xw_sc, mh_sc, vh_sc, xh_sc,
+    xbig_sc, q_sc, nrep_sc, tmp_sc, eqv_sc, eq_sc, eqwin_sc, gdwin_sc,
+    ctd_sc, ct2_sc, d_sc, gd_sc, rxal_sc, ghm_sc, gh_sc, geq_sc, gg_sc,
+    gdpad_sc, gfac_sc, st_sc, cmb_sc, stats_sc,
+    *, n_sym, m, n_lev,
+):
+    """Runs-batched AWGN SISO whole-experiment body.
+
+    Same math as ``_kernel`` with a leading runs dim R on every tensor,
+    written under the Mosaic-safe construct policy of the DP rb body
+    (ops/frame_kernel.py): batched dot_generals + same-shape elementwise
+    ops + ref-slice loads/stores only; all lane-total scalars ride the
+    stacked-sum matmul; sublane-sliced values are parked in scratch first.
+    Per the probe4 cost model the binding cost at R > 1 is the NUMBER of
+    batched dots: this body uses 18 per step.
+
+    The im2col arrangement is built IN-KERNEL from padded parity streams
+    (xpe/xpo = pad(rx)(even/odd samples)): row (c, k) of the I block is the
+    contiguous parity-(k) slice starting at k//2 — streaming raw samples
+    instead of the host-side im2col cuts the per-step HBM traffic ~25x
+    (the (steps, R, 2M, 2N) f32 stream would be ~1.7 GB at R=8).
+    """
+    mi = pl.program_id(0)
+    n_samp = 2 * n_sym
+    mh = m // 2
+    mhe = mh + 1
+    n_eff = float(n_samp - 2 * mh)
+    ne = n_sym - mh
+    k_st = 11 + n_lev  # stacked-sum rows: 2 c_base + 4 cross + 4 dd + 1 E + KL
+    f32 = jnp.float32
+
+    @pl.when(mi == 0)
+    def _():
+        w_sc[...] = w_in[...]
+        h_sc[...] = h_in[...]
+        mw_sc[...] = mw_in[...]
+        vw_sc[...] = vw_in[...]
+        xw_sc[...] = xw_in[...]
+        mh_sc[...] = mh_in[...]
+        vh_sc[...] = vh_in[...]
+        xh_sc[...] = xh_in[...]
+        # zero-once scratches: every step stores the same static regions
+        st_sc[...] = jnp.zeros(st_sc.shape, f32)
+        ctd_sc[...] = jnp.zeros(ctd_sc.shape, f32)
+        gdpad_sc[...] = jnp.zeros(gdpad_sc.shape, f32)
+        stats_sc[...] = jnp.zeros(stats_sc.shape, f32)
+
+    var = scal_ref[0, 0]
+    amp_mean = scal_ref[0, 1]
+    eps = scal_ref[0, 2]
+    lr = scal_ref[0, 3]
+    inv_var = 1.0 / var
+
+    # ---------------- in-kernel im2col: xbig rows (c*M + k), lanes [I | Q]
+    # I block: row c reads rx component c; Q block: c=0 reads rx1, c=1 reads
+    # -rx0 (the host-side arrange of the single-run wrapper)
+    for k in range(m):
+        src = xpe_ref if k % 2 == 0 else xpo_ref
+        a = k // 2
+        s0 = src[0, :, 0:1, a : a + n_sym]
+        s1 = src[0, :, 1:2, a : a + n_sym]
+        xbig_sc[:, k : k + 1, 0:n_sym] = s0
+        xbig_sc[:, m + k : m + k + 1, 0:n_sym] = s1
+        xbig_sc[:, k : k + 1, n_sym : 2 * n_sym] = s1
+        xbig_sc[:, m + k : m + k + 1, n_sym : 2 * n_sym] = -s0
+
+    # ---------------- forward + per-component mean-|.| normalization
+    out = _bdot(w_sc[...], xbig_sc[...])  # (R, 1, 2N) lanes [out_I | out_Q]
+    sums8 = _bdot(jnp.abs(out), maskiq8_ref[...])  # (R, 1, 8): I, Q sums
+    k2 = (amp_mean * float(n_sym)) / sums8[:, :, 0:2]  # (R, 1, 2)
+    krow = _bdot(k2, iqsel_ref[...])  # (R, 1, 2N): k_i | k_q
+    norm = out * krow
+    for l in range(n_lev):  # row-replicate for the demapper (stores, not dots)
+        nrep_sc[:, l : l + 1, :] = norm
+
+    # ---------------- demapper (twoFIR: d^2/var) over 2N lanes, all levels
+    dlt = nrep_sc[...] - ampsf_ref[...]
+    q_sc[...] = dlt * dlt * inv_var  # metric parked for the min row-chain
+    mm = q_sc[:, 0:1, :]
+    for l in range(1, n_lev):
+        mm = jnp.minimum(mm, q_sc[:, l : l + 1, :])
+    for l in range(n_lev):
+        tmp_sc[:, l : l + 1, :] = mm
+    ex = jnp.exp(tmp_sc[...] - q_sc[...])
+    q_sc[...] = ex
+    eqv_sc[...] = _bdot(oneslev_ref[...], ex)  # rows: S1 | Sum a.ex | Sum a2.ex
+    r1 = 1.0 / eqv_sc[:, 0:1, :]
+    for l in range(n_lev):
+        tmp_sc[:, l : l + 1, :] = r1
+    q_sc[...] = ex * tmp_sc[...]  # normalized posteriors
+    eqrow = eqv_sc[:, 1:2, :] * r1  # (R, 1, 2N) E_q
+    vrow = eqv_sc[:, 2:3, :] * r1 - eqrow * eqrow
+    eq_sc[:, 0:1, :] = eqrow[:, :, 0:n_sym]
+    eq_sc[:, 1:2, :] = eqrow[:, :, n_sym : 2 * n_sym]
+    vsum = vrow[:, :, 0:n_sym] + vrow[:, :, n_sym : 2 * n_sym]  # (R, 1, N)
+
+    # ---------------- D conv: both parities in ONE block-diag matmul
+    r = 0
+    for g in range(2):  # rows (EqI, EqQ), even taps
+        for a in range(mhe):
+            eqwin_sc[:, r : r + 1, :] = eq_sc[:, g : g + 1, mh - a : n_sym - a]
+            r += 1
+    for g in range(2):  # odd taps
+        for a in range(mh):
+            eqwin_sc[:, r : r + 1, :] = eq_sc[:, g : g + 1, mh - a : n_sym - a]
+            r += 1
+    # ctd rows 0-1 = CT_e in lanes [0:2mhe]; rows 2-3 = CT_o in [2mhe:2M]
+    ctd_sc[:, 0:1, 0:mhe] = h_sc[:, 0:1, 0:mhe]
+    ctd_sc[:, 0:1, mhe : 2 * mhe] = -h_sc[:, 1:2, 0:mhe]
+    ctd_sc[:, 1:2, 0:mhe] = h_sc[:, 1:2, 0:mhe]
+    ctd_sc[:, 1:2, mhe : 2 * mhe] = h_sc[:, 0:1, 0:mhe]
+    ctd_sc[:, 2:3, 2 * mhe : 2 * mhe + mh] = h_sc[:, 0:1, mhe:m]
+    ctd_sc[:, 2:3, 2 * mhe + mh : 2 * m] = -h_sc[:, 1:2, mhe:m]
+    ctd_sc[:, 3:4, 2 * mhe : 2 * mhe + mh] = h_sc[:, 1:2, mhe:m]
+    ctd_sc[:, 3:4, 2 * mhe + mh : 2 * m] = h_sc[:, 0:1, mhe:m]
+    d_sc[...] = _bdot(ctd_sc[...], eqwin_sc[...])  # rows (re_e, im_e, re_o, im_o)
+
+    # ---------------- E term
+    s_cat = _bdot(vsum, maskpm_ref[...])  # (R, 1, M) parity-major
+    habsq = (h_sc[:, 0:1, :] * h_sc[:, 0:1, :]
+             + h_sc[:, 1:2, :] * h_sc[:, 1:2, :])  # (R, 1, M)
+
+    # ---------------- stacked-sum rows -> ONE matmul pair for C, KL
+    rx_w = rx_ref[0][:, :, mh : n_samp - mh]
+    st_sc[:, 0:2, 0 : n_samp - 2 * mh] = rx_w * rx_w
+    rxe = rxe_ref[0]
+    rxo = rxo_ref[0]
+    if mh % 2 == 0:
+        rxal_sc[:, 0:2, :] = rxe[:, :, mh - mh // 2 : n_sym - mh // 2]
+        rxal_sc[:, 2:4, :] = rxo[:, :, mh - mh // 2 : n_sym - mh // 2]
+    else:
+        rxal_sc[:, 0:2, :] = rxo[:, :, mh - (mh + 1) // 2 : n_sym - (mh + 1) // 2]
+        rxal_sc[:, 2:4, :] = rxe[:, :, mh - mh // 2 : n_sym - mh // 2]
+    st_sc[:, 2:6, 0:ne] = rxal_sc[...] * d_sc[...]
+    st_sc[:, 6:10, 0:ne] = d_sc[...] * d_sc[...]
+    st_sc[:, 10:11, 0:m] = habsq * s_cat
+    ratio = q_sc[...] / pfull_ref[...]
+    st_sc[:, 11:k_st, :] = -q_sc[...] * jnp.log(ratio + eps) * tmask_ref[...]
+    tot = _bdot(st_sc[...], ones_l8_ref[...])  # (R, k_st, 8)
+    cmb_sc[...] = _bdot(csum_ref[...], tot)  # (R, 2, 8): rows c | kl
+    c8 = cmb_sc[:, 0:1, :]
+    loss8 = n_eff * jnp.log(c8) - cmb_sc[:, 1:2, :]
+    stats_sc[:, :, 0:8] = loss8
+    stats_ref[0] = stats_sc[...]
+
+    # ================ backward ================
+    cbig = _bdot(cmb_sc[:, 0:1, 0:1], ones2n_ref[...])  # (R, 1, 2N) c repl.
+    g_c = n_eff / cbig
+    for rr in range(4):
+        gfac_sc[:, rr : rr + 1, :] = g_c[:, :, 0:ne]
+    gd_sc[...] = gfac_sc[...] * (2.0 * d_sc[...] - 2.0 * rxal_sc[...])
+
+    # ---- gh: merged-parity ghm + the 2 g_c h s correction rows
+    ghm_sc[...] = _bdot(gd_sc[...], eqwin_sc[...], ((2,), (2,)))  # (R, 4, 2M)
+    gc_m = g_c[:, :, 0:m]
+    gh_sc[:, 0:1, 0:mhe] = (
+        ghm_sc[:, 0:1, 0:mhe] + ghm_sc[:, 1:2, mhe : 2 * mhe]
+        + 2.0 * gc_m[:, :, 0:mhe] * h_sc[:, 0:1, 0:mhe] * s_cat[:, :, 0:mhe]
+    )
+    gh_sc[:, 1:2, 0:mhe] = (
+        -ghm_sc[:, 0:1, mhe : 2 * mhe] + ghm_sc[:, 1:2, 0:mhe]
+        + 2.0 * gc_m[:, :, 0:mhe] * h_sc[:, 1:2, 0:mhe] * s_cat[:, :, 0:mhe]
+    )
+    gh_sc[:, 0:1, mhe:m] = (
+        ghm_sc[:, 2:3, 2 * mhe : 2 * mhe + mh] + ghm_sc[:, 3:4, 2 * mhe + mh : 2 * m]
+        + 2.0 * gc_m[:, :, 0:mh] * h_sc[:, 0:1, mhe:m] * s_cat[:, :, mhe:m]
+    )
+    gh_sc[:, 1:2, mhe:m] = (
+        -ghm_sc[:, 2:3, 2 * mhe + mh : 2 * m] + ghm_sc[:, 3:4, 2 * mhe : 2 * mhe + mh]
+        + 2.0 * gc_m[:, :, 0:mh] * h_sc[:, 1:2, mhe:m] * s_cat[:, :, mhe:m]
+    )
+
+    # ---- gEq: lane-concat CT2 @ stacked gDwin (both parities, one matmul)
+    gdpad_sc[:, :, mh : mh + ne] = gd_sc[...]
+    r = 0
+    for cpt in range(2):  # (d_re, d_im), even taps (gd rows 0-1)
+        for a in range(mhe):
+            gdwin_sc[:, r : r + 1, :] = gdpad_sc[:, cpt : cpt + 1, a : a + n_sym]
+            r += 1
+    for cpt in range(2):  # odd taps (gd rows 2-3)
+        for a in range(mh):
+            gdwin_sc[:, r : r + 1, :] = gdpad_sc[:, 2 + cpt : 3 + cpt, a : a + n_sym]
+            r += 1
+    ct2_sc[:, 0:1, 0:mhe] = h_sc[:, 0:1, 0:mhe]
+    ct2_sc[:, 0:1, mhe : 2 * mhe] = h_sc[:, 1:2, 0:mhe]
+    ct2_sc[:, 1:2, 0:mhe] = -h_sc[:, 1:2, 0:mhe]
+    ct2_sc[:, 1:2, mhe : 2 * mhe] = h_sc[:, 0:1, 0:mhe]
+    ct2_sc[:, 0:1, 2 * mhe : 2 * mhe + mh] = h_sc[:, 0:1, mhe:m]
+    ct2_sc[:, 0:1, 2 * mhe + mh : 2 * m] = h_sc[:, 1:2, mhe:m]
+    ct2_sc[:, 1:2, 2 * mhe : 2 * mhe + mh] = -h_sc[:, 1:2, mhe:m]
+    ct2_sc[:, 1:2, 2 * mhe + mh : 2 * m] = h_sc[:, 0:1, mhe:m]
+    geq_sc[...] = _bdot(ct2_sc[...], gdwin_sc[...])  # (R, 2, N) rows (I, Q)
+
+    # ---- gV -> 2N row
+    gco = g_c[:, :, 0:m] * habsq
+    gv = _bdot(gco, masktpm_ref[...])  # (R, 1, N)
+
+    # ---- softmin VJP: gg rows (g_eq_r | gv), levels via ONE pair matmul
+    gg_sc[:, 0:1, 0:n_sym] = geq_sc[:, 0:1, :]
+    gg_sc[:, 0:1, n_sym : 2 * n_sym] = geq_sc[:, 1:2, :]
+    gg_sc[:, 1:2, 0:n_sym] = gv
+    gg_sc[:, 1:2, n_sym : 2 * n_sym] = gv
+    gg_sc[:, 0:1, :] = gg_sc[:, 0:1, :] - 2.0 * eqrow * gg_sc[:, 1:2, :]
+    gq = _bdot(pair_ref[...], gg_sc[...])  # (R, n_lev, 2N): a*g_eq_r + a^2*gv
+    gq = gq + (jnp.log(ratio + eps) + ratio / (ratio + eps)) * tmask_ref[...]
+    inner = _bdot(oneslev_ref[:, 0:1, :], q_sc[...] * gq)  # (R, 1, 2N)
+    for l in range(n_lev):
+        tmp_sc[:, l : l + 1, :] = inner
+    gm = -q_sc[...] * (gq - tmp_sc[...])
+    gnorm = _bdot(
+        oneslev_ref[:, 0:1, :], gm * (nrep_sc[...] - ampsf_ref[...])
+    ) * (2.0 * inv_var)  # (R, 1, 2N)
+
+    # ---- normalization VJP per component
+    dsum8 = _bdot(gnorm * norm, maskiq8_ref[...])  # (R, 1, 8)
+    dotrow = _bdot(dsum8[:, :, 0:2], iqsel_ref[...])  # (R, 1, 2N)
+    gout = krow * (gnorm - jnp.sign(out) * dotrow / (float(n_sym) * amp_mean))
+
+    # ---- gw: one matmul over both components
+    gw = _bdot(gout, xbig_sc[...], ((2,), (2,)))  # (R, 1, 2M)
+
+    # ================ in-kernel AMSGrad (optax semantics) ================
+    t = mi.astype(jnp.float32) + 1.0
+    bc1 = 1.0 - jnp.exp(t * math.log(_B1))
+    bc2 = 1.0 - jnp.exp(t * math.log(_B2))
+
+    def ams(m_s, v_s, x_s, p_s, g):
+        m_s[...] = _B1 * m_s[...] + (1.0 - _B1) * g
+        v_s[...] = _B2 * v_s[...] + (1.0 - _B2) * g * g
+        x_s[...] = jnp.maximum(x_s[...], v_s[...] / bc2)
+        p_s[...] = p_s[...] - lr * (m_s[...] / bc1) / (jnp.sqrt(x_s[...]) + _EPS)
+
+    ams(mw_sc, vw_sc, xw_sc, w_sc, gw)
+    ams(mh_sc, vh_sc, xh_sc, h_sc, gh_sc[...])
+
+    w_out[...] = w_sc[...]
+    h_out[...] = h_sc[...]
+    mw_out[...] = mw_sc[...]
+    vw_out[...] = vw_sc[...]
+    xw_out[...] = xw_sc[...]
+    mh_out[...] = mh_sc[...]
+    vh_out[...] = vh_sc[...]
+    xh_out[...] = xh_sc[...]
+    wev_ref[0] = w_sc[...]
+    hev_ref[0] = h_sc[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bl_sym", "n_batches", "epe", "interpret")
+)
+def vae_siso_experiment_train_pallas_rb(
+    w, h, opt, rx_epochs, amps, amp_mean, var, P, lr,
+    *, bl_sym: int, n_batches: int, epe: int, interpret: bool = False,
+):
+    """Run R independent FULL AWGN SISO VAE experiments in one pallas_call.
+
+    Runs-batched variant of ``vae_siso_experiment_train_pallas``: every
+    tensor gains a leading runs dim R and one grid step trains one
+    minibatch of ALL runs via batched MXU dots (the aggregate formulation
+    that replaced vmap-over-pallas on the DP side — vmap prepends a SERIAL
+    grid dim; see ops/frame_kernel.py:vae_dp_frame_train_pallas_rb).
+
+    w: (R, 1, 2, M); h: (R, 2, M); opt: siso_frame_opt_init moments with a
+    leading R; rx_epochs: (R, num_epochs, 2, n_samp); amps/var/P/lr shared
+    by all runs (the reference's runs differ only by noise realization,
+    func_VAELE_MQAM_shaping.py:291-322). sps=2, odd M only.
+
+    Instead of streaming the (steps, R, 2M, 2N) im2col (25x the signal),
+    the kernel streams the padded even/odd parity sample streams and
+    assembles the im2col rows in VMEM (row (c, k) is the contiguous
+    parity-(k%2) slice starting at k//2).
+
+    Returns (w', h', opt', losses (steps, R), w_evals, h_evals) with the
+    same eval-slot semantics as the single-run wrapper, each carrying a
+    runs axis after the slot axis.
+    """
+    n_rb = w.shape[0]
+    m = w.shape[-1]
+    assert m % 2 == 1, "odd tap count only"
+    n_sym = bl_sym
+    n_samp_mb = 2 * bl_sym
+    n_lev = amps.shape[0]
+    mh = m // 2
+    mhe = mh + 1
+    num_epochs = rx_epochs.shape[1]
+    steps = num_epochs * n_batches
+    n_evals = num_epochs // epe
+    k_st = 11 + n_lev
+    n2 = 2 * n_sym
+
+    # (R, E, 2, n_samp) -> (steps, R, 2, n_samp_mb), step = e * n_batches + b
+    rx_mb = rx_epochs[:, :, :, : n_batches * n_samp_mb].reshape(
+        n_rb, num_epochs, 2, n_batches, n_samp_mb
+    )
+    rx_mb = jnp.transpose(rx_mb, (1, 3, 0, 2, 4)).reshape(
+        steps, n_rb, 2, n_samp_mb
+    )
+
+    # padded parity streams for the in-kernel im2col: pad (mh, mh) then
+    # split parities; col k of the im2col = stream[k % 2][k//2 : k//2 + N]
+    xp = jnp.pad(rx_mb, ((0, 0), (0, 0), (0, 0), (mh, mh)))
+    xpe = xp[..., 0::2]  # (steps, R, 2, mh + n_sym)
+    xpo = xp[..., 1::2]
+    rxe = rx_mb[..., 0::2]
+    rxo = rx_mb[..., 1::2]
+
+    import numpy as _np
+
+    f32 = jnp.float32
+    bcast = lambda a: jnp.broadcast_to(jnp.asarray(a, f32), (n_rb,) + a.shape)
+    mask_e, mask_o = _support_masks(m, n_sym)
+    mask_pm = _np.concatenate([mask_e, mask_o], axis=1)  # (N, M) parity-major
+    maskpm3 = bcast(mask_pm)
+    masktpm3 = bcast(mask_pm.T.copy())
+
+    amps_f = amps.astype(f32)
+    brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_rb, n_lev, n2))
+    ampsf3 = brow(amps_f)
+    pfull3 = brow(P.astype(f32))
+    t_np = _np.arange(n_sym)
+    inner_np = ((t_np >= mh) & (t_np < n_sym - mh)).astype(_np.float32)
+    tmask3 = jnp.broadcast_to(
+        jnp.asarray(_np.tile(inner_np, 2))[None, None, :], (n_rb, n_lev, n2)
+    )
+    pair3 = jnp.broadcast_to(
+        jnp.stack([amps_f, amps_f * amps_f], axis=1)[None], (n_rb, n_lev, 2)
+    )
+    iqsel_np = _np.zeros((2, n2), _np.float32)
+    iqsel_np[0, :n_sym] = 1.0
+    iqsel_np[1, n_sym:] = 1.0
+    iqsel3 = bcast(iqsel_np)
+    maskiq8_np = _np.zeros((n2, 8), _np.float32)
+    maskiq8_np[:n_sym, 0] = 1.0
+    maskiq8_np[n_sym:, 1] = 1.0
+    maskiq83 = bcast(maskiq8_np)
+    ones_l8 = jnp.ones((n_rb, n2, 8), f32)
+    oneslev3 = jnp.broadcast_to(
+        jnp.stack([jnp.ones((n_lev,), f32), amps_f, amps_f * amps_f])[None],
+        (n_rb, 3, n_lev),
+    )
+    ones2n = jnp.ones((n_rb, 1, n2), f32)
+    csum_np = _np.zeros((2, k_st), _np.float32)
+    csum_np[0, 0:2] = 1.0       # c_base rows
+    csum_np[0, 2:6] = -2.0      # cross rows
+    csum_np[0, 6:10] = 1.0      # dd rows
+    csum_np[0, 10] = 1.0        # E row
+    csum_np[1, 11:k_st] = 1.0   # KL rows
+    csum3 = bcast(csum_np)
+
+    w2 = w.reshape(n_rb, 1, 2 * m)
+    h8 = _to_parity_major(h)
+    opt_w = [opt[k].reshape(n_rb, 1, 2 * m) for k in ("mw", "vw", "xw")]
+    opt_h = [_to_parity_major(opt[k]) for k in ("mh", "vh", "xh")]
+    scal = jnp.stack(
+        [var, jnp.float32(amp_mean), jnp.float32(1e-12), jnp.float32(lr)]
+        + [jnp.float32(0.0)] * 4
+    ).reshape(1, 8).astype(f32)
+
+    kernel = functools.partial(_kernel_rb, n_sym=n_sym, m=m, n_lev=n_lev)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    per_mb4 = lambda c, l: pl.BlockSpec(
+        (1, n_rb, c, l), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    ev_idx = lambda mi: ((mi // n_batches + epe - 1) // epe, 0, 0, 0)
+
+    (w_o, h_o, mw_o, vw_o, xw_o, mh_o, vh_o, xh_o, stats, w_ev, h_ev) = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rb, 1, 2 * m), f32),
+            jax.ShapeDtypeStruct((n_rb, 2, m), f32),
+            jax.ShapeDtypeStruct((n_rb, 1, 2 * m), f32),
+            jax.ShapeDtypeStruct((n_rb, 1, 2 * m), f32),
+            jax.ShapeDtypeStruct((n_rb, 1, 2 * m), f32),
+            jax.ShapeDtypeStruct((n_rb, 2, m), f32),
+            jax.ShapeDtypeStruct((n_rb, 2, m), f32),
+            jax.ShapeDtypeStruct((n_rb, 2, m), f32),
+            jax.ShapeDtypeStruct((steps, n_rb, 1, 128), f32),
+            jax.ShapeDtypeStruct((n_evals + 1, n_rb, 1, 2 * m), f32),
+            jax.ShapeDtypeStruct((n_evals + 1, n_rb, 2, m), f32),
+        ),
+        in_specs=[
+            per_mb4(2, mh + n_sym),   # xpe
+            per_mb4(2, mh + n_sym),   # xpo
+            per_mb4(2, n_samp_mb),    # rx
+            per_mb4(2, n_sym),        # rxe
+            per_mb4(2, n_sym),        # rxo
+            full(), full(),           # maskpm, masktpm
+            full(), full(), full(),   # ampsf, pfull, tmask
+            full(), full(), full(),   # pair, iqsel, maskiq8
+            full(), full(), full(),   # ones_l8, oneslev, ones2n
+            full(),                   # csum
+            full(), full(), full(), full(), full(), full(), full(), full(),
+            pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            full(), full(), full(), full(), full(), full(), full(), full(),
+            pl.BlockSpec(
+                (1, n_rb, 1, 128), lambda mi: (mi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, n_rb, 1, 2 * m), ev_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_rb, 2, m), ev_idx, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_rb, 1, 2 * m), f32),   # w
+            pltpu.VMEM((n_rb, 2, m), f32),       # h (parity-major)
+            pltpu.VMEM((n_rb, 1, 2 * m), f32),   # mw
+            pltpu.VMEM((n_rb, 1, 2 * m), f32),   # vw
+            pltpu.VMEM((n_rb, 1, 2 * m), f32),   # xw (nu_max)
+            pltpu.VMEM((n_rb, 2, m), f32),       # mh
+            pltpu.VMEM((n_rb, 2, m), f32),       # vh
+            pltpu.VMEM((n_rb, 2, m), f32),       # xh
+            pltpu.VMEM((n_rb, 2 * m, n2), f32),  # xbig (in-kernel im2col)
+            pltpu.VMEM((n_rb, n_lev, n2), f32),  # q / metric
+            pltpu.VMEM((n_rb, n_lev, n2), f32),  # nrep (norm replicated)
+            pltpu.VMEM((n_rb, n_lev, n2), f32),  # tmp (row replications)
+            pltpu.VMEM((n_rb, 3, n2), f32),      # eqv moment rows
+            pltpu.VMEM((n_rb, 2, n_sym), f32),   # eq rows (I, Q)
+            pltpu.VMEM((n_rb, 2 * m, n_sym - mh), f32),  # eqwin (e|o stack)
+            pltpu.VMEM((n_rb, 2 * m, n_sym), f32),       # gdwin (e|o stack)
+            pltpu.VMEM((n_rb, 4, 2 * m), f32),   # ctd (block-diag coeffs)
+            pltpu.VMEM((n_rb, 2, 2 * m), f32),   # ct2 (lane-concat coeffs)
+            pltpu.VMEM((n_rb, 4, n_sym - mh), f32),  # d (e|o rows)
+            pltpu.VMEM((n_rb, 4, n_sym - mh), f32),  # gd
+            pltpu.VMEM((n_rb, 4, n_sym - mh), f32),  # rx aligned rows
+            pltpu.VMEM((n_rb, 4, 2 * m), f32),   # ghm
+            pltpu.VMEM((n_rb, 2, m), f32),       # gh assembly
+            pltpu.VMEM((n_rb, 2, n_sym), f32),   # gEq rows
+            pltpu.VMEM((n_rb, 2, n2), f32),      # (g_eq_r | gv) rows
+            pltpu.VMEM((n_rb, 4, n_sym + mh), f32),  # gd padded
+            pltpu.VMEM((n_rb, 4, n_sym - mh), f32),  # gfac rows
+            pltpu.VMEM((n_rb, k_st, n2), f32),   # sum stack
+            pltpu.VMEM((n_rb, 2, 8), f32),       # combined sums (c | kl)
+            pltpu.VMEM((n_rb, 1, 128), f32),     # stats rows
+        ],
+        interpret=interpret,
+    )(
+        xpe, xpo, rx_mb, rxe, rxo,
+        maskpm3, masktpm3, ampsf3, pfull3, tmask3,
+        pair3, iqsel3, maskiq83, ones_l8, oneslev3, ones2n, csum3,
+        w2, h8, *opt_w, *opt_h, scal,
+    )
+
+    losses = stats[:, :, 0, 0]  # (steps, R)
+    opt_new = {
+        "mw": mw_o.reshape(n_rb, 1, 2, m), "vw": vw_o.reshape(n_rb, 1, 2, m),
+        "xw": xw_o.reshape(n_rb, 1, 2, m),
+        "mh": _from_parity_major(mh_o, m), "vh": _from_parity_major(vh_o, m),
+        "xh": _from_parity_major(xh_o, m),
+    }
+    w_evals = w_ev[:, :, 0, :].reshape(n_evals + 1, n_rb, 1, 2, m)
+    h_evals = _from_parity_major(h_ev, m)
+    return (
+        w_o.reshape(n_rb, 1, 2, m),
         _from_parity_major(h_o, m),
         opt_new,
         losses,

@@ -164,7 +164,7 @@ def _siso_eval_pack(q, tx, n_valid, const, amps, P):
 
 def _run_siso_frame_experiment(
     cfg, key, gen_train, gen_valid, const, amps, P, var, amp_mean,
-    n_batches, params0, runs, mesh, timings=None,
+    n_batches, params0, runs, mesh, timings=None, runs_batch=None,
 ):
     """use_pallas="frame" driver: whole-experiment kernel + batched eval.
 
@@ -173,12 +173,21 @@ def _run_siso_frame_experiment(
     program over the parameter snapshots the kernel streamed out — the
     reference's serial eval-every-epe-epochs loop has no data dependence
     between evals, so this is semantics-preserving up to key streams.
+
+    With ``runs`` set, repeats execute in kernel-level batches of
+    ``runs_batch`` (default: largest divisor of runs <= 8) through the
+    runs-batched experiment kernel — one grid step trains one minibatch of
+    all rb runs; remaining runs/rb groups ride a vmap of the kernel call
+    ONLY (a vmapped pallas_call serializes its grid steps; channel
+    generation and the evals batch over ALL runs as plain XLA).
     """
     from ..ops.siso_frame_kernel import (
         siso_frame_opt_init,
         vae_siso_experiment_train_pallas,
+        vae_siso_experiment_train_pallas_rb,
     )
     from .batching import shard_runs
+    from .dp import _default_runs_batch
 
     n_evals = cfg.num_epochs // cfg.epe
     train_keys = jax.random.split(key, cfg.num_epochs)
@@ -203,29 +212,83 @@ def _run_siso_frame_experiment(
         packed = jax.vmap(one_eval)(w_ev[:n_evals], eks)
         return packed, {"w": w1, "h": h1}
 
-    if runs is None:
-        fn = jax.jit(lambda: one_run(jnp.zeros((1,), jnp.uint32)))
+    def _timed(fn):
         if timings is None:
-            packed, params = fn()
-        else:
-            import time
+            return fn()
+        import time
 
+        t0 = time.perf_counter()
+        fn_c = fn.lower().compile()
+        timings["compile_s"] = time.perf_counter() - t0
+        best, out = None, None
+        for _ in range(3):
             t0 = time.perf_counter()
-            fn_c = fn.lower().compile()
-            timings["compile_s"] = time.perf_counter() - t0
-            best, out = None, None
-            for _ in range(3):
-                t0 = time.perf_counter()
-                out = jax.block_until_ready(fn_c())
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings["run_s"] = best
-            packed, params = out
+            out = jax.block_until_ready(fn_c())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings["run_s"] = best
+        return out
+
+    if runs is None:
+        packed, params = _timed(
+            jax.jit(lambda: one_run(jnp.zeros((1,), jnp.uint32)))
+        )
         packed = np.asarray(packed)
     else:
+        rb = runs_batch or _default_runs_batch(runs)
+        if runs % rb != 0:
+            raise ValueError(f"runs_batch={rb} must divide runs={runs}")
+        groups = runs // rb
         run_ids = jnp.arange(runs, dtype=jnp.uint32).reshape(runs, 1)
         run_ids = shard_runs(run_ids, mesh)
-        packed, params = jax.jit(jax.vmap(one_run))(run_ids)
+
+        def gen_run(key_run):
+            tks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                train_keys, key_run[0]
+            )
+            rx_all, _ = jax.vmap(gen_train)(tks)  # (E, 2, n_samp)
+            return rx_all
+
+        def eval_run(key_run, w_ev_r):
+            eks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                eval_keys, key_run[0]
+            )
+
+            def one_eval(w_e, ek):
+                rx_v, tx_v = gen_valid(ek)
+                q, _ = vae_le_siso_forward(w_e, rx_v, amps, amp_mean, var, cfg.sps)
+                return _siso_eval_pack(q, tx_v, cfg.n_valid, const, amps, P)
+
+            return jax.vmap(one_eval)(w_ev_r[:n_evals], eks)
+
+        def agg():
+            rx_r = jax.vmap(gen_run)(run_ids)  # (runs, E, 2, n_samp)
+            rx_g = rx_r.reshape((groups, rb) + rx_r.shape[1:])
+            w0 = jnp.broadcast_to(
+                params0["w"], (groups, rb) + params0["w"].shape
+            )
+            h0 = jnp.broadcast_to(
+                params0["h"], (groups, rb) + params0["h"].shape
+            )
+            opt0 = siso_frame_opt_init({"w": w0, "h": h0})
+
+            def kgroup(wg, hg, og, rxg):
+                return vae_siso_experiment_train_pallas_rb(
+                    wg, hg, og, rxg, amps, amp_mean, var, P,
+                    jnp.float32(cfg.lr), bl_sym=cfg.batch_len,
+                    n_batches=n_batches, epe=cfg.epe,
+                )
+
+            w1, h1, _, _, w_ev, _ = jax.vmap(kgroup)(w0, h0, opt0, rx_g)
+            # (groups, n_evals+1, rb, ...) -> per-run (runs, n_evals+1, ...)
+            w_ev_r = jnp.moveaxis(w_ev, 2, 1).reshape(
+                (runs, n_evals + 1) + w_ev.shape[3:]
+            )
+            packed = jax.vmap(eval_run)(run_ids, w_ev_r)  # (runs, n_evals, 3)
+            flat = lambda a: a.reshape((runs,) + a.shape[2:])
+            return packed, {"w": flat(w1), "h": flat(h1)}
+
+        packed, params = _timed(jax.jit(agg))
         packed = np.asarray(packed)
     hist = {n: packed[..., j] for j, n in enumerate(_EVAL_NAMES)}
     return {"ser": hist["ser"], "mi": hist["mi"], "params": params}
@@ -243,6 +306,7 @@ def train_vae_le_awgn(
     checkpoint=None,
     checkpoint_every: int = 0,
     timings: dict | None = None,
+    runs_batch: int | None = None,
 ):
     """VAE-LE training on the AWGN ISI channel.
 
@@ -258,7 +322,10 @@ def train_vae_le_awgn(
     evaluations VECTORIZED afterwards (parameters stream out of the kernel
     at the reference's eval points); its key streams are the compiled
     mode's, so trajectories are statistically (not bitwise) comparable to
-    the loop mode, and ``checkpoint``/``progress`` are unavailable.
+    the loop mode, and ``checkpoint``/``progress`` are unavailable. With
+    ``runs`` set the frame path trains ``runs_batch`` repeats per grid step
+    through the runs-batched experiment kernel (see
+    _run_siso_frame_experiment).
     """
     const = make_constellation(cfg.mod, cfg.nu)
     h_up, m_orig = channel_ir(cfg.channel, cfg.sps)
@@ -282,7 +349,7 @@ def train_vae_le_awgn(
         return _run_siso_frame_experiment(
             cfg, key, gen_train, gen_valid, const, amps, P,
             jnp.float32(var), amp_mean, n_batches, params0, runs, mesh,
-            timings=timings,
+            timings=timings, runs_batch=runs_batch,
         )
 
     opt = optax.amsgrad(cfg.lr)

@@ -47,3 +47,63 @@ def test_small_m_and_tail_coverage():
     assert out_k.shape == out_r.shape == (2, 2, 1037)
     np.testing.assert_allclose(out_k, out_r, rtol=1e-4, atol=2e-6)
     np.testing.assert_allclose(h_k, h_r, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("name,B,S,lr", [
+    ("CMAbatch", 100, 100, 1e-4),
+    ("CMAflex", 100, 20, 5e-5),
+])
+def test_rb_kernel_matches_single_run_stack(name, B, S, lr):
+    """Runs-batched chunk kernel == a stack of single-run kernel calls
+    (n_slots = 1 and > 1 exercise the ring layouts with a leading R)."""
+    from vae_equalizer_tpu.ops.cma_frame_kernel import (
+        cma_chunked_frame_pallas_rb,
+    )
+
+    R = 3
+    rng = np.random.default_rng(11)
+    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 3000)).astype(np.float32))
+    h0 = jnp.stack([
+        dirac_taps_dp(25) + 0.01 * jnp.asarray(
+            rng.normal(size=dirac_taps_dp(25).shape).astype(np.float32))
+        for _ in range(R)
+    ])
+    out_b, h_b, e_b = cma_chunked_frame_pallas_rb(
+        rx, 1.0, h0, lr, B, S, 2, interpret=True
+    )
+    assert out_b.shape == (R, 2, 2, 1500)
+    for r in range(R):
+        out_s, h_s, e_s = cma_chunked_frame_pallas(
+            rx[r], 1.0, h0[r], lr, B, S, 2, interpret=True
+        )
+        np.testing.assert_allclose(out_b[r], out_s, rtol=1e-5, atol=2e-6)
+        np.testing.assert_allclose(h_b[r], h_s, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(e_b[r], e_s, rtol=1e-5, atol=5e-6)
+
+
+def test_cma_frame_experiment_runs_batched(monkeypatch):
+    """runs with use_pallas="frame" ride the kernel-level runs batch; the
+    per-run key streams equal the vmapped scan-engine path, so results must
+    match it to chunk-kernel parity tolerance and runs stay distinct."""
+    import vae_equalizer_tpu.ops.cma_frame_kernel as cfk
+    from vae_equalizer_tpu.train.dp import run_cma_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    orig = cfk.cma_chunked_frame_pallas_rb
+    monkeypatch.setattr(
+        cfk, "cma_chunked_frame_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = DpConfig(
+        loss_type="CMAbatch", mod="4-QAM", snr_db=20.0, num_frames=2,
+        n_frame_max=2000, lr=1e-4, batch_len=100,
+    )
+    key = jax.random.PRNGKey(5)
+    ref = run_cma_dp(cfg, key, runs=4)  # vmapped scan engine
+    res = run_cma_dp(cfg, key, runs=4, use_pallas="frame", runs_batch=2)
+    assert res["ser"].shape == ref["ser"].shape == (4, 4, 2)
+    assert res["taps"].shape == (4, 2, 2, 2, 25)
+    np.testing.assert_allclose(res["ser"], ref["ser"], atol=2e-3)
+    np.testing.assert_allclose(res["taps"], ref["taps"], rtol=1e-4, atol=1e-6)
+    assert len({float(s) for s in res["ser"][:, 0, -1]}) > 1

@@ -22,7 +22,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def measure(loss_type: str, frames: int, n_frame: int, use_pallas=False,
-            compiled: bool = False) -> dict:
+            compiled: bool = False, runs: int | None = None,
+            runs_batch: int | None = None) -> dict:
     import jax
 
     from vae_equalizer_tpu.train import run_cma_dp
@@ -40,17 +41,23 @@ def measure(loss_type: str, frames: int, n_frame: int, use_pallas=False,
         # per-frame-dispatch mode below pays a 10-30 ms tunnel round trip
         # per frame, which dominates at these frame times; train/harness.py)
         timings: dict = {}
+        kw = {} if runs is None else {
+            "runs": runs,
+            **({"runs_batch": runs_batch} if runs_batch else {}),
+        }
         res = run_cma_dp(cfg, jax.random.PRNGKey(0), compiled=True,
-                         use_pallas=use_pallas, timings=timings)
+                         use_pallas=use_pallas, timings=timings, **kw)
+        n_runs = runs or 1
         return {
             "loss_type": loss_type
             + ("+frame-kernel" if use_pallas == "frame"
                else "+pallas" if use_pallas else "")
-            + "+compiled",
-            "symbols_per_sec": frames * n_frame / timings["run_s"],
+            + "+compiled"
+            + (f"+rb{runs_batch or ''}x{runs}" if runs else ""),
+            "symbols_per_sec": n_runs * frames * n_frame / timings["run_s"],
             "sec_per_frame": timings["run_s"] / frames,
             "compile_s": timings["compile_s"],
-            "final_ser_const": np.asarray(res["ser"][:2, -1]).tolist(),
+            "final_ser_const": np.asarray(res["ser"]).reshape(-1)[:2].tolist(),
         }
 
     times = []
@@ -98,11 +105,16 @@ def main():
         # whole-frame MXU chunk kernel (ops/cma_frame_kernel.py): all of a
         # frame's chunked tap updates in one pallas_call
         ("CMAbatch", "frame", True), ("CMAflex", "frame", True),
+        # aggregate: the reference's 5-repeat workload (Eval_run_DP iter=5)
+        # through the runs-batched chunk kernel vs the vmapped scan engine
+        ("CMAbatch", "frame", True, 5, 5), ("CMAflex", "frame", True, 5, 5),
+        ("CMAbatch", False, True, 5, None), ("CMAflex", False, True, 5, None),
     ]
-    for lt, pallas, comp in cases:
+    for lt, pallas, comp, *agg in cases:
+        runs, rb = agg if agg else (None, None)
         try:
             r = measure(lt, args.frames, args.n_frame, use_pallas=pallas,
-                        compiled=comp)
+                        compiled=comp, runs=runs, runs_batch=rb)
             print(json.dumps(r), flush=True)
         except Exception as e:
             print(f"# {lt} pallas={pallas} compiled={comp} FAILED: "

@@ -311,6 +311,29 @@ def main():
         pairs=[(0, 1e-2, 1e-2), (1, 1e-3, 5e-5), (2, 1e-2, 5e-2)],  # out, h, e
     )
 
+    # runs-batched CMA chunk kernel vs per-run single kernel calls, on-chip
+    from vae_equalizer_tpu.ops.cma_frame_kernel import (
+        cma_chunked_frame_pallas_rb,
+    )
+
+    rx_cma2 = jnp.stack([rx_cma, jnp.asarray(
+        rng.normal(size=(2, 2, 4000)).astype(np.float32))])
+    h0_cma2 = jnp.stack([h0_cma, h0_cma])
+
+    def cma_rb_single_stack():
+        outs = [cma_chunked_frame_pallas(rx_cma2[r], 1.0, h0_cma2[r],
+                                         1e-4, 100, 20, 2) for r in range(2)]
+        return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
+
+    check(
+        "runs-batched CMA chunk kernel (R=2, CMAflex)",
+        lambda: cma_chunked_frame_pallas_rb(
+            rx_cma2, 1.0, h0_cma2, 1e-4, 100, 20, 2),
+        cma_rb_single_stack,
+        # kernel-vs-kernel: only batched-dot vs 2D-dot rounding differs
+        pairs=[(0, 1e-3, 1e-3), (1, 1e-4, 1e-5), (2, 1e-3, 5e-3)],  # out, h, e
+    )
+
     # whole-experiment SISO kernel: 2 epochs x 2 minibatches on-chip
     from vae_equalizer_tpu.ops.siso_frame_kernel import (
         siso_frame_opt_init,

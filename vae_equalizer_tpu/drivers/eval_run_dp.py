@@ -39,6 +39,10 @@ def main(argv=None):
                    help="sublane packing inside the frame kernel's runs "
                         "batch (with --pallas-frame): P runs share one "
                         "batch element via block-diag contractions")
+    p.add_argument("--runs-batch", type=int, default=None, metavar="B",
+                   help="repeats per kernel-level runs batch (with "
+                        "--pallas-frame; VAE/VAEflex/CMAbatch/CMAflex; "
+                        "default: largest divisor of iters <= 8)")
     p.add_argument("--stream-bf16", action="store_true",
                    help="store the frame kernel's q/out output streams as "
                         "bfloat16 (with --pallas-frame + runs): halves the "
@@ -57,6 +61,8 @@ def main(argv=None):
         p.error("--pallas and --pallas-frame are mutually exclusive")
     if args.runs_pack > 1 and not args.pallas_frame:
         p.error("--runs-pack needs --pallas-frame")
+    if args.runs_batch and not args.pallas_frame:
+        p.error("--runs-batch needs --pallas-frame")
     if args.stream_bf16 and not args.pallas_frame:
         p.error("--stream-bf16 needs --pallas-frame")
     # kernel-path support comes from the runners' own table so the CLI can
@@ -133,6 +139,7 @@ def main(argv=None):
             **({"use_pallas": "frame"} if args.pallas_frame else {}),
             **({"chunk_frames": args.frames_per_call} if args.frames_per_call > 1 else {}),
             **({"runs_pack": args.runs_pack} if args.runs_pack > 1 else {}),
+            **({"runs_batch": args.runs_batch} if args.runs_batch else {}),
             **({"stream_bf16": True} if args.stream_bf16 else {}),
         } or None,
     )

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.cma import _butterfly_out, _increments, _normalize_dp
 
-__all__ = ["cma_chunked_frame_pallas"]
+__all__ = ["cma_chunked_frame_pallas", "cma_chunked_frame_pallas_rb"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -254,3 +254,206 @@ def cma_chunked_frame_pallas(
     e = jnp.concatenate([e_pre, e_c, e0[None], e_t])
     out = jnp.stack([o_re, o_im], axis=1).transpose(2, 1, 0)
     return jnp.roll(out, -offset, axis=-1), h_fin, jnp.roll(e, -offset, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Runs-batched variant: R independent frames in ONE pallas_call
+# ---------------------------------------------------------------------------
+
+def _bdot(a, b, contract=((2,), (1,))):
+    """Runs-batched matmul: contract over given dims, batch over dim 0."""
+    return jax.lax.dot_general(
+        a, b, (contract, ((0,), (0,))), preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+
+
+def _kernel_rb(
+    x4_ref, col0_ref, harr_in, ring_in, scal_ref,
+    harr_out, ring_out, o_ref,
+    harr_sc, ring_sc, parr_sc, o_sc, eo_sc,
+    *, m, s, n_slots,
+):
+    """Runs-batched chunk body: same math as ``_kernel`` with a leading runs
+    dim on every tensor — 6 batched dots per chunk under the Mosaic-safe
+    construct policy of the DP rb frame kernel (ops/frame_kernel.py):
+    batched dot_generals, same-shape elementwise, ref-slice loads/stores;
+    sublane-sliced values are parked in scratch first (o, eo)."""
+    ci = pl.program_id(0)
+    lr2 = scal_ref[0, 0]  # 2 * lr
+    big_r = scal_ref[0, 1]  # CMA modulus R
+
+    @pl.when(ci == 0)
+    def _():
+        harr_sc[...] = harr_in[...]
+        ring_sc[...] = ring_in[...]
+
+    x4 = x4_ref[0]  # (R, 4M, S) this chunk's windows
+    col0 = col0_ref[...]  # (R, 4, S) first-column indicator
+
+    # ---- forward with pre-update taps (only column 0 is emitted from this)
+    o_old = _bdot(harr_sc[...], x4)  # (R, 4, S) rows (chi*2 + comp)
+
+    # ---- tap update: sum the ring of partial sums
+    up = ring_sc[:, 0:4, :]
+    for j in range(1, n_slots):
+        up = up + ring_sc[:, 4 * j : 4 * j + 4, :]
+    harr_sc[...] = harr_sc[...] + lr2 * up
+
+    # ---- forward with post-update taps; splice column 0 from o_old
+    o_new = _bdot(harr_sc[...], x4)
+    o_sc[...] = o_old * col0 + o_new * (1.0 - col0)
+    o_ref[0] = o_sc[...]
+
+    # ---- error + e-weighted outputs, assembled through scratch (rows chi)
+    e_x = big_r - o_sc[:, 0:1, :] * o_sc[:, 0:1, :] - o_sc[:, 1:2, :] * o_sc[:, 1:2, :]
+    e_y = big_r - o_sc[:, 2:3, :] * o_sc[:, 2:3, :] - o_sc[:, 3:4, :] * o_sc[:, 3:4, :]
+    eo_sc[:, 0:1, :] = e_x * o_sc[:, 0:1, :]  # eo_re rows
+    eo_sc[:, 1:2, :] = e_y * o_sc[:, 2:3, :]
+    eo_sc[:, 2:3, :] = e_x * o_sc[:, 1:2, :]  # eo_im rows
+    eo_sc[:, 3:4, :] = e_y * o_sc[:, 3:4, :]
+
+    # ---- chunk partial sums, already in the HARR arrangement
+    w0 = x4[:, : 2 * m, :]  # c=0 plane rows (nu, k)
+    w1 = x4[:, 2 * m :, :]
+    eo_re = eo_sc[:, 0:2, :]
+    eo_im = eo_sc[:, 2:4, :]
+    p_re = _bdot(eo_re, w0, ((2,), (2,))) + _bdot(eo_im, w1, ((2,), (2,)))
+    p_im = _bdot(eo_im, w0, ((2,), (2,))) - _bdot(eo_re, w1, ((2,), (2,)))
+    for chi in range(2):
+        parr_sc[:, 2 * chi : 2 * chi + 1, : 2 * m] = p_re[:, chi : chi + 1, :]
+        parr_sc[:, 2 * chi : 2 * chi + 1, 2 * m :] = -p_im[:, chi : chi + 1, :]
+        parr_sc[:, 2 * chi + 1 : 2 * chi + 2, : 2 * m] = p_im[:, chi : chi + 1, :]
+        parr_sc[:, 2 * chi + 1 : 2 * chi + 2, 2 * m :] = p_re[:, chi : chi + 1, :]
+
+    # ---- ring shift (static) + insert
+    for j in range(n_slots - 1):
+        ring_sc[:, 4 * j : 4 * j + 4, :] = ring_sc[:, 4 * (j + 1) : 4 * (j + 1) + 4, :]
+    ring_sc[:, 4 * (n_slots - 1) : 4 * n_slots, :] = parr_sc[...]
+
+    harr_out[...] = harr_sc[...]
+    ring_out[...] = ring_sc[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch_len", "symb_step", "sps", "interpret")
+)
+def cma_chunked_frame_pallas_rb(
+    rx, R, h, lr, batch_len: int, symb_step: int, sps: int,
+    interpret: bool = False,
+):
+    """Runs-batched ``cma_chunked_frame_pallas``: R independent frames per
+    pallas_call (one grid step = one chunk of ALL runs, batched MXU dots —
+    a vmapped pallas_call would serialize its grid steps instead).
+
+    rx: (R, 2, 2, N); h: (R, 2, 2, 2, M); lr shared by all runs (the
+    reference's repeats differ only by channel noise, Eval_run_DP.py:44).
+    Returns (out (R, 2, 2, N//sps), h (R, ...), e (R, N//sps, 2)) — the
+    single-run contract with a leading runs axis. The prefix/tail segments
+    and the im2col are plain XLA, vmapped over runs.
+    """
+    assert sps == 2, "polyphase im2col assumes sps == 2"
+    n_rb = rx.shape[0]
+    m = h.shape[-1]
+    mh = m // 2
+    n = rx.shape[-1]
+    n_sym = n // sps
+    B, S = batch_len, symb_step
+    assert B % S == 0, "batch_len must be a multiple of symb_step"
+    n_slots = B // S
+    offset = mh - mh // sps
+
+    j0 = -(-B // S) * S + offset
+    if n_sym <= j0:
+        raise ValueError(f"frame too short for chunked CMA: N_sym={n_sym} <= j0={j0}")
+    n_full = (n_sym - j0 - 1) // S
+    tail = n_sym - j0 - n_full * S
+
+    def run_const(y_, ks, h_):
+        idx = ks[:, None] * sps + jnp.arange(m)[None, :]
+        w = y_[:, :, idx].transpose(2, 0, 1, 3)  # (T, nu, c, M)
+        o_re, o_im = _butterfly_out(w, h_)
+        e = R - o_re**2 - o_im**2
+        return o_re, o_im, e, _increments(w, o_re, o_im)
+
+    def prep(rx_r, h_r):
+        y_ = _normalize_dp(rx_r, mh)  # (2, 2, N + 2*mh)
+        # prefix [0, j0): constant initial taps; ring init from its tail
+        o_re_p, o_im_p, e_pre, inc_pre = run_const(y_, jnp.arange(j0), h_r)
+        ring0 = _partial_sums(
+            e_pre[j0 - B :].reshape(n_slots, S, 2),
+            inc_pre[j0 - B :].reshape(n_slots, S, 2, 2, 2, m),
+        )
+        idx = (j0 + jnp.arange(n_full * S))[None, :] * sps + jnp.arange(m)[:, None]
+        x4 = y_[:, :, idx].transpose(1, 0, 2, 3).reshape(4 * m, n_full * S)
+        x4_blocks = x4.reshape(4 * m, n_full, S).transpose(1, 0, 2)
+        return y_, o_re_p, o_im_p, e_pre, ring0, x4_blocks, _arrange_h(h_r)
+
+    y, o_re_p, o_im_p, e_pre, ring0, x4b, harr0 = jax.vmap(prep)(rx, h)
+    x4b = jnp.moveaxis(x4b, 0, 1)  # (chunks, R, 4M, S)
+
+    import numpy as _np
+
+    col0_np = _np.zeros((4, S), _np.float32)
+    col0_np[:, 0] = 1.0
+    col0 = jnp.broadcast_to(jnp.asarray(col0_np), (n_rb, 4, S))
+    scal = jnp.stack([2.0 * jnp.float32(lr), jnp.float32(R)]).reshape(1, 2)
+
+    kernel = functools.partial(_kernel_rb, m=m, s=S, n_slots=n_slots)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    harr_o, ring_o, o_all = pl.pallas_call(
+        kernel,
+        grid=(n_full,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rb, 4, 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb, 4 * n_slots, 4 * m), jnp.float32),
+            jax.ShapeDtypeStruct((n_full, n_rb, 4, S), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_rb, 4 * m, S), lambda c: (c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            full(), full(), full(),
+            pl.BlockSpec((1, 2), lambda c: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            full(), full(),
+            pl.BlockSpec(
+                (1, n_rb, 4, S), lambda c: (c, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_rb, 4, 4 * m), jnp.float32),  # HARR
+            pltpu.VMEM((n_rb, 4 * n_slots, 4 * m), jnp.float32),  # ring
+            pltpu.VMEM((n_rb, 4, 4 * m), jnp.float32),  # PARR assembly
+            pltpu.VMEM((n_rb, 4, S), jnp.float32),  # spliced outputs
+            pltpu.VMEM((n_rb, 4, S), jnp.float32),  # e-weighted rows
+        ],
+        interpret=interpret,
+    )(x4b, col0, harr0, ring0, scal)
+
+    def finish(y_, harr_o_r, ring_o_r, o_all_r, o_re_p_r, o_im_p_r, e_pre_r):
+        h_mid = _dearrange_h(harr_o_r, m)
+        o_re_c = o_all_r[:, 0::2, :].transpose(0, 2, 1).reshape(-1, 2)
+        o_im_c = o_all_r[:, 1::2, :].transpose(0, 2, 1).reshape(-1, 2)
+        e_c = R - o_re_c**2 - o_im_c**2
+        k_start = j0 + n_full * S
+        w0 = jax.lax.dynamic_slice(y_, (0, 0, k_start * sps), (2, 2, m))
+        o_re0, o_im0 = _butterfly_out(w0, h_mid)
+        e0 = R - o_re0**2 - o_im0**2
+        up = jnp.sum(ring_o_r.reshape(n_slots, 4, 4 * m), axis=0)
+        h_fin = _dearrange_h(harr_o_r + 2.0 * jnp.float32(lr) * up, m)
+        o_re_t, o_im_t, e_t, _ = run_const(
+            y_, k_start + 1 + jnp.arange(tail - 1), h_fin
+        )
+        o_re = jnp.concatenate([o_re_p_r, o_re_c, o_re0[None], o_re_t])
+        o_im = jnp.concatenate([o_im_p_r, o_im_c, o_im0[None], o_im_t])
+        e = jnp.concatenate([e_pre_r, e_c, e0[None], e_t])
+        out = jnp.stack([o_re, o_im], axis=1).transpose(2, 1, 0)
+        return jnp.roll(out, -offset, axis=-1), h_fin, jnp.roll(e, -offset, axis=0)
+
+    return jax.vmap(finish)(
+        y, harr_o, ring_o, jnp.moveaxis(o_all, 0, 1), o_re_p, o_im_p, e_pre,
+    )

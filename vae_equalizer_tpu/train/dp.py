@@ -548,6 +548,7 @@ def run_cma_dp(
     checkpoint_every: int = 0,
     chunk_frames: int = 1,
     timings: dict | None = None,
+    runs_batch: int | None = None,
 ):
     """CMA / CMAbatch / CMAflex baseline on the optical DP channel.
 
@@ -558,6 +559,12 @@ def run_cma_dp(
     Per frame: adapt taps online -> CPE -> sync -> constellation SER; then
     soft demapper -> sync -> posterior SER. The lr halves every n_lrhalf
     frames (multiplicatively, unlike the VAE path's one-time halving).
+
+    With ``use_pallas="frame"`` and ``runs`` set, repeats execute in
+    kernel-level batches of ``runs_batch`` (default: largest divisor of
+    runs <= 8) through the runs-batched chunk kernel
+    (ops/cma_frame_kernel.py) — a vmapped pallas_call would serialize its
+    grid steps instead.
     """
     n_frame = cfg.n_frame_max
     const, var, gen, amps, P = _setup(cfg, n_frame)
@@ -590,9 +597,7 @@ def run_cma_dp(
     else:
         raise ValueError(f"unknown CMA variant {cfg.loss_type!r}")
 
-    def frame_step(h, key, theta, lr):
-        rx, tx, sigma = gen(key, theta)
-        out, h, e = equalize(rx, h, lr)
+    def eval_frame(out, e, tx, sigma):
         out = cpe_dp(out[:, :, cfg.n_cut : -cfg.n_cut])
         tx_c = tx[:, :, cfg.n_cut : -cfg.n_cut]
 
@@ -612,18 +617,55 @@ def run_cma_dp(
             "r": r_c,
             "sigma_n": sigma,
         }
-        return h, pack_metrics(metrics, _CMA_FIELDS)
+        return pack_metrics(metrics, _CMA_FIELDS)
 
+    def frame_step(h, key, theta, lr):
+        rx, tx, sigma = gen(key, theta)
+        out, h, e = equalize(rx, h, lr)
+        return h, eval_frame(out, e, tx, sigma)
+
+    rb = None
     h = taps_init if taps_init is not None else dirac_taps_dp(cfg.m_est)
-    if runs is not None:
+    if runs is not None and use_pallas == "frame":
+        # kernel-level runs batch (ops/cma_frame_kernel.py rb variant): one
+        # grid step adapts one chunk of all rb runs; groups ride a vmap of
+        # the kernel call only, generation + eval batch over ALL runs
+        from ..ops.cma_frame_kernel import cma_chunked_frame_pallas_rb
+
+        rb = runs_batch or _default_runs_batch(runs)
+        if runs % rb != 0:
+            raise ValueError(f"runs_batch={rb} must divide runs={runs}")
+        groups = runs // rb
+        step = cfg.batch_len if cfg.loss_type == "CMAbatch" else cfg.flex_step
+        h = jnp.broadcast_to(h, (groups, rb) + h.shape)
+        h = shard_runs(h, mesh)
+
+        def frame_step_rb(h_g, key, theta, lr):
+            keys = jax.random.split(key, runs)
+            rx, tx, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
+            rx_g = rx.reshape((groups, rb) + rx.shape[1:])
+            out_g, h_g, e_g = jax.vmap(
+                lambda rxg, hg: cma_chunked_frame_pallas_rb(
+                    rxg, cfg.R, hg, lr, cfg.batch_len, step, cfg.sps
+                )
+            )(rx_g, h_g)
+            flat = lambda a: a.reshape((runs,) + a.shape[2:])
+            packed = jax.vmap(eval_frame)(flat(out_g), flat(e_g), tx, sigma)
+            return h_g, packed
+
+        frame_step = frame_step_rb
+    elif runs is not None:
         h = shard_runs(broadcast_runs(h, runs), mesh)
     frame_keys, thetas = _frame_inputs(cfg, key)
     lrs = jnp.float32(cfg.lr) * 0.5 ** (jnp.arange(cfg.num_frames) // cfg.n_lrhalf)
 
     h, hist = run_frame_loop(
         frame_step, h, (frame_keys, thetas, lrs), _CMA_FIELDS,
-        runs=runs, progress=progress, compiled=compiled, chunk_frames=chunk_frames,
+        runs=runs, vmap_runs=rb is None,
+        progress=progress, compiled=compiled, chunk_frames=chunk_frames,
         checkpoint=checkpoint, checkpoint_every=checkpoint_every, timings=timings,
     )
+    if rb is not None:
+        h = h.reshape((runs,) + h.shape[2:])
     prefix = () if runs is None else (runs,)
     return _dp_result(hist, var, prefix, cfg.num_frames, taps=h)

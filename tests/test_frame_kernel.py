@@ -554,3 +554,72 @@ def test_frame_experiment_stream_bf16(monkeypatch):
     np.testing.assert_array_equal(res["params"]["w"], ref["params"]["w"])
     np.testing.assert_allclose(res["ser"][..., 0], ref["ser"][..., 0], atol=2e-3)
     np.testing.assert_allclose(res["mi"], ref["mi"], rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("pack", [1, 2])
+def test_runs_batched_kernel_per_run_lr(pack):
+    """Per-run lr (the sweep lr-axis batched into the kernel): a 4-run call
+    with lr vector [a, a, b, b] must equal two 2-run calls at scalar a / b.
+    Both paths use the rb body, so the only delta is the materialized
+    full-shape lr factor vs the scalar multiply — exact to float noise."""
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
+
+    const, amps, P, var, _, _, _ = _setup("4-QAM")
+    rng = np.random.default_rng(23)
+    R = 4
+    lrs = (2.5e-3, 1e-3)
+    w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
+    h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
+    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * 2)).astype(np.float32) * 0.5)
+
+    def run(idx, lr):
+        opt0 = frame_opt_init({"w": w[idx], "h": h[idx]})
+        return vae_dp_frame_train_pallas_rb(
+            w[idx], h[idx], opt0, rx[idx], amps, var, const.nu_sc, P,
+            lr, jnp.float32(0.0), jnp.float32(10**9),
+            bl_sym=BL, interpret=True, pack=pack,
+        )
+
+    lr_vec = jnp.asarray([lrs[0], lrs[0], lrs[1], lrs[1]], jnp.float32)
+    wb, hb, optb, losses, *_ = run(np.arange(R), lr_vec)
+    for g, lr in enumerate(lrs):
+        idx = np.arange(2 * g, 2 * g + 2)
+        w2, h2, opt2, l2, *_ = run(idx, jnp.float32(lr))
+        np.testing.assert_allclose(losses[:, idx], l2, rtol=1e-6)
+        np.testing.assert_allclose(wb[idx], w2, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(hb[idx], h2, rtol=1e-6, atol=1e-8)
+        for k in ("mw", "vw", "mh", "vh"):
+            np.testing.assert_allclose(optb[k][idx], opt2[k], rtol=1e-6, atol=1e-8)
+
+
+def test_frame_experiment_lr_vec(monkeypatch):
+    """lr_vec through train_vae_dp: a constant lr vector must reproduce the
+    scalar-lr runs path exactly (same keys, same kernel batch layout), and
+    distinct per-run lrs give distinct trajectories."""
+    from vae_equalizer_tpu.train.dp import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    _interpret_kernels(monkeypatch)
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+
+    orig = fk.vae_dp_frame_train_pallas_rb
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = DpConfig(
+        mod="4-QAM", num_frames=2, n_frame_max=400, batch_len=100,
+        n_lrhalf=10**6, lr=2.5e-3,
+    )
+    key = jax.random.PRNGKey(0)
+    kw = dict(runs=4, use_pallas="frame", runs_batch=2)
+    ref = train_vae_dp(cfg, key, **kw)
+    same = train_vae_dp(cfg, key, lr_vec=[cfg.lr] * 4, **kw)
+    np.testing.assert_allclose(same["ser"], ref["ser"], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        same["params"]["w"], ref["params"]["w"], rtol=1e-6, atol=1e-8
+    )
+    mixed = train_vae_dp(cfg, key, lr_vec=[cfg.lr, cfg.lr, 1e-3, 1e-3], **kw)
+    np.testing.assert_allclose(mixed["ser"][:2], ref["ser"][:2], rtol=1e-6, atol=1e-7)
+    assert not np.allclose(mixed["params"]["w"][2:], ref["params"]["w"][2:])

@@ -207,3 +207,47 @@ def test_load_state_rejects_other_carry_structure(tmp_path):
     # matching structure loads fine
     frame, carry = _load_state(path, carry_a, dict(hist))
     assert frame == 1
+
+
+def test_sweep_batch_lr_axis(tmp_path, monkeypatch):
+    """batch_lr_axis: an n_lr x iters group runs as ONE runner call (lr
+    folded per-run into the runs-batched kernel) yet still yields one
+    JSONL record per grid point with that point's config and results."""
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+    from vae_equalizer_tpu.parallel.sweep import run_sweep
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    orig = fk.vae_dp_frame_train_pallas_rb
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    calls = {"n": 0}
+    real_vae = dict(run_sweep.__globals__["RUNNERS"])["VAE"]
+
+    def counting(cfg, k, **kw):
+        calls["n"] += 1
+        return real_vae(cfg, k, **kw)
+
+    monkeypatch.setitem(run_sweep.__globals__["RUNNERS"], "VAE", counting)
+
+    base = DpConfig(mod="4-QAM", snr_db=20.0, num_frames=2, n_frame_max=400,
+                    batch_len=100, n_lrhalf=10**6)
+    axes = {"snr_db": [20.0], "lr": [2.5e-3, 1e-3]}
+    results, axes_values, jsonl = run_sweep(
+        "VAE", base, axes, iters=2, key=jax.random.PRNGKey(3),
+        out_dir=tmp_path, tag="b",
+        runner_kwargs={"use_pallas": "frame", "runs_batch": 2},
+        batch_lr_axis=True,
+    )
+    assert calls["n"] == 1  # the whole lr axis ran as one call
+    assert len(results) == 2
+    assert len(jsonl.read_text().splitlines()) == 2
+    for rec, lr in zip(results, [2.5e-3, 1e-3]):
+        assert rec["config"]["lr"] == lr
+        assert np.asarray(rec["ser"]).shape == (2, 4, 2)
+        assert np.all(np.isfinite(np.asarray(rec["ser"])))
+    # the two lr points trained with different lrs -> different results
+    assert not np.allclose(results[0]["ser"], results[1]["ser"])
+    ser = assemble_mat(results, axes_values, 2, (4,))
+    assert ser.shape == (4, 1, 2, 2, 2) and np.all(np.isfinite(ser))

@@ -43,6 +43,12 @@ def main(argv=None):
                    help="repeats per kernel-level runs batch (with "
                         "--pallas-frame; VAE/VAEflex/CMAbatch/CMAflex; "
                         "default: largest divisor of iters <= 8)")
+    p.add_argument("--batch-lr-axis", action="store_true",
+                   help="run each lr-axis group of grid points as ONE "
+                        "batched call (per-run lr folded into the "
+                        "runs-batched frame kernel; VAE/VAEflex with "
+                        "--pallas-frame); statistically equivalent key "
+                        "streams, one JSONL record per point as usual")
     p.add_argument("--stream-bf16", action="store_true",
                    help="store the frame kernel's q/out output streams as "
                         "bfloat16 (with --pallas-frame + runs): halves the "
@@ -63,6 +69,11 @@ def main(argv=None):
         p.error("--runs-pack needs --pallas-frame")
     if args.runs_batch and not args.pallas_frame:
         p.error("--runs-batch needs --pallas-frame")
+    if args.batch_lr_axis and (
+        not args.pallas_frame or args.loss_type not in ("VAE", "VAEflex")
+    ):
+        p.error("--batch-lr-axis needs --pallas-frame and --loss-type "
+                "VAE or VAEflex")
     if args.stream_bf16 and not args.pallas_frame:
         p.error("--stream-bf16 needs --pallas-frame")
     # kernel-path support comes from the runners' own table so the CLI can
@@ -133,7 +144,8 @@ def main(argv=None):
     results, axes_values, jsonl = run_sweep(
         runner_name, base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
-        compiled=args.compiled, **sweep_resume_kwargs(args),
+        compiled=args.compiled, batch_lr_axis=args.batch_lr_axis,
+        **sweep_resume_kwargs(args),
         runner_kwargs={
             **({"use_pallas": True} if args.pallas else {}),
             **({"use_pallas": "frame"} if args.pallas_frame else {}),

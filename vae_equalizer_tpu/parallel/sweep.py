@@ -78,6 +78,7 @@ def run_sweep(
     compiled: bool = False,
     runner_kwargs: dict | None = None,
     checkpoint_every: int = 0,
+    batch_lr_axis: bool = False,
 ):
     """Run a full grid; returns list of per-point results.
 
@@ -95,6 +96,17 @@ def run_sweep(
     mid-grid; the state file carries a config hash, is removed once the
     point's record is written, and stale files are cleared (not resumed)
     when ``skip_done`` is off.
+
+    ``batch_lr_axis``: grid points that differ ONLY along the ``lr`` axis
+    run as ONE runner call with the lr values batched into the runs axis
+    (runner ``lr_vec`` support — the DP frame-kernel paths fold per-run lr
+    into the runs-batched kernel, so an n_lr x iters group costs one
+    experiment's wall time instead of n_lr). Each point still gets its own
+    JSONL record; the batched call derives its key from the group's FIRST
+    point, so results are statistically (not bitwise) equal to the
+    unbatched sweep — the same relationship the reference's unseeded RNG
+    bears to any rerun. Groups with partially-finished resume records fall
+    back to per-point execution; incompatible with ``checkpoint_every``.
     """
     import hashlib
     import inspect
@@ -130,9 +142,80 @@ def run_sweep(
                 else:
                     print(f"# resume: record at {c} has a different config or "
                           "runner mode; re-running", flush=True)
+    def write_record(cfg, coord, res_point, wall):
+        record = {
+            "coords": list(coord),
+            "config": dataclasses.asdict(cfg),
+            "runner_kwargs": io._to_jsonable(runner_kwargs or {}),
+            "wall_s": wall,
+            **{m: res_point[m] for m in ("ser", "mi", "var_est", "var")
+               if m in res_point},
+        }
+        io.append_jsonl(jsonl, record)
+        if save_params:
+            state = res_point.get("params", res_point.get("taps"))
+            if state is not None:
+                if not isinstance(state, dict):
+                    state = {"taps": state}
+                ckpt = out_dir / f"ckpt_{tag}_{stamp}_{'_'.join(map(str, coord))}.npz"
+                io.save_checkpoint(ckpt, state)
+                record["checkpoint"] = str(ckpt)
+        results.append(record)
+        return record
+
+    lr_ax = None
+    lr_groups: dict = {}
+    if batch_lr_axis:
+        if checkpoint_every:
+            raise ValueError("batch_lr_axis is incompatible with checkpoint_every")
+        if "lr_vec" not in runner_params and not any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in runner_params.values()
+        ):
+            raise ValueError(f"runner {runner_name!r} has no lr_vec support")
+        names = list(axes)
+        if "lr" in names and len(axes_values["lr"]) > 1:
+            lr_ax = names.index("lr")
+            for j, c in enumerate(coords):
+                lr_groups.setdefault(c[:lr_ax] + c[lr_ax + 1 :], []).append(j)
+
+    handled: set = set()
     for i, (cfg, coord) in enumerate(zip(configs, coords)):
-        if tuple(coord) in done:
+        if tuple(coord) in done or tuple(coord) in handled:
             continue
+        if lr_ax is not None:
+            idxs = lr_groups[tuple(coord)[:lr_ax] + tuple(coord)[lr_ax + 1 :]]
+            if len(idxs) > 1 and not any(tuple(coords[j]) in done for j in idxs):
+                n_lr = len(idxs)
+                lr_vec = np.repeat(
+                    np.asarray([configs[j].lr for j in idxs], np.float32), iters
+                )
+                t0 = time.time()
+                kwargs = dict(
+                    runs=iters * n_lr, mesh=mesh, progress=progress,
+                    lr_vec=lr_vec, **(runner_kwargs or {}),
+                )
+                if compiled and "compiled" in runner_params:
+                    kwargs["compiled"] = True
+                    kwargs.pop("progress")
+                res = runner(cfg, jax.random.fold_in(key, i), **kwargs)
+                wall = time.time() - t0
+                for bj, j in enumerate(idxs):
+                    blk = slice(bj * iters, (bj + 1) * iters)
+                    res_j = {
+                        m: np.asarray(res[m])[blk]
+                        for m in ("ser", "mi", "var_est") if m in res
+                    }
+                    if "var" in res:  # per-point constant (no runs axis)
+                        res_j["var"] = res["var"]
+                    state = res.get("params", res.get("taps"))
+                    if state is not None:
+                        res_j["params"] = jax.tree.map(
+                            lambda a: np.asarray(a)[blk], state
+                        ) if isinstance(state, dict) else np.asarray(state)[blk]
+                    write_record(configs[j], coords[j], res_j, wall / n_lr)
+                    handled.add(tuple(coords[j]))
+                continue
         k = jax.random.fold_in(key, i)  # per-point, independent of skips
         t0 = time.time()
         kwargs = dict(runs=iters, mesh=mesh, progress=progress, **(runner_kwargs or {}))
@@ -161,25 +244,9 @@ def run_sweep(
                 kwargs.pop("progress")
         res = runner(cfg, k, **kwargs)
         wall = time.time() - t0
-        record = {
-            "coords": list(coord),
-            "config": dataclasses.asdict(cfg),
-            "runner_kwargs": io._to_jsonable(runner_kwargs or {}),
-            "wall_s": wall,
-            **{m: res[m] for m in ("ser", "mi", "var_est", "var") if m in res},
-        }
-        io.append_jsonl(jsonl, record)
-        if save_params:
-            state = res.get("params", res.get("taps"))
-            if state is not None:
-                if not isinstance(state, dict):
-                    state = {"taps": state}
-                ckpt = out_dir / f"ckpt_{tag}_{stamp}_{'_'.join(map(str, coord))}.npz"
-                io.save_checkpoint(ckpt, state)
-                record["checkpoint"] = str(ckpt)
+        write_record(cfg, coord, res, wall)
         if state_file is not None and state_file.exists():
             state_file.unlink()  # the point finished; drop its resume state
-        results.append(record)
     return results, axes_values, jsonl
 
 

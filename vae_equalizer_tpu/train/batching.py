@@ -39,7 +39,9 @@ def shard_runs(tree, mesh: Mesh | None, axis: str = "runs"):
     """
     if mesh is None:
         return tree
-    runs = jax.tree.leaves(tree)[0].shape[0]
+    runs = next(
+        x.shape[0] for x in jax.tree.leaves(tree) if jnp.ndim(x) > 0
+    )
     n = mesh.devices.size
     if runs % n != 0:
         import math
@@ -47,5 +49,11 @@ def shard_runs(tree, mesh: Mesh | None, axis: str = "runs"):
         n = math.gcd(runs, n)
         mesh = Mesh(mesh.devices.reshape(-1)[:n], (axis,))
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    # rank-0 leaves (e.g. the frame path's global step counter) have no
+    # runs axis — replicate them instead of sharding
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding if jnp.ndim(x) > 0 else repl),
+        tree,
+    )
 

@@ -212,7 +212,7 @@ def _run_frame_kernel_experiment(
     cfg, key, gen, const, amps, P, var, *, steps_per_frame, stride_sym,
     tx_of, weight_fn, params, runs, mesh, progress, compiled, chunk_frames,
     checkpoint, checkpoint_every, timings, runs_batch=None, runs_pack=1,
-    stream_bf16=False,
+    stream_bf16=False, lr_vec=None,
 ):
     """Shared use_pallas="frame" experiment driver for VAE and VAEflex.
 
@@ -244,6 +244,8 @@ def _run_frame_kernel_experiment(
             raise ValueError(
                 "stream_bf16 needs the runs-batched kernel (set runs)"
             )
+        if lr_vec is not None:
+            raise ValueError("lr_vec needs the runs-batched kernel (set runs)")
         rb = None
         carry = (params, frame_opt_init(params), jnp.int32(0))
     else:
@@ -259,6 +261,18 @@ def _run_frame_kernel_experiment(
         )
         carry = (params, frame_opt_init(params), jnp.int32(0))
         carry = shard_runs(carry, mesh)
+        if lr_vec is None:
+            # per-group scalar lr (the validated scalar-trace kernel path)
+            lr_groups = jnp.broadcast_to(jnp.float32(cfg.lr), (groups,))
+        else:
+            # per-run lr: run r of the flat runs axis gets lr_vec[r] (sweep
+            # lr-axis batching — runs differing only in lr share the kernel)
+            lr_vec = jnp.asarray(lr_vec, jnp.float32)
+            if lr_vec.shape != (runs,):
+                raise ValueError(
+                    f"lr_vec must have shape ({runs},), got {lr_vec.shape}"
+                )
+            lr_groups = lr_vec.reshape(groups, rb)
 
     def one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma):
         return _finish_vae_frame(
@@ -290,16 +304,16 @@ def _run_frame_kernel_experiment(
         rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
         rx_g = rx.reshape((groups, rb) + rx.shape[1:])
 
-        def kernel_group(p, o, rxg):
+        def kernel_group(p, o, rxg, lrg):
             return vae_dp_frame_train_pallas_rb(
                 p["w"], p["h"], o, rxg, amps, var, const.nu_sc, P,
-                jnp.float32(cfg.lr), count.astype(jnp.float32),
+                lrg, count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
                 pack=runs_pack, stream_bf16=stream_bf16,
             )
 
         w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
-            params, opt, rx_g
+            params, opt, rx_g, lr_groups
         )
         # batched eval via nested (groups, rb) vmaps — flattening the kernel
         # outputs to a runs axis first would transpose ~MB/run per frame
@@ -340,6 +354,7 @@ def train_vae_dp(
     runs_batch: int | None = None,
     runs_pack: int = 1,
     stream_bf16: bool = False,
+    lr_vec=None,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -378,8 +393,11 @@ def train_vae_dp(
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
             runs_batch=runs_batch, runs_pack=runs_pack, stream_bf16=stream_bf16,
+            lr_vec=lr_vec,
         )
 
+    if lr_vec is not None:
+        raise ValueError('lr_vec needs use_pallas="frame"')
     opt = _vae_optimizer(cfg, m_max)
     carry = init_carry(params, opt, runs, mesh)
 
@@ -445,6 +463,7 @@ def train_vae_flex_dp(
     runs_batch: int | None = None,
     runs_pack: int = 1,
     stream_bf16: bool = False,
+    lr_vec=None,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
@@ -483,7 +502,11 @@ def train_vae_flex_dp(
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
             runs_batch=runs_batch, runs_pack=runs_pack, stream_bf16=stream_bf16,
+            lr_vec=lr_vec,
         )
+
+    if lr_vec is not None:
+        raise ValueError('lr_vec needs use_pallas="frame"')
 
     opt = _vae_optimizer(cfg, n_windows)
     carry = init_carry(params, opt, runs, mesh)

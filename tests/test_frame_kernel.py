@@ -623,3 +623,74 @@ def test_frame_experiment_lr_vec(monkeypatch):
     mixed = train_vae_dp(cfg, key, lr_vec=[cfg.lr, cfg.lr, 1e-3, 1e-3], **kw)
     np.testing.assert_allclose(mixed["ser"][:2], ref["ser"][:2], rtol=1e-6, atol=1e-7)
     assert not np.allclose(mixed["params"]["w"][2:], ref["params"]["w"][2:])
+
+
+def test_runs_batched_kernel_per_run_var():
+    """Per-run demapper variance (the sweep snr-axis batched into the
+    kernel): a 2-run call with per-run var must equal per-variance scalar
+    calls — var only enters through the two folded selection constants."""
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
+
+    const, amps, P, _, _, _, _ = _setup("4-QAM")
+    rng = np.random.default_rng(31)
+    R = 2
+    vars_ = [10 ** (-20.0 / 10), 10 ** (-16.0 / 10)]
+    w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
+    h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
+    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * 2)).astype(np.float32) * 0.5)
+
+    def run(idx, var):
+        sel = w[idx], h[idx], rx[idx]
+        opt0 = frame_opt_init({"w": sel[0], "h": sel[1]})
+        return vae_dp_frame_train_pallas_rb(
+            sel[0], sel[1], opt0, sel[2], amps, var, const.nu_sc, P,
+            jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
+            bl_sym=BL, interpret=True,
+        )
+
+    var_rb = jnp.asarray([[v, v] for v in vars_], jnp.float32)  # (R, 2)
+    wb, hb, optb, losses, var_est, q, out = run(np.arange(R), var_rb)
+    for r, v in enumerate(vars_):
+        w1, h1, o1, l1, v1, q1, o_1 = run(np.asarray([r]), jnp.full((2,), v, jnp.float32))
+        np.testing.assert_allclose(losses[:, r : r + 1], l1, rtol=1e-6)
+        np.testing.assert_allclose(q[:, r : r + 1], q1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(wb[r : r + 1], w1, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(hb[r : r + 1], h1, rtol=1e-5, atol=1e-7)
+
+
+def test_frame_experiment_snr_vec(monkeypatch):
+    """snr_vec through train_vae_dp: a constant snr vector equal to the
+    config's SNR must reproduce the scalar runs path exactly (same keys,
+    same noise draws, same folded variance); mixed SNRs change both the
+    channel noise and the demapper variance per run."""
+    from vae_equalizer_tpu.train.dp import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    _interpret_kernels(monkeypatch)
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+
+    orig = fk.vae_dp_frame_train_pallas_rb
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = DpConfig(
+        mod="4-QAM", snr_db=20.0, num_frames=2, n_frame_max=400,
+        batch_len=100, n_lrhalf=10**6,
+    )
+    key = jax.random.PRNGKey(1)
+    kw = dict(runs=4, use_pallas="frame", runs_batch=2)
+    ref = train_vae_dp(cfg, key, **kw)
+    same = train_vae_dp(cfg, key, snr_vec=[20.0] * 4, **kw)
+    np.testing.assert_allclose(same["ser"], ref["ser"], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        same["params"]["w"], ref["params"]["w"], rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(same["var_runs"], np.tile(ref["var"], (4, 1)),
+                               rtol=1e-6)
+    mixed = train_vae_dp(cfg, key, snr_vec=[20.0, 20.0, 12.0, 12.0], **kw)
+    np.testing.assert_allclose(mixed["ser"][:2], ref["ser"][:2], rtol=1e-6, atol=1e-7)
+    # lower SNR -> larger demapper variance and (statistically) worse SER
+    assert np.all(np.asarray(mixed["var_runs"])[2:] > np.asarray(ref["var"]))
+    assert not np.allclose(mixed["ser"][2:], ref["ser"][2:])

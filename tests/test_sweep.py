@@ -251,3 +251,54 @@ def test_sweep_batch_lr_axis(tmp_path, monkeypatch):
     assert not np.allclose(results[0]["ser"], results[1]["ser"])
     ser = assemble_mat(results, axes_values, 2, (4,))
     assert ser.shape == (4, 1, 2, 2, 2) and np.all(np.isfinite(ser))
+
+
+def test_sweep_batch_lr_and_snr_axes(tmp_path, monkeypatch):
+    """batch_lr_axis + batch_snr_axis together: a 2-snr x 2-lr grid runs as
+    ONE call of 2*2*iters runs; each point's record carries its own config,
+    results, and per-point demapper variance (var_real archive key)."""
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+    from vae_equalizer_tpu.parallel.sweep import run_sweep
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    orig = fk.vae_dp_frame_train_pallas_rb
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    calls = {"n": 0}
+    real_vae = dict(run_sweep.__globals__["RUNNERS"])["VAE"]
+
+    def counting(cfg, k, **kw):
+        calls["n"] += 1
+        return real_vae(cfg, k, **kw)
+
+    monkeypatch.setitem(run_sweep.__globals__["RUNNERS"], "VAE", counting)
+
+    base = DpConfig(mod="4-QAM", num_frames=2, n_frame_max=400,
+                    batch_len=100, n_lrhalf=10**6)
+    axes = {"snr_db": [20.0, 14.0], "lr": [2.5e-3, 1e-3]}
+    results, axes_values, jsonl = run_sweep(
+        "VAE", base, axes, iters=1, key=jax.random.PRNGKey(9),
+        out_dir=tmp_path, tag="bs",
+        runner_kwargs={"use_pallas": "frame", "runs_batch": 2},
+        batch_lr_axis=True, batch_snr_axis=True,
+    )
+    assert calls["n"] == 1  # the whole 2x2 grid ran as one call
+    assert len(results) == 4
+    vars_seen = {}
+    for rec in results:
+        assert np.all(np.isfinite(np.asarray(rec["ser"])))
+        vars_seen.setdefault(rec["config"]["snr_db"], set()).add(
+            float(np.asarray(rec["var"])[0])
+        )
+    # per-point var tracks the point's OWN snr (not the first point's)
+    assert len(vars_seen) == 2
+    assert all(len(v) == 1 for v in vars_seen.values())
+    v20 = vars_seen[20.0].pop()
+    v14 = vars_seen[14.0].pop()
+    assert v14 > v20
+    ser = assemble_mat(results, axes_values, 1, (4,))
+    assert ser.shape == (4, 2, 2, 1, 2) and np.all(np.isfinite(ser))
+    var_mat = assemble_mat(results, axes_values, 1, (2,), key="var")
+    assert var_mat.shape == (2, 2, 2, 1, 1)

@@ -117,7 +117,11 @@ def make_dp_simulator(
         np.stack([np.cos(phi_iq), -np.sin(phi_iq)]).astype(np.float32)
     )  # (2 re/im, 2 pol)
 
-    def generate(key: jax.Array, theta: jnp.ndarray):
+    def generate(key: jax.Array, theta: jnp.ndarray, snr_lin_r=None):
+        # snr_lin_r: optional traced per-call SNR override (linear), so runs
+        # at different SNRs can share one vmapped generator program (the
+        # sweep snr-axis batching); None keeps the closure's static value
+        snr = snr_lin if snr_lin_r is None else snr_lin_r
         k_sym, k_noise = jax.random.split(key)
         # 4 independent amplitude streams: (pol*2, n_conv) like the reference's
         # rng.choice(amps, (pol*2, N_conv), p=P)
@@ -153,7 +157,7 @@ def make_dp_simulator(
         z = jnp.fft.ifft(jnp.stack([out0, out1]), axis=-1)[:, :sig_len]
         sig = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).astype(jnp.float32)
 
-        sigma = jnp.sqrt(jnp.mean(sig**2) * 2 * sps / 2 / snr_lin).astype(jnp.float32)
+        sigma = jnp.sqrt(jnp.mean(sig**2) * 2 * sps / 2 / snr).astype(jnp.float32)
         noise = jax.random.normal(k_noise, sig.shape, jnp.float32)
         sig = sig + sigma * noise
 

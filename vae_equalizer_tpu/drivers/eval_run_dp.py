@@ -49,6 +49,11 @@ def main(argv=None):
                         "runs-batched frame kernel; VAE/VAEflex with "
                         "--pallas-frame); statistically equivalent key "
                         "streams, one JSONL record per point as usual")
+    p.add_argument("--batch-snr-axis", action="store_true",
+                   help="like --batch-lr-axis for the SNR axis: per-run "
+                        "noise in the generator + per-run demapper variance "
+                        "folded into the kernel's selection constants "
+                        "(VAE/VAEflex with --pallas-frame, pack=1)")
     p.add_argument("--stream-bf16", action="store_true",
                    help="store the frame kernel's q/out output streams as "
                         "bfloat16 (with --pallas-frame + runs): halves the "
@@ -69,11 +74,13 @@ def main(argv=None):
         p.error("--runs-pack needs --pallas-frame")
     if args.runs_batch and not args.pallas_frame:
         p.error("--runs-batch needs --pallas-frame")
-    if args.batch_lr_axis and (
+    if (args.batch_lr_axis or args.batch_snr_axis) and (
         not args.pallas_frame or args.loss_type not in ("VAE", "VAEflex")
     ):
-        p.error("--batch-lr-axis needs --pallas-frame and --loss-type "
-                "VAE or VAEflex")
+        p.error("--batch-lr-axis/--batch-snr-axis need --pallas-frame and "
+                "--loss-type VAE or VAEflex")
+    if args.batch_snr_axis and args.runs_pack > 1:
+        p.error("--batch-snr-axis needs pack=1 (per-run var)")
     if args.stream_bf16 and not args.pallas_frame:
         p.error("--stream-bf16 needs --pallas-frame")
     # kernel-path support comes from the runners' own table so the CLI can
@@ -145,6 +152,7 @@ def main(argv=None):
         runner_name, base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, batch_lr_axis=args.batch_lr_axis,
+        batch_snr_axis=args.batch_snr_axis,
         **sweep_resume_kwargs(args),
         runner_kwargs={
             **({"use_pallas": True} if args.pallas else {}),

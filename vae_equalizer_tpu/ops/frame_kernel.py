@@ -769,17 +769,34 @@ def vae_dp_frame_train_pallas_rb(
 
     amps_f = amps.astype(jnp.float32)
     a_row = amps_f[lev_of_row]  # (nl4,) level amplitude per row
-    s_pol = jnp.sqrt(0.5 / var.astype(jnp.float32))  # (2,)
-    s_row = s_pol[comp_of_row % 2]  # rows of pol x get s_x, y rows s_y
+    per_run_var = jnp.ndim(var) == 2
+    if per_run_var:
+        # per-run demapper variance (sweep snr-axis batching): the two
+        # var-folded selection constants become per-run stacks; everything
+        # else (incl. the kernel body) is var-independent. pack=1 only —
+        # packed runs would need per-run BLOCKS inside the kron structure.
+        if n_pk != 1:
+            raise ValueError("per-run var requires pack=1")
+        if jnp.shape(var) != (n_rb, 2):
+            raise ValueError(f"per-run var must be ({n_rb}, 2), got {jnp.shape(var)}")
+    s_pol = jnp.sqrt(0.5 / var.astype(jnp.float32))  # (2,) or (R, 2)
+    s_row = s_pol[..., comp_of_row % 2]  # rows of pol x get s_x, y rows s_y
     # selv: cols 0-4P select the (run-blocked) component scaled by s; the
     # last col hits out4's shared constant ones row with -amp*s, so ONE
     # matmul yields s*(out - amp) for all packed runs
-    selv5 = jnp.concatenate(
-        [_pblkj(jnp.asarray(selt_np) * s_row[:, None]),
-         _ptile(-a_row * s_row)[:, None]],
-        axis=1,
-    )
-    selv3 = jnp.broadcast_to(selv5[None], (n_gp, n_pk * nl4, 4 * n_pk + 1))
+    if per_run_var:
+        selv3 = jnp.concatenate(
+            [jnp.asarray(selt_np)[None] * s_row[:, :, None],
+             (-a_row[None] * s_row)[:, :, None]],
+            axis=2,
+        )  # (R, nl4, 5)
+    else:
+        selv5 = jnp.concatenate(
+            [_pblkj(jnp.asarray(selt_np) * s_row[:, None]),
+             _ptile(-a_row * s_row)[:, None]],
+            axis=1,
+        )
+        selv3 = jnp.broadcast_to(selv5[None], (n_gp, n_pk * nl4, 4 * n_pk + 1))
     brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_gp, n_pk * nl4, n_sym))
     amp232n = brow(_ptile(jnp.float32(nu_sc) * a_row * a_row))
     # [selt*amp | selt*amp^2] against the stacked (gE; gVar) rows (backward
@@ -790,9 +807,12 @@ def vae_dp_frame_train_pallas_rb(
         axis=1,
     ))  # (P*nl4, 8P)
     selta83 = jnp.broadcast_to(selta8m[None], (n_gp, n_pk * nl4, 8 * n_pk))
-    sels23 = jnp.broadcast_to(
-        _pblkj(jnp.asarray(selt_np.T) * (2.0 * s_row)[None, :])[None],
-        (n_gp, 4 * n_pk, n_pk * nl4))
+    if per_run_var:
+        sels23 = jnp.asarray(selt_np.T)[None] * (2.0 * s_row)[:, None, :]
+    else:
+        sels23 = jnp.broadcast_to(
+            _pblkj(jnp.asarray(selt_np.T) * (2.0 * s_row)[None, :])[None],
+            (n_gp, 4 * n_pk, n_pk * nl4))
     ones128 = jnp.ones((n_gp, 1, 128), jnp.float32)
     eqv_m = jnp.concatenate(
         [
@@ -857,8 +877,12 @@ def vae_dp_frame_train_pallas_rb(
     per_run_lr = jnp.ndim(lr) > 0
     if per_run_lr and jnp.shape(lr) != (n_rb,):
         raise ValueError(f"per-run lr must have shape ({n_rb},), got {jnp.shape(lr)}")
+    # the rb body never reads the scal var slots (var is folded into the
+    # selection constants above); fill them from run 0 for shape uniformity
     scal = jnp.stack(
-        [var[0], var[1], jnp.float32(nu_sc), jnp.float32(1e-12),
+        [var[0, 0] if per_run_var else var[0],
+         var[0, 1] if per_run_var else var[1],
+         jnp.float32(nu_sc), jnp.float32(1e-12),
          jnp.float32(0.0) if per_run_lr else jnp.float32(lr),
          jnp.float32(lr_half_step), jnp.float32(step0),
          jnp.float32(0.0)]

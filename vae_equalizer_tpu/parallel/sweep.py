@@ -79,6 +79,7 @@ def run_sweep(
     runner_kwargs: dict | None = None,
     checkpoint_every: int = 0,
     batch_lr_axis: bool = False,
+    batch_snr_axis: bool = False,
 ):
     """Run a full grid; returns list of per-point results.
 
@@ -97,16 +98,18 @@ def run_sweep(
     point's record is written, and stale files are cleared (not resumed)
     when ``skip_done`` is off.
 
-    ``batch_lr_axis``: grid points that differ ONLY along the ``lr`` axis
-    run as ONE runner call with the lr values batched into the runs axis
-    (runner ``lr_vec`` support — the DP frame-kernel paths fold per-run lr
-    into the runs-batched kernel, so an n_lr x iters group costs one
-    experiment's wall time instead of n_lr). Each point still gets its own
-    JSONL record; the batched call derives its key from the group's FIRST
-    point, so results are statistically (not bitwise) equal to the
-    unbatched sweep — the same relationship the reference's unseeded RNG
-    bears to any rerun. Groups with partially-finished resume records fall
-    back to per-point execution; incompatible with ``checkpoint_every``.
+    ``batch_lr_axis`` / ``batch_snr_axis``: grid points that differ ONLY
+    along the ``lr`` (and/or ``snr_db``) axes run as ONE runner call with
+    those values batched into the runs axis (runner ``lr_vec``/``snr_vec``
+    support — the DP frame-kernel paths fold per-run lr and demapper
+    variance into the runs-batched kernel and draw per-run noise in the
+    generator, so an n_points x iters group costs one experiment's wall
+    time instead of n_points). Each point still gets its own JSONL record;
+    the batched call derives its key from the group's FIRST point, so
+    results are statistically (not bitwise) equal to the unbatched sweep —
+    the same relationship the reference's unseeded RNG bears to any rerun.
+    Groups with partially-finished resume records fall back to per-point
+    execution; incompatible with ``checkpoint_every``.
     """
     import hashlib
     import inspect
@@ -163,37 +166,57 @@ def run_sweep(
         results.append(record)
         return record
 
-    lr_ax = None
-    lr_groups: dict = {}
-    if batch_lr_axis:
+    batch_fields = []  # (axis index in coords, cfg field, runner kwarg)
+    point_groups: dict = {}
+    want = ([("lr", "lr_vec")] if batch_lr_axis else []) + (
+        [("snr_db", "snr_vec")] if batch_snr_axis else []
+    )
+    if want:
         if checkpoint_every:
-            raise ValueError("batch_lr_axis is incompatible with checkpoint_every")
-        if "lr_vec" not in runner_params and not any(
+            raise ValueError(
+                "batch_lr_axis/batch_snr_axis are incompatible with "
+                "checkpoint_every"
+            )
+        has_kw = lambda kw: kw in runner_params or any(
             p.kind is inspect.Parameter.VAR_KEYWORD
             for p in runner_params.values()
-        ):
-            raise ValueError(f"runner {runner_name!r} has no lr_vec support")
+        )
         names = list(axes)
-        if "lr" in names and len(axes_values["lr"]) > 1:
-            lr_ax = names.index("lr")
+        for field, kw in want:
+            if field in names and len(axes_values[field]) > 1:
+                if not has_kw(kw):
+                    raise ValueError(
+                        f"runner {runner_name!r} has no {kw} support"
+                    )
+                batch_fields.append((names.index(field), field, kw))
+        if batch_fields:
+            drop = {ax for ax, _, _ in batch_fields}
+            gkey = lambda c: tuple(v for a, v in enumerate(c) if a not in drop)
             for j, c in enumerate(coords):
-                lr_groups.setdefault(c[:lr_ax] + c[lr_ax + 1 :], []).append(j)
+                point_groups.setdefault(gkey(c), []).append(j)
 
     handled: set = set()
     for i, (cfg, coord) in enumerate(zip(configs, coords)):
         if tuple(coord) in done or tuple(coord) in handled:
             continue
-        if lr_ax is not None:
-            idxs = lr_groups[tuple(coord)[:lr_ax] + tuple(coord)[lr_ax + 1 :]]
+        if batch_fields:
+            idxs = point_groups[gkey(tuple(coord))]
             if len(idxs) > 1 and not any(tuple(coords[j]) in done for j in idxs):
-                n_lr = len(idxs)
-                lr_vec = np.repeat(
-                    np.asarray([configs[j].lr for j in idxs], np.float32), iters
-                )
+                n_pt = len(idxs)
+                vec_kw = {
+                    kw: np.repeat(
+                        np.asarray(
+                            [getattr(configs[j], field) for j in idxs],
+                            np.float32,
+                        ),
+                        iters,
+                    )
+                    for _, field, kw in batch_fields
+                }
                 t0 = time.time()
                 kwargs = dict(
-                    runs=iters * n_lr, mesh=mesh, progress=progress,
-                    lr_vec=lr_vec, **(runner_kwargs or {}),
+                    runs=iters * n_pt, mesh=mesh, progress=progress,
+                    **vec_kw, **(runner_kwargs or {}),
                 )
                 if compiled and "compiled" in runner_params:
                     kwargs["compiled"] = True
@@ -206,14 +229,16 @@ def run_sweep(
                         m: np.asarray(res[m])[blk]
                         for m in ("ser", "mi", "var_est") if m in res
                     }
-                    if "var" in res:  # per-point constant (no runs axis)
+                    if "var_runs" in res:  # per-run var (snr-axis batching)
+                        res_j["var"] = np.asarray(res["var_runs"])[bj * iters]
+                    elif "var" in res:  # per-point constant (no runs axis)
                         res_j["var"] = res["var"]
                     state = res.get("params", res.get("taps"))
                     if state is not None:
                         res_j["params"] = jax.tree.map(
                             lambda a: np.asarray(a)[blk], state
                         ) if isinstance(state, dict) else np.asarray(state)[blk]
-                    write_record(configs[j], coords[j], res_j, wall / n_lr)
+                    write_record(configs[j], coords[j], res_j, wall / n_pt)
                     handled.add(tuple(coords[j]))
                 continue
         k = jax.random.fold_in(key, i)  # per-point, independent of skips

@@ -212,7 +212,7 @@ def _run_frame_kernel_experiment(
     cfg, key, gen, const, amps, P, var, *, steps_per_frame, stride_sym,
     tx_of, weight_fn, params, runs, mesh, progress, compiled, chunk_frames,
     checkpoint, checkpoint_every, timings, runs_batch=None, runs_pack=1,
-    stream_bf16=False, lr_vec=None,
+    stream_bf16=False, lr_vec=None, snr_vec=None,
 ):
     """Shared use_pallas="frame" experiment driver for VAE and VAEflex.
 
@@ -244,8 +244,10 @@ def _run_frame_kernel_experiment(
             raise ValueError(
                 "stream_bf16 needs the runs-batched kernel (set runs)"
             )
-        if lr_vec is not None:
-            raise ValueError("lr_vec needs the runs-batched kernel (set runs)")
+        if lr_vec is not None or snr_vec is not None:
+            raise ValueError(
+                "lr_vec/snr_vec need the runs-batched kernel (set runs)"
+            )
         rb = None
         carry = (params, frame_opt_init(params), jnp.int32(0))
     else:
@@ -273,11 +275,31 @@ def _run_frame_kernel_experiment(
                     f"lr_vec must have shape ({runs},), got {lr_vec.shape}"
                 )
             lr_groups = lr_vec.reshape(groups, rb)
+        if snr_vec is None:
+            snr_lin_runs = None
+            var_groups = jnp.broadcast_to(var, (groups,) + var.shape)
+            var_runs = jnp.broadcast_to(var, (groups, rb) + var.shape)
+        else:
+            # per-run SNR (sweep snr-axis batching): per-run noise draw in
+            # the generator + per-run demapper variance folded into the
+            # kernel's selection constants and the eval
+            snr_vec = jnp.asarray(snr_vec, jnp.float32)
+            if snr_vec.shape != (runs,):
+                raise ValueError(
+                    f"snr_vec must have shape ({runs},), got {snr_vec.shape}"
+                )
+            if runs_pack != 1:
+                raise ValueError("snr_vec requires runs_pack=1")
+            snr_lin_runs = 10.0 ** (snr_vec / 10.0)
+            var_runs = jax.vmap(
+                lambda s: jnp.full((2,), demapper_noise_var(const, s), jnp.float32)
+            )(snr_vec).reshape(groups, rb, 2)
+            var_groups = var_runs
 
-    def one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma):
+    def one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma, var_r):
         return _finish_vae_frame(
-            losses, q_mb, out_mb, var_est, tx_of(tx_full), const, amps, P, var,
-            weight_fn, sigma,
+            losses, q_mb, out_mb, var_est, tx_of(tx_full), const, amps, P,
+            var_r, weight_fn, sigma,
         )
 
     def crop_flex(q_mb, out_mb):
@@ -297,32 +319,39 @@ def _run_frame_kernel_experiment(
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
             )
             q_mb, out_mb = crop_flex(q_mb, out_mb)
-            packed = one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma)
+            packed = one_run_finish(
+                losses, q_mb, out_mb, var_est, tx_full, sigma, var
+            )
             return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 
         keys = jax.random.split(key, runs)
-        rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
+        if snr_lin_runs is None:
+            rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
+        else:
+            rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None, 0))(
+                keys, theta, snr_lin_runs
+            )
         rx_g = rx.reshape((groups, rb) + rx.shape[1:])
 
-        def kernel_group(p, o, rxg, lrg):
+        def kernel_group(p, o, rxg, lrg, varg):
             return vae_dp_frame_train_pallas_rb(
-                p["w"], p["h"], o, rxg, amps, var, const.nu_sc, P,
+                p["w"], p["h"], o, rxg, amps, varg, const.nu_sc, P,
                 lrg, count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
                 pack=runs_pack, stream_bf16=stream_bf16,
             )
 
         w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
-            params, opt, rx_g, lr_groups
+            params, opt, rx_g, lr_groups, var_groups
         )
         # batched eval via nested (groups, rb) vmaps — flattening the kernel
         # outputs to a runs axis first would transpose ~MB/run per frame
         q_mb, out_mb = crop_flex(q_mb, out_mb)
         tx_g = tx_full.reshape((groups, rb) + tx_full.shape[1:])
         sigma_g = sigma.reshape((groups, rb) + sigma.shape[1:])
-        packed = jax.vmap(jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 0, 0)))(
-            losses, q_mb, out_mb, var_est, tx_g, sigma_g
-        )  # (groups, rb, n_tot)
+        packed = jax.vmap(
+            jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 0, 0, 0))
+        )(losses, q_mb, out_mb, var_est, tx_g, sigma_g, var_runs)  # (groups, rb, n_tot)
         packed = packed.reshape((runs,) + packed.shape[2:])
         return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 
@@ -335,7 +364,12 @@ def _run_frame_kernel_experiment(
     if rb is not None:
         params = jax.tree.map(lambda x: x.reshape((runs,) + x.shape[2:]), params)
     prefix = () if runs is None else (runs,)
-    return _dp_result(hist, var, prefix, cfg.num_frames, params=params)
+    extra = {}
+    if snr_vec is not None:
+        # per-run demapper variance (the sweep's per-point "var" under
+        # snr-axis batching; the scalar "var" slot keeps cfg's value)
+        extra["var_runs"] = np.asarray(var_runs.reshape(runs, 2))
+    return _dp_result(hist, var, prefix, cfg.num_frames, params=params, **extra)
 
 
 def train_vae_dp(
@@ -355,6 +389,7 @@ def train_vae_dp(
     runs_pack: int = 1,
     stream_bf16: bool = False,
     lr_vec=None,
+    snr_vec=None,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -393,11 +428,11 @@ def train_vae_dp(
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
             runs_batch=runs_batch, runs_pack=runs_pack, stream_bf16=stream_bf16,
-            lr_vec=lr_vec,
+            lr_vec=lr_vec, snr_vec=snr_vec,
         )
 
-    if lr_vec is not None:
-        raise ValueError('lr_vec needs use_pallas="frame"')
+    if lr_vec is not None or snr_vec is not None:
+        raise ValueError('lr_vec/snr_vec need use_pallas="frame"')
     opt = _vae_optimizer(cfg, m_max)
     carry = init_carry(params, opt, runs, mesh)
 
@@ -464,6 +499,7 @@ def train_vae_flex_dp(
     runs_pack: int = 1,
     stream_bf16: bool = False,
     lr_vec=None,
+    snr_vec=None,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
@@ -502,11 +538,11 @@ def train_vae_flex_dp(
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
             runs_batch=runs_batch, runs_pack=runs_pack, stream_bf16=stream_bf16,
-            lr_vec=lr_vec,
+            lr_vec=lr_vec, snr_vec=snr_vec,
         )
 
-    if lr_vec is not None:
-        raise ValueError('lr_vec needs use_pallas="frame"')
+    if lr_vec is not None or snr_vec is not None:
+        raise ValueError('lr_vec/snr_vec need use_pallas="frame"')
 
     opt = _vae_optimizer(cfg, n_windows)
     carry = init_carry(params, opt, runs, mesh)

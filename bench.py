@@ -22,6 +22,7 @@ import contextlib
 import io as _io
 import json
 import pathlib
+import re
 import time
 
 HERE = pathlib.Path(__file__).resolve().parent
@@ -69,7 +70,7 @@ def measure_tpu(frames: int, n_frame: int, runs: int | None = None) -> dict:
 
 def measure_tpu_compiled(
     frames: int, n_frame: int, runs: int | None = None, use_pallas: bool = False,
-    runs_batch: int | None = None, runs_pack: int = 1,
+    runs_batch: int | None = None, runs_pack: int = 1, stream_bf16: bool = False,
 ) -> dict:
     """Whole-experiment lax.scan mode: ONE jitted call for all frames, one
     packed D2H at the end — no per-frame host round trips. This is the
@@ -89,6 +90,8 @@ def measure_tpu_compiled(
     kw = {} if runs_batch is None else {"runs_batch": runs_batch}
     if runs_pack != 1:
         kw["runs_pack"] = runs_pack
+    if stream_bf16:
+        kw["stream_bf16"] = True
     train_vae_dp(cfg, key, compiled=True, runs=runs, use_pallas=use_pallas,
                  timings=timings, **kw)
     dt = timings["run_s"]  # pure execution of the AOT-compiled program
@@ -269,18 +272,25 @@ def main(argv=None):
     # would prepend a serial grid dimension, which is why round-2 saturated
     # at 1.8x one run. Measured at the FULL workload (same AOT program as
     # the headline, so the aggregate can never under-amortize below it).
-    # keys: runs count, or "<runs>p2" for the sublane-packed (pack=2) kernel
-    # variant — measured alongside pack=1 so the official record captures
-    # whichever is faster (ops/frame_kernel.py packing note)
-    agg_keys = (8, 32, 128, "32p2", "128p2") if not args.quick else (args.runs,)
+    # keys: runs count, with optional "r<rb>" (kernel batch size, default 8),
+    # "p<pack>" (sublane packing), and trailing "b" (bfloat16 q/out output
+    # streams) suffixes. rb=16 measured fastest on v5e once the kernel's
+    # VMEM limit was raised, and the bf16 streams cut the HBM-bound eval
+    # stage 7.4 -> 5.9 ms/frame at 128 runs (artifacts/r4_agg_grid128.log,
+    # PARITY_RESULTS round 4); pack=2 measured a slight loss at every group
+    # size (elementwise tiles bind once the dot bill is merged), so the p2
+    # rows were retired from the official record after one captured round.
+    agg_keys = ((8, 32, 128, "128r16", "128r16b")
+                if not args.quick else (args.runs,))
 
     def agg_measure(key):
-        nruns = int(str(key).split("p")[0])
-        pk = 2 if str(key).endswith("p2") else 1
+        m = re.fullmatch(r"(\d+)(?:r(\d+))?(?:p(\d+))?(b)?", str(key))
+        nruns, rb, pk, bf = m.groups()
         return measure_tpu_compiled(
             frames if args.quick else max(frames, 170), n_frame,
-            runs=nruns, use_pallas=False if args.cpu else "frame",
-            runs_pack=pk,
+            runs=int(nruns), use_pallas=False if args.cpu else "frame",
+            runs_batch=int(rb) if rb else None, runs_pack=int(pk) if pk else 1,
+            stream_bf16=bool(bf),
         )
 
     aggs = collect_aggregates(agg_measure, agg_keys)

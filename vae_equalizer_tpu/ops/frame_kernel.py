@@ -997,6 +997,11 @@ def vae_dp_frame_train_pallas_rb(
             per_mb4(4 * pk, n_sym),
         ),
         scratch_shapes=scratch_shapes,
+        # stream buffers + scratch exceed the 16 MiB default scoped-vmem
+        # limit past ~8 runs/group (rb=16 or pack=2 x rb=16); the v5e has
+        # 128 MiB physical VMEM, so raise the compile-time cap (the limit
+        # gates allocation only — configs under 16 MiB are unaffected)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
 

@@ -47,6 +47,7 @@ def timed(fn, reps=3):
 
 
 PARTS = ["none", "pack", "sync", "soft", "mi", "full", "full_mb"]
+MB_PARTS = ["none", "mb_sync", "mb_soft", "mb_mi", "mb_const"]
 
 
 def main():
@@ -56,11 +57,15 @@ def main():
     ap.add_argument("--frames", type=int, default=170)
     ap.add_argument("--n-frame", type=int, default=10000)
     ap.add_argument("--parts", nargs="*", default=PARTS)
+    ap.add_argument("--mb", action="store_true",
+                    help="profile the minibatch-layout eval prefixes instead")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 q/out output streams (stream_bf16)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU plumbing check (pallas interpret mode)")
     args = ap.parse_args()
+    if args.mb and args.parts == PARTS:
+        args.parts = MB_PARTS
     if args.interpret:
         import jax
 
@@ -114,6 +119,44 @@ def main():
         if part == "none":
             return acc
         n_out = q_mb.shape[0] * q_mb.shape[-1]
+        if part.startswith("mb_"):
+            # cumulative prefixes of the MINIBATCH-layout eval (the
+            # production path, _dp_frame_eval_mb) — adjacent differences vs
+            # "none" isolate sync / decisions+SER / MI / const sub-stages
+            from vae_equalizer_tpu.metrics.mi import (
+                mutual_information_ambiguity_mb,
+            )
+            from vae_equalizer_tpu.metrics.ser import (
+                iqflip_decisions_mb,
+                ser_iqflip_from_dec,
+            )
+            from vae_equalizer_tpu.metrics.sync import find_shift_dp_mb
+
+            shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
+            w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
+            tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
+            acc = acc + tx_al[0, 0, 0] + w_al[0, 0]
+            if part == "mb_sync":
+                return acc
+            dec = iqflip_decisions_mb(q_mb)
+            ser_soft = jnp.roll(
+                ser_iqflip_from_dec(dec, tx_al, const.num_lev, weight=w_al), r)
+            acc = acc + ser_soft.sum()
+            if part == "mb_soft":
+                return acc
+            mi = jnp.roll(mutual_information_ambiguity_mb(
+                q_mb, tx_al, amps, P, weight=w_al), r)
+            acc = acc + mi.sum()
+            if part == "mb_mi":
+                return acc
+            out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
+            shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+            w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
+            tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
+            ser_const = jnp.roll(ser_constell_shaping(
+                out_const, tx_al_c, amps, const.nu_sc, var, weight=w_al_c),
+                r_c)
+            return acc + ser_const.sum()  # == full_mb ("mb_const")
         if part == "full_mb":
             from vae_equalizer_tpu.train.dp import _dp_frame_eval_mb
 

@@ -62,7 +62,7 @@ def main():
     )
     from vae_equalizer_tpu.train.eval_utils import batch_cut_weight
     from vae_equalizer_tpu.train.dp import (
-        _dp_frame_eval,
+        _dp_frame_eval_mb,
         _frame_inputs,
         _setup,
     )
@@ -92,13 +92,18 @@ def main():
         return batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut)
 
     def eval_one(losses, q_mb, out_mb, var_est, tx, sigma):
-        n_out = q_mb.shape[0] * q_mb.shape[-1]
-        q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, n_out)
+        # Thread EVERY eval output into the result: returning only ser_soft
+        # let XLA dead-code-eliminate MI, const-SER and the second sync, so
+        # the "full" variant understated the real pipeline's eval stage by
+        # ~2x (r4_eval_breakdown.log vs the 28.5M bench capture).  Use the
+        # minibatch-layout eval — what _finish_vae_frame actually runs.
+        n_out = out_mb.shape[0] * out_mb.shape[-1]
         out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
-        ser_const, ser_soft, mi, shift, r = _dp_frame_eval(
-            q_train, out_const, tx, amps, P, const.nu_sc, var, weight_fn
+        ser_const, ser_soft, mi, shift, r = _dp_frame_eval_mb(
+            q_mb, out_const, tx, amps, P, const.nu_sc, var, weight_fn
         )
-        return ser_soft
+        return (ser_const.sum() + ser_soft.sum() + mi.sum()
+                + shift.astype(jnp.float32).sum() + r.astype(jnp.float32))
 
     def body(carry, inp, *, do_train, do_eval):
         p, opt, count, acc = carry

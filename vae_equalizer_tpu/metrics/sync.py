@@ -39,16 +39,21 @@ def expectation_i(q: jnp.ndarray, amps: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(qi * amps[(None,) * (qi.ndim - 2) + (slice(None), None)], axis=-2)
 
 
-def _roll_matrix(e: jnp.ndarray, n_shift: int) -> jnp.ndarray:
-    """(..., L) -> (..., L, n_shift) where [..., :, i] = roll(e, i - n_shift//2).
+def _roll_stack(e: jnp.ndarray, n_shift: int) -> jnp.ndarray:
+    """(..., L) -> (n_shift, ..., L) where [i] = roll(e, i - n_shift//2).
 
     The shifts are compile-time constants, so each roll is two static slices
     + concat (a vmap over traced shifts would lower every roll to dynamic
-    slicing machinery)."""
-    rolled = jnp.stack(
+    slicing machinery).
+
+    The lag axis stays LEADING: time must remain the minormost (lane) dim.
+    The previous (..., L, n_shift) layout padded the trailing 21-lag axis to
+    128 lanes, so the runs-batched eval streamed a (128, 2, 10000, 128)-padded
+    roll tensor (~1.3 GB/frame at 6x useful density) — measured 3.96 ms/frame
+    of the 13.6 ms eval stage (artifacts/r4_eval_breakdown.log)."""
+    return jnp.stack(
         [jnp.roll(e, s, axis=-1) for s in range(-(n_shift // 2), n_shift - n_shift // 2)]
-    )  # (n_shift, ..., L)
-    return jnp.moveaxis(rolled, 0, -1)
+    )
 
 
 def find_shift_siso(
@@ -61,9 +66,9 @@ def find_shift_siso(
     with where(), no branches.
     """
     e = expectation_i(q, amps)[:corr_len]
-    e_mat = _roll_matrix(e, n_shift)  # (corr_len, n_shift)
-    corr_i = jnp.abs(tx[0, :corr_len].astype(jnp.float32) @ e_mat)
-    corr_q = jnp.abs(tx[1, :corr_len].astype(jnp.float32) @ e_mat)
+    e_mat = _roll_stack(e, n_shift)  # (n_shift, corr_len)
+    corr_i = jnp.abs(e_mat @ tx[0, :corr_len].astype(jnp.float32))
+    corr_q = jnp.abs(e_mat @ tx[1, :corr_len].astype(jnp.float32))
     s_i = n_shift // 2 - jnp.argmax(corr_i)
     s_q = n_shift // 2 - jnp.argmax(corr_q)
     use_i = jnp.max(corr_i) >= 0.02 * q.shape[-1]
@@ -98,9 +103,9 @@ def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int):
     Returns (shift (2,), r) with r=0 for XY assignment, r=1 for YX.
     """
     L = e.shape[-1]
-    e_mat = _roll_matrix(e, n_shift)  # (2, L, n_shift)
-    # corr[comp, b, i, s] = sum_k tx[i, comp, k] * e_mat[b, k, s]
-    corr = jnp.abs(jnp.einsum("ick,bks->cbis", tx[:, :, :L].astype(jnp.float32), e_mat))
+    e_mat = _roll_stack(e, n_shift)  # (n_shift, 2, L): lag leading, time in lanes
+    # corr[comp, b, i, s] = sum_k tx[i, comp, k] * e_mat[s, b, k]
+    corr = jnp.abs(jnp.einsum("ick,sbk->cbis", tx[:, :, :L].astype(jnp.float32), e_mat))
     corr_max_c = jnp.max(corr, axis=-1)  # (comp, b, i)
     corr_ind_c = jnp.argmax(corr, axis=-1)  # (comp, b, i)
     ind_max = jnp.argmax(corr_max_c, axis=0)  # (b, i) best component

@@ -417,43 +417,37 @@ def test_sublane_packed_kernel_flex_windows():
     np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-6)
 
 
-def test_runs_batched_kernel_r1_matches_single_run_body():
-    """rb body at R=1 == the dedicated single-run kernel body (consolidation
-    check, VERDICT r3 item 4: if the on-chip step costs also match, the
-    single-run body can be retired)."""
+def test_single_run_wrapper_squeezes_rb_body():
+    """vae_dp_frame_train_pallas is now a thin R=1 surface over the rb body
+    (the dedicated single-run kernel was retired once rb@R=1 matched it on
+    chip — VERDICT r3 item 4). Guard the wrapper's expand/squeeze plumbing:
+    outputs carry no runs axis and equal the rb body's run 0 exactly."""
     from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
 
     const, amps, P, var, w, h, rx = _setup("64-QAM")
-    wb, hb = w[None], h[None]
 
-    def run_rb(lr, x):
-        opt0 = frame_opt_init({"w": wb, "h": hb})
-        return vae_dp_frame_train_pallas_rb(
-            wb, hb, opt0, x, amps, var, const.nu_sc, P,
-            jnp.float32(lr), jnp.float32(0.0), jnp.float32(10**9),
-            bl_sym=BL, interpret=True,
-        )
-
-    def run_one(lr, x):
-        o1 = frame_opt_init({"w": w, "h": h})
-        return vae_dp_frame_train_pallas(
-            w, h, o1, x, amps, var, const.nu_sc, P,
-            jnp.float32(lr), jnp.float32(0.0), jnp.float32(10**9),
-            bl_sym=BL, interpret=True,
-        )
-
-    _, _, _, lb, vb, qb, ob = run_rb(0.0, rx[None])
-    _, _, _, l1, v1, q1, o1 = run_one(0.0, rx)
-    np.testing.assert_allclose(lb[:, 0], l1, rtol=1e-6)
-    np.testing.assert_allclose(qb[:, 0], q1, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(ob[:, 0], o1, rtol=1e-6, atol=1e-7)
-
-    wb2, hb2, sb, *_ = run_rb(LR, rx[None][..., : 2 * BL])
-    w2, h2, s1, *_ = run_one(LR, rx[..., : 2 * BL])
-    np.testing.assert_allclose(wb2[0], w2, rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(hb2[0], h2, rtol=1e-5, atol=1e-7)
+    o1 = frame_opt_init({"w": w, "h": h})
+    w1, h1, s1, l1, v1, q1, out1 = vae_dp_frame_train_pallas(
+        w, h, o1, rx, amps, var, const.nu_sc, P,
+        jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
+        bl_sym=BL, interpret=True,
+    )
+    ob = frame_opt_init({"w": w[None], "h": h[None]})
+    wb, hb, sb, lb, vb, qb, outb = vae_dp_frame_train_pallas_rb(
+        w[None], h[None], ob, rx[None], amps, var, const.nu_sc, P,
+        jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
+        bl_sym=BL, interpret=True,
+    )
+    assert w1.shape == w.shape and h1.shape == h.shape
+    assert l1.shape == lb.shape[:1] and q1.shape == qb[:, 0].shape
+    np.testing.assert_array_equal(w1, wb[0])
+    np.testing.assert_array_equal(h1, hb[0])
+    np.testing.assert_array_equal(l1, lb[:, 0])
+    np.testing.assert_array_equal(v1, vb[:, 0])
+    np.testing.assert_array_equal(q1, qb[:, 0])
+    np.testing.assert_array_equal(out1, outb[:, 0])
     for k in ("mw", "vw", "mh", "vh"):
-        np.testing.assert_allclose(sb[k][0], s1[k], rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(s1[k], sb[k][0])
 
 
 def test_frame_experiment_runs_packed(monkeypatch):

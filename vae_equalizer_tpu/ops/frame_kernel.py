@@ -1055,473 +1055,37 @@ def vae_dp_frame_train_pallas_rb(
     )
 
 
-def _dot(a, b, contract=((1,), (0,))):
-    return jax.lax.dot_general(
-        a, b, (contract, ((), ())), preferred_element_type=jnp.float32,
-        precision=_HI,
-    )
 
 
-def _kernel_r1(
-    xi_ref, xq_ref, rx_ref, rxe_ref, rxo_ref,
-    maske_ref, masko_ref, masket_ref, maskot_ref, perm_e_ref, perm_o_ref,
-    w_in, h_in, mw_in, vw_in, mh_in, vh_in, amps_ref, p_ref, scal_ref,
-    w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref, outout_ref,
-    w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
-    eqwin_e_sc, eqwin_o_sc, gdwin_e_sc, gdwin_o_sc, gh_sc, ct_e_sc, ct_o_sc,
-    *, n_sym, m, n_lev,
-):
-    mi = pl.program_id(0)
-
-    @pl.when(mi == 0)
-    def _():
-        w_sc[:, :] = w_in[:, :]
-        h_sc[:, :] = h_in[:, :]
-        mw_sc[:, :] = mw_in[:, :]
-        vw_sc[:, :] = vw_in[:, :]
-        mh_sc[:, :] = mh_in[:, :]
-        vh_sc[:, :] = vh_in[:, :]
-
-    n_samp = 2 * n_sym
-    mh = m // 2
-    mhe = mh + 1  # even-tap count; odd-tap count = mh
-    n_eff = float(n_samp - 2 * mh)
-    ne = n_sym - mh  # positions per tap parity (even == odd count here)
-    var_x = scal_ref[0, 0]
-    var_y = scal_ref[0, 1]
-    nu_sc = scal_ref[0, 2]
-    eps = scal_ref[0, 3]
-    amps = amps_ref[0, :]  # (n_lev,)
-    p_row = p_ref[0, :]
-    xi = xi_ref[0]  # (4M, n_sym) im2col, I arrangement
-    xq = xq_ref[0]
-    h_e = h_sc[:, :mhe]  # (8, mhe) even taps, rows chi*4 + nu*2 + c
-    h_o = h_sc[:, mhe:]  # (8, mh)  odd taps
-
-    # ---------------- forward: butterfly as two MXU matmuls
-    out_i = _dot(w_sc[:, :], xi)  # (2, N) I outputs (x, y)
-    out_q = _dot(w_sc[:, :], xq)  # (2, N) Q outputs (same taps, Q arrangement)
-    out = jnp.concatenate([out_i, out_q])  # rows (x_I, y_I, x_Q, y_Q)
-
-    # ---------------- demapper + posterior moments (rows r = pol + 2*comp);
-    # eq4g carries the posterior means in GROUP order (xI, xQ, yI, yQ) =
-    # (nu, c') so the window stacks below can store 4-row blocks
-    eqs, vs = [], []
-    for r in range(4):
-        o = out[r : r + 1, :]
-        var = var_x if r % 2 == 0 else var_y
-        dlt = o - amps[:, None]
-        metric = dlt * dlt / (2.0 * var) + nu_sc * (amps * amps)[:, None]
-        mmin = jnp.min(metric, axis=0, keepdims=True)
-        e = jnp.exp(mmin - metric)
-        q = e / jnp.sum(e, axis=0, keepdims=True)  # (n_lev, N)
-        q_sc[r * n_lev : (r + 1) * n_lev, :] = q
-        eqs.append(jnp.sum(amps[:, None] * q, axis=0, keepdims=True))
-        vs.append(jnp.sum((amps * amps)[:, None] * q, axis=0, keepdims=True))
-    eq4g = jnp.concatenate([eqs[0], eqs[2], eqs[1], eqs[3]])  # group order
-    eq4 = jnp.concatenate(eqs)  # (4, N) rows (x_I, y_I, x_Q, y_Q)
-    v4 = jnp.concatenate(vs) - eq4 * eq4
-
-    # ---------------- D conv as matmuls over shifted-window stacks.
-    # Window rows are SHIFT-major (row a*4 + g, groups g = (nu, c') in
-    # order (x,I), (x,Q), (y,I), (y,Q)): one 4-row block store per shift
-    # from a lane slice of eq4g — 4x fewer store instructions than the
-    # row-per-(g, a) form (stores dominate the ~300-instruction step body,
-    # PARITY_RESULTS round-3 roofline note). CT rows (chi*2 + c) hold the
-    # h coefficients (g, a)-major; the constant permutation PERM
-    # (PERM[g*n_a + a, a*4 + g] = 1) is folded into the adjacent matmuls.
-    # Windows go through scratch stores — Mosaic cannot sublane-concat
-    # vectors whose lane offsets differ.
-    def win_stack(sc, rows4, n_a):
-        for a in range(n_a):
-            sc[4 * a : 4 * a + 4, :] = rows4[:, mh - a : n_sym - a]
-        return sc[:, :]
-
-    eqwin_e = win_stack(eqwin_e_sc, eq4g, mhe)
-    eqwin_o = win_stack(eqwin_o_sc, eq4g, mh)
-    perm_e = perm_e_ref[:, :]
-    perm_o = perm_o_ref[:, :]
-
-    def ct_d(sc, h_p, n_a):  # (4, 4*n_a): D coefficients, rows (chi*2 + c)
-        for chi in range(2):
-            hr0, hi0 = h_p[chi * 4 : chi * 4 + 1, :], h_p[chi * 4 + 1 : chi * 4 + 2, :]
-            hr1, hi1 = h_p[chi * 4 + 2 : chi * 4 + 3, :], h_p[chi * 4 + 3 : chi * 4 + 4, :]
-            for b, blk in enumerate((hr0, -hi0, hr1, -hi1)):  # D_re
-                sc[chi * 2 : chi * 2 + 1, b * n_a : (b + 1) * n_a] = blk
-            for b, blk in enumerate((hi0, hr0, hi1, hr1)):  # D_im
-                sc[chi * 2 + 1 : chi * 2 + 2, b * n_a : (b + 1) * n_a] = blk
-        return sc[:, :]
-
-    d_e = _dot(_dot(ct_d(ct_e_sc, h_e, mhe), perm_e), eqwin_e)  # (4, ne) rows (chi*2+c)
-    d_o = _dot(_dot(ct_d(ct_o_sc, h_o, mh), perm_o), eqwin_o)  # odd positions
-
-    # ---------------- E term: S_p (2, n_a) = Vsum (2, N) @ MASK_p (N, n_a)
-    vsum = jnp.concatenate(
-        [v4[0:1, :] + v4[2:3, :], v4[1:2, :] + v4[3:4, :]]
-    )  # (2, N) per pol
-    s_e = _dot(vsum, maske_ref[:, :])  # (2, mhe)
-    s_o = _dot(vsum, masko_ref[:, :])  # (2, mh)
-    hsq = h_sc[:, :] * h_sc[:, :]
-    # |h|^2 per (chi, nu): explicit row pairs (a stride-2 sublane slice
-    # would lower as an unsupported Mosaic gather)
-    habsq = jnp.concatenate(
-        [hsq[2 * g : 2 * g + 1, :] + hsq[2 * g + 1 : 2 * g + 2, :] for g in range(4)]
-    )  # (4, M) rows chi*2 + nu, parity-major lanes
-    s_cat = jnp.concatenate([s_e, s_o], axis=1)  # (2, M) parity-major
-    e_x = jnp.sum(habsq[0:1, :] * s_cat[0:1, :]) + jnp.sum(habsq[1:2, :] * s_cat[1:2, :])
-    e_y = jnp.sum(habsq[2:3, :] * s_cat[0:1, :]) + jnp.sum(habsq[3:4, :] * s_cat[1:2, :])
-
-    # ---------------- C and loss
-    rx = rx_ref[0, :, :]
-    rx_w2 = rx[:, mh : n_samp - mh]
-    c_base_x = jnp.sum(rx_w2[0:2, :] * rx_w2[0:2, :])
-    c_base_y = jnp.sum(rx_w2[2:4, :] * rx_w2[2:4, :])
-    rxe = rxe_ref[0, :, :]  # (4, Nsym) even samples
-    rxo = rxo_ref[0, :, :]
-    if mh % 2 == 0:
-        rx_al_e = rxe[:, mh - mh // 2 : n_sym - mh // 2]  # (4, ne)
-        rx_al_o = rxo[:, mh - mh // 2 : n_sym - mh // 2]
-    else:
-        rx_al_e = rxo[:, mh - (mh + 1) // 2 : n_sym - (mh + 1) // 2]
-        rx_al_o = rxe[:, mh - mh // 2 : n_sym - mh // 2]
-
-    cross_x = jnp.sum(rx_al_e[0:2, :] * d_e[0:2, :]) + jnp.sum(rx_al_o[0:2, :] * d_o[0:2, :])
-    cross_y = jnp.sum(rx_al_e[2:4, :] * d_e[2:4, :]) + jnp.sum(rx_al_o[2:4, :] * d_o[2:4, :])
-    dd_x = jnp.sum(d_e[0:2, :] * d_e[0:2, :]) + jnp.sum(d_o[0:2, :] * d_o[0:2, :])
-    dd_y = jnp.sum(d_e[2:4, :] * d_e[2:4, :]) + jnp.sum(d_o[2:4, :] * d_o[2:4, :])
-    c_x = c_base_x - 2.0 * cross_x + dd_x + e_x
-    c_y = c_base_y - 2.0 * cross_y + dd_y + e_y
-
-    # KL over inner symbols, all 4 component rows at once
-    q32 = q_sc[:, :]
-    p32 = jnp.concatenate([jnp.transpose(p_row.reshape(1, n_lev))] * 4)  # (4n, 1)
-    ratio = q32[:, mh : n_sym - mh] / p32
-    kl = jnp.sum(-q32[:, mh : n_sym - mh] * jnp.log(ratio + eps))
-
-    qout_ref[0, :, :] = q32
-    outout_ref[0, :, :] = out
-
-    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl
-    row = jnp.concatenate(
-        [loss.reshape(1, 1), (c_x / n_eff).reshape(1, 1), (c_y / n_eff).reshape(1, 1)],
-        axis=1,
-    )
-    stats_ref[0, :, :] = jnp.pad(row, ((0, 0), (0, 125)))
-
-    # ================ backward ================
-    g_cx = n_eff / c_x
-    g_cy = n_eff / c_y
-    gfac = jnp.concatenate(
-        [jnp.full((2, 1), 0.0, jnp.float32) + g_cx, jnp.full((2, 1), 0.0, jnp.float32) + g_cy]
-    )  # (4, 1) rows (chi*2 + c)
-    gd_e = gfac * (2.0 * d_e - 2.0 * rx_al_e)  # (4, ne)
-    gd_o = gfac * (2.0 * d_o - 2.0 * rx_al_o)
-
-    # ---- gh: GH_p (4, 4*n_a) = gd_p @ EQwin_p^T, then assemble rows + E term
-    # (PERM^T restores the (g, a)-major columns gh_assemble slices)
-    gh_e_m = _dot(_dot(gd_e, eqwin_e, ((1,), (1,))), perm_e, ((1,), (1,)))  # (4, 4*mhe)
-    gh_o_m = _dot(_dot(gd_o, eqwin_o, ((1,), (1,))), perm_o, ((1,), (1,)))
-
-    def gh_assemble(ghm, h_p, s_p, n_a, lane0):
-        # ghm cols grouped (nu, c') in order (x,I)(x,Q)(y,I)(y,Q) like CT;
-        # rows land in the gh scratch (offset-normalizing stores)
-        for chi in range(2):
-            re_row = ghm[chi * 2 : chi * 2 + 1, :]
-            im_row = ghm[chi * 2 + 1 : chi * 2 + 2, :]
-            for nu in range(2):
-                bi = (2 * nu) * n_a  # (nu, I) block
-                bq = (2 * nu + 1) * n_a  # (nu, Q) block
-                ghr = re_row[:, bi : bi + n_a] + im_row[:, bq : bq + n_a]
-                ghi = -re_row[:, bq : bq + n_a] + im_row[:, bi : bi + n_a]
-                g_c = g_cx if chi == 0 else g_cy
-                s_nu = s_p[nu : nu + 1, :]
-                r0 = chi * 4 + nu * 2
-                gh_sc[r0 : r0 + 1, lane0 : lane0 + n_a] = (
-                    ghr + 2.0 * g_c * h_p[r0 : r0 + 1, :] * s_nu
-                )
-                gh_sc[r0 + 1 : r0 + 2, lane0 : lane0 + n_a] = (
-                    ghi + 2.0 * g_c * h_p[r0 + 1 : r0 + 2, :] * s_nu
-                )
-
-    gh_assemble(gh_e_m, h_e, s_e, mhe, 0)
-    gh_assemble(gh_o_m, h_o, s_o, mh, mhe)
-    gh = gh_sc[:, :]  # (8, M) parity-major
-
-    # ---- gEq: GEQ (4, N) = CT2 (4, 4*n_a) @ gDwin (4*n_a, N), both parities
-    # (shift-major rows like eqwin: one 4-row block store per shift)
-    def gdwin(sc, gd_p, n_a):
-        # padded[m] = gd_p[m - mh]; window a = padded[a : a + N] places
-        # gd_p[b] at t = mh - a + b, so length must reach (n_a-1) + N
-        padded = jnp.pad(gd_p, ((0, 0), (mh, n_a - 1)))
-        for a in range(n_a):
-            sc[4 * a : 4 * a + 4, :] = padded[:, a : a + n_sym]
-        return sc[:, :]  # (4*n_a, N)
-
-    def ct2(sc, h_p, n_a):  # rows (nu, c') in order (x,I)(x,Q)(y,I)(y,Q)
-        for nu in range(2):
-            hr0, hi0 = h_p[nu * 2 : nu * 2 + 1, :], h_p[nu * 2 + 1 : nu * 2 + 2, :]
-            hr1, hi1 = h_p[4 + nu * 2 : 4 + nu * 2 + 1, :], h_p[4 + nu * 2 + 1 : 4 + nu * 2 + 2, :]
-            for b, blk in enumerate((hr0, hi0, hr1, hi1)):  # (nu, I)
-                sc[nu * 2 : nu * 2 + 1, b * n_a : (b + 1) * n_a] = blk
-            for b, blk in enumerate((-hi0, hr0, -hi1, hr1)):  # (nu, Q)
-                sc[nu * 2 + 1 : nu * 2 + 2, b * n_a : (b + 1) * n_a] = blk
-        return sc[:, :]
-
-    geq_g = _dot(
-        _dot(ct2(ct_e_sc, h_e, mhe), perm_e), gdwin(gdwin_e_sc, gd_e, mhe)
-    ) + _dot(_dot(ct2(ct_o_sc, h_o, mh), perm_o), gdwin(gdwin_o_sc, gd_o, mh))
-    # rows (x,I)(x,Q)(y,I)(y,Q) -> eq4 order (x,I)(y,I)(x,Q)(y,Q)
-    geq = jnp.concatenate([geq_g[0:1], geq_g[2:3], geq_g[1:2], geq_g[3:4]])
-
-    # ---- gV: gv (2, N) = GCO (2, n_a) @ MASK_p^T per parity
-    gco = g_cx * habsq[0:2, :] + g_cy * habsq[2:4, :]  # (2, M) rows nu
-    gv = _dot(gco[:, :mhe], masket_ref[:, :]) + _dot(gco[:, mhe:], maskot_ref[:, :])
-
-    # ---- moments -> gq -> softmin VJP -> gout
-    t_in = jax.lax.broadcasted_iota(jnp.int32, (1, n_sym), 1)
-    t_mask = ((t_in >= mh) & (t_in < n_sym - mh)).astype(jnp.float32)
-    gouts = []
-    for r in range(4):
-        nu = r % 2
-        var = var_x if r % 2 == 0 else var_y
-        gvr = gv[nu : nu + 1, :]
-        g_eq_r = geq[r : r + 1, :] - 2.0 * eq4[r : r + 1, :] * gvr
-        q = q_sc[r * n_lev : (r + 1) * n_lev, :]
-        gq = amps[:, None] * g_eq_r + (amps * amps)[:, None] * gvr
-        ratio = q / p_row[:, None]
-        gq = gq + (jnp.log(ratio + eps) + ratio / (ratio + eps)) * t_mask
-        inner = jnp.sum(q * gq, axis=0, keepdims=True)
-        gm = -q * (gq - inner)
-        o = out[r : r + 1, :]
-        gouts.append(jnp.sum(gm * (o - amps[:, None]), axis=0, keepdims=True) / var)
-    gout = jnp.concatenate(gouts)  # (4, N) rows (x_I, y_I, x_Q, y_Q)
-
-    # ---- gw: (2, 4M) = gout_I @ XI^T + gout_Q @ XQ^T
-    gw = _dot(gout[0:2, :], xi, ((1,), (1,))) + _dot(gout[2:4, :], xq, ((1,), (1,)))
-
-    # ================ in-kernel Adam (optax.adam semantics) ================
-    lr = scal_ref[0, 4]
-    lr_half_step = scal_ref[0, 5]
-    step0 = scal_ref[0, 6]
-    step_f = step0 + mi.astype(jnp.float32)  # 0-based global step index
-    t = step_f + 1.0  # optax bias-correction count
-    # b**t as exp(t*ln b): Mosaic has no powf lowering
-    bc1 = 1.0 - jnp.exp(t * math.log(_B1))
-    bc2 = 1.0 - jnp.exp(t * math.log(_B2))
-    lr_w = lr * jnp.where(step_f >= lr_half_step, 0.5, 1.0)
-
-    mw_sc[:, :] = _B1 * mw_sc[:, :] + (1.0 - _B1) * gw
-    vw_sc[:, :] = _B2 * vw_sc[:, :] + (1.0 - _B2) * gw * gw
-    w_sc[:, :] = w_sc[:, :] - lr_w * (mw_sc[:, :] / bc1) / (
-        jnp.sqrt(vw_sc[:, :] / bc2) + _EPS_ADAM
-    )
-
-    mh_sc[:, :] = _B1 * mh_sc[:, :] + (1.0 - _B1) * gh
-    vh_sc[:, :] = _B2 * vh_sc[:, :] + (1.0 - _B2) * gh * gh
-    h_sc[:, :] = h_sc[:, :] - lr * (mh_sc[:, :] / bc1) / (
-        jnp.sqrt(vh_sc[:, :] / bc2) + _EPS_ADAM
-    )
-
-    w_out[:, :] = w_sc[:, :]
-    h_out[:, :] = h_sc[:, :]
-    mw_out[:, :] = mw_sc[:, :]
-    vw_out[:, :] = vw_sc[:, :]
-    mh_out[:, :] = mh_sc[:, :]
-    vh_out[:, :] = vh_sc[:, :]
-
-
-@functools.partial(jax.jit, static_argnames=("bl_sym", "stride_sym", "interpret"))
 def vae_dp_frame_train_pallas(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
 ):
     """Run one frame's FULL online training (all minibatches + Adam) fused.
 
-    Dedicated single-run kernel (_kernel_r1): the R=1 layouts admit 2D
-    reductions/broadcasts that Mosaic rejects at R > 1, and they measure
-    ~1.6x faster than the runs-batched safe-construct body at R=1 —
-    this is the single-run headline path; vae_dp_frame_train_pallas_rb
-    is the aggregate path.
+    Single-run surface over the runs-batched body at R=1 (the dedicated
+    _kernel_r1 body was retired after the merged-dot rework closed the gap:
+    rb@R=1 measured 11.7M sym/s implied vs the old body's 11.8M on v5e —
+    PARITY_RESULTS "rb body at R=1", artifacts/r4_eval_breakdown.log).
 
     w: (2, 4, M); h: (2, 2, 2, M); opt: dict(mw, vw, mh, vh) of Adam moments
     in the param shapes; rx: (2, 2, Nsamp) with Nsamp a multiple of
     2*bl_sym; lr/step0/lr_half_step: traced scalars (step0 = global step
     index of the frame's first minibatch, so the lr schedule and bias
-    correction continue across frames). sps=2, odd M only.
-
-    Step-count limit: the global step is carried in-kernel as float32
-    (scal[0,6] + program_id), so past 2**24 total minibatch steps the +1
-    increments are lost and Adam's bias correction / the lr-half compare
-    freeze at their 2**24-step values. The reference workload is 17k steps
-    per experiment (~1000x headroom); at 2**24 steps bc1/bc2 are 1.0 to
-    float32 precision and any reachable lr threshold is long past, so the
-    frozen values equal the exact ones — provided lr_half_step < 2**24
-    (it must stay exactly representable).
-
-    ``stride_sym`` (default bl_sym = non-overlapping) sets the window
-    stride: the VAEflex overlapping-window scheme trains on
-    ``(Nsym - bl_sym) // stride`` windows starting every ``stride`` symbols
-    (func_VAEflex_DP_MQAM_shaping.py:59-70); requires bl_sym % stride == 0
-    (windows assemble from reshaped chunks — a gather would be slow).
+    correction continue across frames). sps=2, odd M only. ``stride_sym``
+    as on vae_dp_frame_train_pallas_rb (VAEflex overlapping windows,
+    func_VAEflex_DP_MQAM_shaping.py:59-70).
 
     Returns (w', h', opt', losses (m_max,), var_est (m_max, 2),
     q (m_max, 2, 2*n_lev, bl_sym), out (m_max, 2, 2, bl_sym)) — exactly the
     per-frame quantities of the lax.scan step path in train/dp.py.
     """
-    m = w.shape[-1]
-    assert m % 2 == 1, "odd tap count only"
-    n_sym = bl_sym
-    n_samp_mb = 2 * bl_sym
-    n_lev = amps.shape[0]
-    mh = m // 2
-    mhe = mh + 1
-
-    # per-minibatch im2col arrangements: X[(i*M + k), n] = xpad[i, 2n + k]
-    # (the polyphase identity xph[p, i, j] = xpad[i, 2j + p] of the step
-    # kernel, flattened over taps), vectorized over minibatches
-    if stride_sym is None or stride_sym == bl_sym:
-        m_max = rx.shape[-1] // n_samp_mb
-        rx_mb = jnp.moveaxis(
-            rx[:, :, : m_max * n_samp_mb].reshape(2, 2, m_max, n_samp_mb), 2, 0
-        )  # (m_max, 2, 2, Nsamp_mb)
-    else:
-        fs = stride_sym
-        assert bl_sym % fs == 0, "window length must be a multiple of the stride"
-        k_ch = bl_sym // fs  # chunks per window
-        n_sym_tot = rx.shape[-1] // 2
-        n_ch = n_sym_tot // fs
-        m_max = (n_sym_tot - bl_sym) // fs  # reference's n_windows
-        ch = rx[:, :, : n_ch * 2 * fs].reshape(2, 2, n_ch, 2 * fs)
-        wins = jnp.stack(
-            [ch[:, :, i : i + m_max] for i in range(k_ch)], axis=-2
-        )  # (2, 2, m_max, k_ch, 2*fs): window w = chunks w..w+k_ch-1
-        rx_mb = jnp.moveaxis(wins.reshape(2, 2, m_max, n_samp_mb), 2, 0)
-
-    def arrange(x):
-        x_i = jnp.concatenate([x[:, 0, :], -x[:, 1, :]])
-        x_q = jnp.concatenate([x[:, 1, :], x[:, 0, :]])
-
-        def im2col(arr):
-            xp = jnp.pad(arr, ((0, 0), (mh, mh + m)))
-            cols = jnp.stack(
-                [xp[:, k : k + 2 * n_sym : 2] for k in range(m)], axis=1
-            )  # (4, M, N)
-            return cols.reshape(4 * m, n_sym)
-
-        rx4 = x.reshape(4, n_samp_mb)
-        return im2col(x_i), im2col(x_q), rx4, rx4[:, 0::2], rx4[:, 1::2]
-
-    xi, xq, rx4, rxe, rxo = jax.vmap(arrange)(rx_mb)
-
-    mask_e, mask_o = _support_masks(m, n_sym)
-    mask_e = jnp.asarray(mask_e)
-    mask_o = jnp.asarray(mask_o)
-    perm_e = jnp.asarray(_win_perm(mhe))
-    perm_o = jnp.asarray(_win_perm(mh))
-
-    w2 = w.reshape(2, 4 * m)
-    h8 = _to_parity_major(h.reshape(8, m))
-    mw2 = opt["mw"].reshape(2, 4 * m)
-    vw2 = opt["vw"].reshape(2, 4 * m)
-    mh8 = _to_parity_major(opt["mh"].reshape(8, m))
-    vh8 = _to_parity_major(opt["vh"].reshape(8, m))
-    scal = jnp.stack(
-        [var[0], var[1], jnp.float32(nu_sc), jnp.float32(1e-12),
-         jnp.float32(lr), jnp.float32(lr_half_step), jnp.float32(step0),
-         jnp.float32(0.0)]
-    ).reshape(1, 8).astype(jnp.float32)
-    amps_row = amps.reshape(1, n_lev).astype(jnp.float32)
-    p_row = P.reshape(1, n_lev).astype(jnp.float32)
-
-    kernel = functools.partial(_kernel_r1, n_sym=n_sym, m=m, n_lev=n_lev)
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    per_mb3 = lambda c, l: pl.BlockSpec(
-        (1, c, l), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM
+    w_r, h_r, opt_r, losses, var_est, q, out = vae_dp_frame_train_pallas_rb(
+        w[None], h[None], jax.tree.map(lambda x: x[None], opt), rx[None],
+        amps, var, nu_sc, P, lr, step0, lr_half_step,
+        bl_sym=bl_sym, stride_sym=stride_sym, interpret=interpret,
     )
-
-    (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, q_all, out_all) = pl.pallas_call(
-        kernel,
-        grid=(m_max,),
-        out_shape=(
-            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((2, 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((8, m), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, 1, 128), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, 4 * n_lev, n_sym), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, 4, n_sym), jnp.float32),
-        ),
-        in_specs=[
-            per_mb3(4 * m, n_sym),
-            per_mb3(4 * m, n_sym),
-            per_mb3(4, n_samp_mb),
-            per_mb3(4, n_sym),
-            per_mb3(4, n_sym),
-            full(), full(), full(), full(), full(), full(),
-            full(), full(), full(), full(), full(), full(),
-            full(), full(),
-            pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            full(), full(), full(), full(), full(), full(),
-            pl.BlockSpec((1, 1, 128), lambda mi: (mi, 0, 0), memory_space=pltpu.VMEM),
-            per_mb3(4 * n_lev, n_sym),
-            per_mb3(4, n_sym),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 4 * m), jnp.float32),  # w
-            pltpu.VMEM((8, m), jnp.float32),  # h (parity-major)
-            pltpu.VMEM((2, 4 * m), jnp.float32),  # mw
-            pltpu.VMEM((2, 4 * m), jnp.float32),  # vw
-            pltpu.VMEM((8, m), jnp.float32),  # mh
-            pltpu.VMEM((8, m), jnp.float32),  # vh
-            pltpu.VMEM((4 * n_lev, n_sym), jnp.float32),  # q
-            pltpu.VMEM((4 * mhe, n_sym - mh), jnp.float32),  # eqwin even
-            pltpu.VMEM((4 * mh, n_sym - mh), jnp.float32),  # eqwin odd
-            pltpu.VMEM((4 * mhe, n_sym), jnp.float32),  # gdwin even
-            pltpu.VMEM((4 * mh, n_sym), jnp.float32),  # gdwin odd
-            pltpu.VMEM((8, m), jnp.float32),  # gh assembly
-            pltpu.VMEM((4, 4 * mhe), jnp.float32),  # CT coeffs, even taps
-            pltpu.VMEM((4, 4 * mh), jnp.float32),  # CT coeffs, odd taps
-        ],
-        interpret=interpret,
-    )(
-        xi, xq, rx4, rxe, rxo, mask_e, mask_o,
-        jnp.transpose(mask_e), jnp.transpose(mask_o), perm_e, perm_o,
-        w2, h8, mw2, vw2, mh8, vh8, amps_row, p_row, scal,
-    )
-
-    losses = stats[:, 0, 0]
-    var_est = stats[:, 0, 1:3]
-    q4 = q_all.reshape(m_max, 4, n_lev, n_sym)
-    q = jnp.stack(
-        [
-            jnp.concatenate([q4[:, 0], q4[:, 2]], axis=1),
-            jnp.concatenate([q4[:, 1], q4[:, 3]], axis=1),
-        ],
-        axis=1,
-    )  # (m_max, 2, 2*n_lev, n_sym)
-    out = jnp.stack(
-        [
-            jnp.stack([out_all[:, 0], out_all[:, 2]], axis=1),
-            jnp.stack([out_all[:, 1], out_all[:, 3]], axis=1),
-        ],
-        axis=1,
-    )  # (m_max, 2, 2, n_sym)
-    opt_new = {
-        "mw": mw_o.reshape(2, 4, m),
-        "vw": vw_o.reshape(2, 4, m),
-        "mh": _from_parity_major(mh_o, m).reshape(2, 2, 2, m),
-        "vh": _from_parity_major(vh_o, m).reshape(2, 2, 2, m),
-    }
     return (
-        w_o.reshape(2, 4, m),
-        _from_parity_major(h_o, m).reshape(2, 2, 2, m),
-        opt_new,
-        losses,
-        var_est,
-        q,
-        out,
+        w_r[0], h_r[0], jax.tree.map(lambda x: x[0], opt_r),
+        losses[:, 0], var_est[:, 0], q[:, 0], out[:, 0],
     )

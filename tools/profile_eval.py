@@ -48,6 +48,14 @@ def timed(fn, reps=3):
 
 PARTS = ["none", "pack", "sync", "soft", "mi", "full", "full_mb"]
 MB_PARTS = ["none", "mb_sync", "mb_soft", "mb_mi", "mb_const"]
+# finer sync-stage resolution (adjacent differences isolate the expectation
+# reduction / the shift correlation core / the data-dependent align rolls /
+# the const-stream sync vs its shaping SER)
+MB_FINE_PARTS = ["none", "mb_e", "mb_corr", "v_corr_sub4", "mb_sync",
+                 "mb_soft", "mb_mi", "mb_csync", "mb_const"]
+# v_corr_sub4: the shift core with a stride-4 subsampled correlation sum
+# (4x less roll-stack traffic; lag resolution unchanged) — measured as
+# none + e + core, directly comparable to mb_corr.
 
 
 def main():
@@ -59,13 +67,15 @@ def main():
     ap.add_argument("--parts", nargs="*", default=PARTS)
     ap.add_argument("--mb", action="store_true",
                     help="profile the minibatch-layout eval prefixes instead")
+    ap.add_argument("--fine", action="store_true",
+                    help="with --mb: finer sync/const sub-stage prefixes")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 q/out output streams (stream_bf16)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU plumbing check (pallas interpret mode)")
     args = ap.parse_args()
     if args.mb and args.parts == PARTS:
-        args.parts = MB_PARTS
+        args.parts = MB_FINE_PARTS if args.fine else MB_PARTS
     if args.interpret:
         import jax
 
@@ -130,7 +140,25 @@ def main():
                 iqflip_decisions_mb,
                 ser_iqflip_from_dec,
             )
-            from vae_equalizer_tpu.metrics.sync import find_shift_dp_mb
+            from vae_equalizer_tpu.metrics.sync import (
+                _dp_shift_core,
+                find_shift_dp_mb,
+            )
+
+            if part in ("mb_e", "mb_corr", "v_corr_sub4"):
+                # sync sub-stages: the E_q[x^I] posterior reduction alone,
+                # then + the 21-lag correlation/argmax core (no align);
+                # v_corr_sub4 = the core with a stride-4 correlation sum
+                num_lev = amps.shape[0]
+                qi = q_mb[:, :, :num_lev, :]
+                e_mb = jnp.sum(
+                    qi.astype(jnp.float32) * amps[None, None, :, None], axis=2)
+                if part == "mb_e":
+                    return acc + e_mb.sum()
+                e = jnp.moveaxis(e_mb, 0, 1).reshape(2, -1)
+                stride = 4 if part == "v_corr_sub4" else 1
+                shift, r = _dp_shift_core(e, tx, 21, stride)
+                return acc + shift.sum() + r
 
             shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
             w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
@@ -153,6 +181,9 @@ def main():
             shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
             w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
             tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
+            acc = acc + tx_al_c[0, 0, 0] + w_al_c[0, 0] + shift_c.sum()
+            if part == "mb_csync":
+                return acc
             ser_const = jnp.roll(ser_constell_shaping(
                 out_const, tx_al_c, amps, const.nu_sc, var, weight=w_al_c),
                 r_c)

@@ -17,6 +17,7 @@ find_shift_symb (func_CMA_MQAM_shaping.py:127-140).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -95,17 +96,39 @@ def find_shift_symb_siso(rx: jnp.ndarray, tx: jnp.ndarray, n_shift: int, corr_le
     return jnp.where(use_i, s_i, jnp.where(use_q, s_q, s_i)).astype(jnp.int32)
 
 
-def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int):
+def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int, stride: int = 1):
     """Shared DP shift/pol search.
 
     e: (2, L) correlation signal per equalizer output pol;
     tx: (2, 2, L) ground truth (pol, I/Q, time).
     Returns (shift (2,), r) with r=0 for XY assignment, r=1 for YX.
+
+    ``stride`` > 1 subsamples the correlation SUM (not the lag grid): the
+    lag resolution stays 1 symbol — corr[s] = sum over every stride-th k of
+    tx[k]*e[k+s] — only the number of accumulated terms drops. The peak
+    detection margin scales as sqrt(terms), so stride 4 keeps ~50:1 peak
+    margin at L=10000; the runs-batched aggregate eval uses it because the
+    roll stack's HBM traffic dominates the sync stage (measured 2.49
+    ms/frame at R=128, artifacts/r4_eval_fine.log). The reference correlates
+    over the full length (shared_funcs.py:297); parity of the found shifts
+    is statistical, covered by the SER band tests.
     """
     L = e.shape[-1]
     e_mat = _roll_stack(e, n_shift)  # (n_shift, 2, L): lag leading, time in lanes
-    # corr[comp, b, i, s] = sum_k tx[i, comp, k] * e_mat[s, b, k]
-    corr = jnp.abs(jnp.einsum("ick,sbk->cbis", tx[:, :, :L].astype(jnp.float32), e_mat))
+    if stride > 1:
+        e_mat = e_mat[..., ::stride]
+    txs = tx[:, :, :L:stride].astype(jnp.float32)  # (2, 2, Lsub)
+    # corr[comp, b, i, s] = sum_k tx[i, comp, k] * e_mat[s, b, k], as ONE
+    # batched dot over flattened (i,c) x (s,b) row blocks (an einsum with
+    # two free dims per side lowered to a transposing contraction here)
+    ls = txs.shape[-1]
+    corr2 = jax.lax.dot_general(
+        txs.reshape(4, ls), e_mat.reshape(n_shift * 2, ls),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (ic, sb)
+    corr = jnp.abs(
+        jnp.transpose(corr2.reshape(2, 2, n_shift, 2), (1, 3, 0, 2))
+    )  # (c, b, i, s)
     corr_max_c = jnp.max(corr, axis=-1)  # (comp, b, i)
     corr_ind_c = jnp.argmax(corr, axis=-1)  # (comp, b, i)
     ind_max = jnp.argmax(corr_max_c, axis=0)  # (b, i) best component
@@ -122,13 +145,15 @@ def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int):
     return shift, r
 
 
-def find_shift_dp(q: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp.ndarray):
+def find_shift_dp(q: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp.ndarray,
+                  stride: int = 1):
     """Pol assignment + per-pol time shift from DP posteriors q (2, 2n, L)."""
     e = expectation_i(q, amps)  # (2, L)
-    return _dp_shift_core(e, tx, n_shift)
+    return _dp_shift_core(e, tx, n_shift, stride)
 
 
-def find_shift_dp_mb(q_mb: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp.ndarray):
+def find_shift_dp_mb(q_mb: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp.ndarray,
+                     stride: int = 1):
     """``find_shift_dp`` on minibatch-layout posteriors (n_mb, 2, 2n, bl).
 
     The E_q[x^I] reduction runs in the training kernel's native output
@@ -140,9 +165,10 @@ def find_shift_dp_mb(q_mb: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp
     qi = q_mb[:, :, :num_lev, :]  # (n_mb, 2, n, bl)
     e_mb = jnp.sum(qi * amps[None, None, :, None], axis=2)  # (n_mb, 2, bl)
     e = jnp.moveaxis(e_mb, 0, 1).reshape(2, -1)
-    return _dp_shift_core(e, tx, n_shift)
+    return _dp_shift_core(e, tx, n_shift, stride)
 
 
-def find_shift_symb_dp(rx: jnp.ndarray, tx: jnp.ndarray, n_shift: int):
+def find_shift_symb_dp(rx: jnp.ndarray, tx: jnp.ndarray, n_shift: int,
+                       stride: int = 1):
     """Pol assignment + time shift from DP constellation output rx (2, 2, L)."""
-    return _dp_shift_core(rx[:, 0, :], tx, n_shift)
+    return _dp_shift_core(rx[:, 0, :], tx, n_shift, stride)

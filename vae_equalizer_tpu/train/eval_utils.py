@@ -15,6 +15,27 @@ import jax.numpy as jnp
 MARGIN = 11  # the reference's fixed edge trim (func_VAELE_MQAM_shaping.py:318)
 
 
+def roll_bits(x: jnp.ndarray, shift, max_abs: int = 16) -> jnp.ndarray:
+    """``jnp.roll(x, shift, axis=-1)`` for a traced |shift| <= max_abs,
+    gather-free.
+
+    A vmapped traced-shift ``jnp.roll`` lowers to a GATHER (the per-run
+    dynamic-slice start turns into per-element indices), which on TPU costs
+    ~1.3 ms/frame for the aggregate eval's align step at R=128 (measured,
+    artifacts/r4_eval_fine.log). Binary decomposition instead: one static
+    roll by -max_abs, then log2(2*max_abs) conditional static rolls selected
+    by the bits of shift + max_abs — every step is slices + concat + select,
+    all dense vector ops that batch cleanly under vmap.
+    """
+    k = (shift + max_abs).astype(jnp.int32)  # in [0, 2*max_abs]
+    x = jnp.roll(x, -max_abs, axis=-1)  # static
+    b = max_abs
+    while b >= 1:
+        x = jnp.where(k & b != 0, jnp.roll(x, b, axis=-1), x)
+        b //= 2
+    return x
+
+
 def roll_time(x: jnp.ndarray, shift) -> jnp.ndarray:
     """roll by -shift along time: x'[t] = x[t + shift] (no wrap inside mask)."""
     return jnp.roll(x, -shift, axis=-1)
@@ -48,13 +69,15 @@ def align_tx_dp(tx: jnp.ndarray, shift, r, weight: jnp.ndarray):
     Returns (tx_al (2, 2, N), w_al (2, N)); w_al broadcasts against error
     tensors shaped (..., 2 pol, N).
     """
-    tx_p = jnp.roll(tx, -r, axis=0)  # tx_p[j] = tx[(j + r) % 2]
-    s_p = jnp.roll(shift, -r, axis=0)  # s_p[j] = shift[(j + r) % 2]
+    swap = r != 0
+    tx_p = jnp.where(swap, tx[::-1], tx)  # tx_p[j] = tx[(j + r) % 2]
+    s_p = jnp.where(swap, shift[::-1], shift)  # s_p[j] = shift[(j + r) % 2]
+    # gather-free traced rolls (a vmapped jnp.roll lowers to a gather)
     tx_al = jnp.stack(
-        [jnp.roll(tx_p[0], s_p[0], axis=-1), jnp.roll(tx_p[1], s_p[1], axis=-1)]
+        [roll_bits(tx_p[0], s_p[0]), roll_bits(tx_p[1], s_p[1])]
     )
     w_al = jnp.stack(
-        [jnp.roll(weight, s_p[0], axis=-1), jnp.roll(weight, s_p[1], axis=-1)]
+        [roll_bits(weight, s_p[0]), roll_bits(weight, s_p[1])]
     )
     return tx_al, w_al
 

@@ -111,15 +111,15 @@ def _bdot(a, b, contract=((2,), (1,))):
 
 
 def _kernel(
-    xc_ref, rx_ref, rxe_ref, rxo_ref,
+    xin_ref, rxe_ref, rxo_ref,
     maskpm_ref, masktpm_ref,
     selv_ref, selt_ref, sels_ref, eqv_ref,
     amp232n_ref, selta8_ref, sels2_ref, ones128_ref,
-    pfull4_ref, tmask_ref, ones_l_ref, csum_ref, permcat_ref,
+    pfull4_ref, tmask_ref, ones_l_ref, csum_ref, permcat_ref, hmix_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     *rest,
     n_sym, m, n_lev, n_rb, n_pk=1, stream_dtype=jnp.float32,
-    per_run_lr=False,
+    per_run_lr=False, cut=None,
 ):
     # sublane packing (n_pk = P > 1, VERDICT r3 item 2): each batch element
     # carries P runs stacked along SUBLANES — every per-run tensor's rows
@@ -146,7 +146,8 @@ def _kernel(
      eqwin_sc, gdwin_sc, gh_sc, ctd_sc, ct2_sc,
      out4_sc, eq4_sc, v4_sc, d_sc, gd_sc, ghm_sc, geq_sc,
      gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, goutc_sc, stats_sc,
-     mm4_sc, eq12_sc, st_sc, sums_sc, gev8_sc, gfac_sc, *xsc) = rest
+     mm4_sc, eq12_sc, st_sc, sums_sc, gev8_sc, gfac_sc, hsig_sc, xcol_sc,
+     *xsc) = rest
     if n_pk > 1:
         vsum_sc, gco_sc = xsc
     # Mosaic-safe construct policy for R > 1 (the compiler SIGABRTs on
@@ -175,6 +176,17 @@ def _kernel(
     nl4 = 4 * n_lev
     kst = 24 + nl4  # stacked-sum rows PER RUN: 4 C-base + 16 cross/dd + 4 E + KL
     m4 = 4 * m  # im2col rows per run
+
+    def _cut(k, probe):
+        # cost-bisect gate (tools/rb_cost_bisect.py): truncate the body after
+        # checkpoint k, parking one element of the last product so the prefix
+        # is not dead-code-eliminated. cut=None (production) emits nothing.
+        if cut is None or cut > k:
+            return False
+        stats_sc[...] = jnp.zeros(stats_sc.shape, jnp.float32)
+        stats_sc[:, 0:1, 0:1] = probe[:, 0:1, 0:1]
+        stats_ref[0] = stats_sc[...]
+        return True
 
     @pl.when(mi == 0)
     def _():
@@ -207,8 +219,29 @@ def _kernel(
     n_eff = float(n_samp - 2 * mh)
     ne = n_sym - mh  # positions per tap parity (even == odd count here)
     eps = scal_ref[0, 3]
-    xc = xc_ref[0]  # (R, P*4M, 2*n_sym) im2col, I lanes then Q lanes, run-stacked rows
     f32 = jnp.float32
+    # ---------------- im2col assembled IN-KERNEL from the streamed padded
+    # signed parity rows (the SISO-kernel trick, ops/siso_frame_kernel.py):
+    # col k of the im2col is the contiguous parity-(k%2) slice starting at
+    # lane k//2, so 2 four-row stores per tap rebuild the full (P*4M, 2N)
+    # im2col in scratch. Row order is K-MAJOR (row k*4 + i; w's lanes are
+    # host-converted to match) so each tap is one contiguous 4-row store.
+    # This cuts the kernel's per-step HBM input ~10x — the cost bisect
+    # (tools/rb_cost_bisect.py, artifacts/r4_cost_bisect16.log) measured the
+    # streamed precomputed-im2col variant spending 22.7 of 34.3 us/step in
+    # the forward cut, i.e. the step was input-DMA-bound, not compute-bound.
+    for p in range(n_pk):
+        for k in range(m):
+            src = p * 16 + (k % 2) * 8
+            o = k // 2
+            dst = p * m4 + 4 * k
+            xcol_sc[:, dst : dst + 4, 0:n_sym] = (
+                xin_ref[0, :, src : src + 4, o : o + n_sym]
+            )
+            xcol_sc[:, dst : dst + 4, n_sym : 2 * n_sym] = (
+                xin_ref[0, :, src + 4 : src + 8, o : o + n_sym]
+            )
+    xc = xcol_sc[...]
     selt = selt_ref[...]  # (R, P*4n, 4P): row p*4n + r*n + l -> component col 4p + r
     sels = sels_ref[...]  # (R, 4P, P*4n): component <- sum of its level rows
 
@@ -224,6 +257,8 @@ def _kernel(
     out_cast = (lambda a: a) if stream_dtype == jnp.float32 else (
         lambda a: a.astype(stream_dtype))
     outout_ref[0] = out_cast(out4_sc[:, 0 : 4 * n_pk, :])
+    if _cut(1, oiq):
+        return
 
     # ---------------- demapper, all 4 components at once on (R, 4n, N).
     # selv cols 0-3 = selt * s_pol(row), col 4 (hitting out4's constant
@@ -246,6 +281,8 @@ def _kernel(
     q32 = q_sc[...] * _bdot(selt, 1.0 / s1)
     q_sc[...] = q32
     qout_ref[0] = out_cast(q32)
+    if _cut(2, q32):
+        return
     # eqv rows: 0-4P E_q in GROUP order (xI, xQ, yI, yQ; run-blocked) for the
     # window stacks, 4P-8P E_q in component order, 8P-12P E_q[x^2]
     eq12_sc[...] = _bdot(eqv_ref[...], q32)
@@ -254,6 +291,8 @@ def _kernel(
         eq12_sc[:, 8 * n_pk : 12 * n_pk, :]
         - eq12_sc[:, 4 * n_pk : 8 * n_pk, :] * eq12_sc[:, 4 * n_pk : 8 * n_pk, :]
     )
+    if _cut(3, v4_sc[...]):
+        return
 
     # ---------------- D conv: BOTH tap parities in one matmul pair.
     # Window rows are SHIFT-major within each parity block (row r0 + a*4 + g,
@@ -277,28 +316,39 @@ def _kernel(
         win_stack(eqwin_sc, eq4v, m4 * p, 0, mhe)
         win_stack(eqwin_sc, eq4v, m4 * p, 4 * mhe, mh)
     eqwin = eqwin_sc[...]  # (R, P*4M, ne) run-blocked parity-blocked shift-major
+    if _cut(4, eqwin):
+        return
     permcat = permcat_ref[...]
 
-    def ct_d(p, r0, base, lane0, lane1, n_a):  # rows p*8 + r0 + (chi*2 + c)
-        hrow = 8 * p
-        cbase = m4 * p + base
-        for chi in range(2):
-            hr0 = h_sc[:, hrow + chi * 4 : hrow + chi * 4 + 1, lane0:lane1]
-            hi0 = h_sc[:, hrow + chi * 4 + 1 : hrow + chi * 4 + 2, lane0:lane1]
-            hr1 = h_sc[:, hrow + chi * 4 + 2 : hrow + chi * 4 + 3, lane0:lane1]
-            hi1 = h_sc[:, hrow + chi * 4 + 3 : hrow + chi * 4 + 4, lane0:lane1]
-            r_re = 8 * p + r0 + chi * 2
-            for b, blk in enumerate((hr0, -hi0, hr1, -hi1)):  # D_re
-                ctd_sc[:, r_re : r_re + 1,
-                       cbase + b * n_a : cbase + (b + 1) * n_a] = blk
-            for b, blk in enumerate((hi0, hr0, hi1, hr1)):  # D_im
-                ctd_sc[:, r_re + 1 : r_re + 2,
-                       cbase + b * n_a : cbase + (b + 1) * n_a] = blk
-
+    # ctd/ct2 coefficient builds as ONE batched dot per packed run: hmix
+    # (32, 8) mixes the signed h rows for BOTH coefficient matrices (rows
+    # 0-15 the ctd blocks g = b*4 + (chi*2 + c), rows 16-31 the ct2 blocks
+    # g = 16 + b*4 + (nu*2 + c')), parked in hsig_sc so the block placements
+    # are 4-row REF-slice stores — replaces the 64 single-row store loop
+    # (the step is VPU-tile-issue bound: stores cost per run, dots amortize
+    # over the batch; PARITY_RESULTS roofline refresh).
     for p in range(n_pk):
-        ct_d(p, 0, 0, 0, mhe, mhe)
-        ct_d(p, 4, 4 * mhe, mhe, m, mh)
+        hsig_sc[...] = _bdot(hmix_ref[:, 0:32, 0:8], h_sc[:, 8 * p : 8 * p + 8, :])
+        for b in range(4):
+            ctd_sc[:, 8 * p : 8 * p + 4,
+                   m4 * p + b * mhe : m4 * p + (b + 1) * mhe] = (
+                hsig_sc[:, 4 * b : 4 * b + 4, 0:mhe]
+            )
+            ctd_sc[:, 8 * p + 4 : 8 * p + 8,
+                   m4 * p + 4 * mhe + b * mh : m4 * p + 4 * mhe + (b + 1) * mh] = (
+                hsig_sc[:, 4 * b : 4 * b + 4, mhe:m]
+            )
+            ct2_sc[:, 4 * p : 4 * p + 4,
+                   m4 * p + b * mhe : m4 * p + (b + 1) * mhe] = (
+                hsig_sc[:, 16 + 4 * b : 16 + 4 * b + 4, 0:mhe]
+            )
+            ct2_sc[:, 4 * p : 4 * p + 4,
+                   m4 * p + 4 * mhe + b * mh : m4 * p + 4 * mhe + (b + 1) * mh] = (
+                hsig_sc[:, 16 + 4 * b : 16 + 4 * b + 4, mhe:m]
+            )
     d_sc[...] = _bdot(_bdot(ctd_sc[...], permcat), eqwin)  # (R, 8P, ne)
+    if _cut(5, d_sc[...]):
+        return
 
     # ---------------- E term: S (R, 2, M) = Vsum (R, 2, N) @ MASK, with the
     # even|odd tap-support masks lane-concatenated (parity-major) into ONE dot
@@ -317,10 +367,13 @@ def _kernel(
             )
         vsum = vsum_sc[...]
     scat_sc[...] = _bdot(vsum, maskpm_ref[...])  # (R, 2P, M) parity-major
-    for g in range(4 * n_pk):  # |h|^2 rows p*4 + (chi*2 + nu)
-        h0 = h_sc[:, 2 * g : 2 * g + 1, :]
-        h1 = h_sc[:, 2 * g + 1 : 2 * g + 2, :]
-        habsq_sc[:, g : g + 1, :] = h0 * h0 + h1 * h1
+    # |h|^2 rows p*4 + (chi*2 + nu) = row-pair sums of h*h: one elementwise
+    # square + one tiny batched dot with the constant pair-sum mix (the last
+    # 4P rows of hmix), instead of 4P slice-square-add-store chains
+    hh = h_sc[...] * h_sc[...]
+    habsq_sc[...] = _bdot(hmix_ref[:, 32 : 32 + 4 * n_pk, :], hh)
+    if _cut(6, habsq_sc[...]):
+        return
 
     # ---------------- C terms, E totals and KL: ONE stacked lane-sum matmul.
     # st rows (lanes beyond each piece's width stay zero):
@@ -344,7 +397,12 @@ def _kernel(
     for p in range(n_pk):
         o = p * kst
         r4 = 4 * p
-        rx_w2 = rx_ref[0, :, r4 : r4 + 4, mh : n_samp - mh]  # (R, 4, n_samp-2mh)
+        # c_base = sum of squares over the window, parity-split: the lane
+        # sum over [mh, n_samp-mh) equals the even-phase window sum plus the
+        # odd-phase one, so the raw interleaved stream is never needed
+        je, jo = (mh + 1) // 2, mh // 2
+        rx_we = rxe_ref[0, :, r4 : r4 + 4, je : je + ne]
+        rx_wo = rxo_ref[0, :, r4 : r4 + 4, jo : jo + ne]
         rx_al_e = rx_e_ref[0, :, r4 : r4 + 4, al_lo : al_lo + ne]  # (R, 4, ne)
         rx_al_o = rx_o_ref[0, :, r4 : r4 + 4, al_lo_o : al_lo_o + ne]
         d_e = d_sc[:, 8 * p : 8 * p + 4, :]  # run p: rows +0-3 d_e, +4-7 d_o
@@ -353,7 +411,8 @@ def _kernel(
         rx_al_o_l.append(rx_al_o)
         d_e_l.append(d_e)
         d_o_l.append(d_o)
-        st_sc[:, o : o + 4, : n_samp - 2 * mh] = rx_w2 * rx_w2
+        st_sc[:, o : o + 4, 0:ne] = rx_we * rx_we
+        st_sc[:, o : o + 4, ne : 2 * ne] = rx_wo * rx_wo
         st_sc[:, o + 4 : o + 8, :ne] = rx_al_e * d_e
         st_sc[:, o + 8 : o + 12, :ne] = rx_al_o * d_o
         st_sc[:, o + 12 : o + 16, :ne] = d_e * d_e
@@ -395,6 +454,8 @@ def _kernel(
         g_cx_l.append(n_eff / c_x)  # (R, 1, 128) lane-replicated
         g_cy_l.append(n_eff / c_y)
     stats_ref[0] = stats_sc[...]
+    if cut is not None and cut <= 7:
+        return
 
     # ================ backward ================
     for p in range(n_pk):
@@ -410,6 +471,8 @@ def _kernel(
         gd_sc[:, 8 * p + 4 : 8 * p + 8, :] = gfac * (
             2.0 * d_o_l[p] - 2.0 * rx_al_o_l[p]
         )
+    if _cut(8, gd_sc[...]):
+        return
 
     # ---- gh: GHM (R, 8, 4M) = gd (both parities stacked) @ EQwin^T, one
     # matmul pair for both parities — rows 0-3 even (valid in the even lane
@@ -451,6 +514,8 @@ def _kernel(
         gh_assemble(p, 0, 0, 0, mhe, mhe)
         gh_assemble(p, 4, 4 * mhe, mhe, m, mh)
     gh = gh_sc[...]  # (R, 8P, M) parity-major, run-blocked
+    if _cut(9, gh):
+        return
 
     # ---- gEq: GEQ (R, 4, N) = CT2 (R, 4, 4M) @ gDwin (R, 4M, N) — the
     # parity sum rides the contraction: ct2 lane-concatenates the even and
@@ -466,30 +531,14 @@ def _kernel(
         for a in range(n_a):
             gdwin_sc[:, rb0 + 4 * a : rb0 + 4 * a + 4, :] = gdpad[:, :, a : a + n_sym]
 
-    def ct2(p, base, lane0, lane1, n_a):  # rows p*4 + (nu, c'), (x,I)(x,Q)(y,I)(y,Q)
-        hrow = 8 * p
-        cb = m4 * p + base
-        for nu in range(2):
-            hr0 = h_sc[:, hrow + nu * 2 : hrow + nu * 2 + 1, lane0:lane1]
-            hi0 = h_sc[:, hrow + nu * 2 + 1 : hrow + nu * 2 + 2, lane0:lane1]
-            hr1 = h_sc[:, hrow + 4 + nu * 2 : hrow + 4 + nu * 2 + 1, lane0:lane1]
-            hi1 = h_sc[:, hrow + 4 + nu * 2 + 1 : hrow + 4 + nu * 2 + 2, lane0:lane1]
-            r_i = 4 * p + nu * 2
-            for b, blk in enumerate((hr0, hi0, hr1, hi1)):  # (nu, I)
-                ct2_sc[:, r_i : r_i + 1,
-                       cb + b * n_a : cb + (b + 1) * n_a] = blk
-            for b, blk in enumerate((-hi0, hr0, -hi1, hr1)):  # (nu, Q)
-                ct2_sc[:, r_i + 1 : r_i + 2,
-                       cb + b * n_a : cb + (b + 1) * n_a] = blk
-
-    for p in range(n_pk):
+    for p in range(n_pk):  # ct2 was filled with the hmix dot in the forward
         gdwin(p, 0, 0, mhe)
         gdwin(p, 4 * mhe, 4, mh)
-        ct2(p, 0, 0, mhe, mhe)
-        ct2(p, 4 * mhe, mhe, m, mh)
     geq_sc[...] = _bdot(
         _bdot(ct2_sc[...], permcat), gdwin_sc[...]
     )  # (R, 4P, N) rows p*4 + (x,I)(x,Q)(y,I)(y,Q)
+    if _cut(10, geq_sc[...]):
+        return
 
     # ---- gV: gv (R, 2P, N) = GCO (R, 2P, M) @ MASK_pm^T
     if n_pk == 1:
@@ -520,19 +569,24 @@ def _kernel(
 
     # ---- moments -> gq -> softmin VJP -> gout, all 4P components at once.
     # gE (rows p*8+0-3) and gVar (rows p*8+4-7) stack into one scratch so the
-    # gq build is ONE dot against the block-diag [selt*amp | selt*amp^2].
+    # gq build is ONE dot against the block-diag [selg*amp | selg*amp^2] —
+    # selta8's columns are GROUP-ordered (host side) so both row sections
+    # stay in the geq/eq4 group layout: 4 single-row gv replications + ONE
+    # fused (R, 4, N) op instead of the former 16-issue per-row loop.
     for p in range(n_pk):
-        for r in range(4):
-            gp = 4 * p + _EQP[r]  # geq_sc / eq4_sc rows are in group order
-            nu = 2 * p + r % 2
-            rr = 8 * p + r
-            gev8_sc[:, rr + 4 : rr + 5, :] = gv_sc[:, nu : nu + 1, :]
-            gev8_sc[:, rr : rr + 1, :] = (
-                geq_sc[:, gp : gp + 1, :]
-                - 2.0 * eq4_sc[:, gp : gp + 1, :] * gv_sc[:, nu : nu + 1, :]
+        for g in range(4):  # gVar rows, group order (xI, xQ, yI, yQ): nu = g // 2
+            gev8_sc[:, 8 * p + 4 + g : 8 * p + 5 + g, :] = (
+                gv_sc[:, 2 * p + g // 2 : 2 * p + g // 2 + 1, :]
             )
+        gev8_sc[:, 8 * p : 8 * p + 4, :] = (
+            geq_sc[:, 4 * p : 4 * p + 4, :]
+            - 2.0 * eq4_sc[:, 4 * p : 4 * p + 4, :]
+            * gev8_sc[:, 8 * p + 4 : 8 * p + 8, :]
+        )
     gq32 = _bdot(selta8_ref[...], gev8_sc[...])
     gq32 = gq32 + (jnp.log(ratio32 + eps) + ratio32 / (ratio32 + eps)) * tmask_ref[...]
+    if _cut(11, gq32):
+        return
     inner = _bdot(sels, q32 * gq32)  # (R, 4P, N)
     gm = -q32 * (gq32 - _bdot(selt, inner))
     # (out - amp)/var = 2 s * d32; the 2 s_pol factor is folded into sels2
@@ -548,6 +602,8 @@ def _kernel(
     gw = _bdot(goutc_sc[...], xc, ((2,), (2,)))
     if n_pk > 1:
         gw = gw * wmask_ref[...]
+    if _cut(12, gw):
+        return
 
     # ================ in-kernel Adam (optax.adam semantics) ================
     lr = scal_ref[0, 4]
@@ -629,12 +685,13 @@ def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bl_sym", "stride_sym", "interpret", "pack", "stream_bf16"),
+    static_argnames=("bl_sym", "stride_sym", "interpret", "pack", "stream_bf16",
+                     "cut"),
 )
 def vae_dp_frame_train_pallas_rb(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
-    pack: int = 1, stream_bf16: bool = False,
+    pack: int = 1, stream_bf16: bool = False, cut: int | None = None,
 ):
     """Run one frame's FULL online training for R independent runs, fused.
 
@@ -715,24 +772,25 @@ def vae_dp_frame_train_pallas_rb(
         )  # (R, 2, 2, m_max, k_ch, 2*fs): window w = chunks w..w+k_ch-1
         rx_mb = jnp.moveaxis(wins.reshape(n_rb, 2, 2, m_max, n_samp_mb), 3, 0)
 
+    l_in = n_sym + mh  # lanes needed: col k reads parity lanes k//2 .. +n_sym
+
     def arrange(x):  # x: (2, 2, n_samp_mb) one run's minibatch
+        # the kernel assembles the im2col itself (col k = the contiguous
+        # parity-(k%2) slice starting at lane k//2), so the host streams only
+        # the PADDED SIGNED PARITY ROWS of the two arrangements — ~10x less
+        # HBM per step than the materialized (P*4M, 2N) im2col the kernel
+        # used to stream (input-DMA-bound, artifacts/r4_cost_bisect16.log)
         x_i = jnp.concatenate([x[:, 0, :], -x[:, 1, :]])
         x_q = jnp.concatenate([x[:, 1, :], x[:, 0, :]])
-
-        def im2col(arr):
-            xp = jnp.pad(arr, ((0, 0), (mh, mh + m)))
-            cols = jnp.stack(
-                [xp[:, k : k + 2 * n_sym : 2] for k in range(m)], axis=1
-            )  # (4, M, N)
-            return cols.reshape(4 * m, n_sym)
-
+        xp = jnp.pad(jnp.concatenate([x_i, x_q]), ((0, 0), (mh, mh + m)))
+        # rows: parity*8 + [x_i rows 0-3 | x_q rows 0-3]
+        xin = jnp.stack(
+            [xp[:, 0::2][:, :l_in], xp[:, 1::2][:, :l_in]]
+        ).reshape(16, l_in)
         rx4 = x.reshape(4, n_samp_mb)
-        # I|Q arrangements lane-concatenated: the forward and gw each run as
-        # ONE batched dot over the combined sample axis
-        xcat = jnp.concatenate([im2col(x_i), im2col(x_q)], axis=-1)
-        return xcat, rx4, rx4[:, 0::2], rx4[:, 1::2]
+        return xin, rx4[:, 0::2], rx4[:, 1::2]
 
-    xc, rx4, rxe, rxo = jax.vmap(jax.vmap(arrange))(rx_mb)
+    xin_s, rxe, rxo = jax.vmap(jax.vmap(arrange))(rx_mb)
 
     mask_e, mask_o = _support_masks(m, n_sym)
 
@@ -799,11 +857,15 @@ def vae_dp_frame_train_pallas_rb(
         selv3 = jnp.broadcast_to(selv5[None], (n_gp, n_pk * nl4, 4 * n_pk + 1))
     brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_gp, n_pk * nl4, n_sym))
     amp232n = brow(_ptile(jnp.float32(nu_sc) * a_row * a_row))
-    # [selt*amp | selt*amp^2] against the stacked (gE; gVar) rows (backward
-    # gq build in ONE dot), and sels with 2 s_pol folded in (softmin -> gout)
+    # [selg*amp | selg*amp^2] against the stacked (gE; gVar) rows (backward
+    # gq build in ONE dot; columns in GROUP order so the gev8 assembly reads
+    # geq/eq4 in their native layout), and sels with 2 s_pol folded in
+    # (softmin -> gout)
+    selg_np = _np.zeros((nl4, 4), _np.float32)
+    selg_np[_np.arange(nl4), _np.asarray(_EQP)[comp_of_row]] = 1.0
     selta8m = _pblkj(jnp.concatenate(
-        [jnp.asarray(selt_np) * a_row[:, None],
-         jnp.asarray(selt_np) * (a_row * a_row)[:, None]],
+        [jnp.asarray(selg_np) * a_row[:, None],
+         jnp.asarray(selg_np) * (a_row * a_row)[:, None]],
         axis=1,
     ))  # (P*nl4, 8P)
     selta83 = jnp.broadcast_to(selta8m[None], (n_gp, n_pk * nl4, 8 * n_pk))
@@ -845,11 +907,35 @@ def vae_dp_frame_train_pallas_rb(
     permcat_np[: 4 * mhe, : 4 * mhe] = _win_perm(mhe)
     permcat_np[4 * mhe :, 4 * mhe :] = _win_perm(mh)
     permcat3 = bcast(_pblkn(permcat_np))
+    # hmix: ONE constant whose dot against h builds every h-derived operand.
+    # Rows 0-15 (cols 0:8): the ctd signed-copy mixes, row b*4 + (chi*2 + k)
+    # = the b-th lane block of D_re (k=0: +/-h[chi*4+b]) / D_im (k=1:
+    # +h[chi*4 + (b^1)]); rows 16-31: the ct2 mixes, row 16 + b*4 +
+    # (nu*2 + c'); rows 32:32+4P (full 8P cols): the |h|^2 row-pair sums.
+    hmix_np = _np.zeros((32 + 4 * n_pk, 8 * n_pk), _np.float32)
+    for b in range(4):
+        for chi in range(2):
+            hmix_np[b * 4 + chi * 2, chi * 4 + b] = 1.0 if b % 2 == 0 else -1.0
+            hmix_np[b * 4 + chi * 2 + 1, chi * 4 + (b ^ 1)] = 1.0
+        for nu in range(2):
+            hmix_np[16 + b * 4 + nu * 2, 4 * (b // 2) + nu * 2 + b % 2] = 1.0
+            hmix_np[16 + b * 4 + nu * 2 + 1,
+                    4 * (b // 2) + nu * 2 + (1 - b % 2)] = (
+                -1.0 if b % 2 == 0 else 1.0
+            )
+    for p in range(n_pk):
+        for g in range(4):
+            hmix_np[32 + 4 * p + g, 8 * p + 2 * g] = 1.0
+            hmix_np[32 + 4 * p + g, 8 * p + 2 * g + 1] = 1.0
+    hmix3 = bcast(hmix_np)
 
-    w2 = w.reshape(n_rb, 2, 4 * m)
+    # w-group lanes are K-MAJOR (lane k*4 + i) to match the in-kernel
+    # im2col's row order; converted here and back on output
+    _wkm = lambda a: jnp.moveaxis(a, -2, -1).reshape(n_rb, 2, 4 * m)
+    w2 = _wkm(w)
     h8 = _to_parity_major(h.reshape(n_rb, 8, m))
-    mw2 = opt["mw"].reshape(n_rb, 2, 4 * m)
-    vw2 = opt["vw"].reshape(n_rb, 2, 4 * m)
+    mw2 = _wkm(opt["mw"])
+    vw2 = _wkm(opt["vw"])
     mh8 = _to_parity_major(opt["mh"].reshape(n_rb, 8, m))
     vh8 = _to_parity_major(opt["vh"].reshape(n_rb, 8, m))
     if n_pk > 1:
@@ -869,8 +955,7 @@ def vae_dp_frame_train_pallas_rb(
         h8 = h8.reshape(n_gp, 8 * n_pk, m)
         mh8 = mh8.reshape(n_gp, 8 * n_pk, m)
         vh8 = vh8.reshape(n_gp, 8 * n_pk, m)
-        xc = xc.reshape(m_max, n_gp, n_pk * 4 * m, 2 * n_sym)
-        rx4 = rx4.reshape(m_max, n_gp, 4 * n_pk, n_samp_mb)
+        xin_s = xin_s.reshape(m_max, n_gp, n_pk * 16, l_in)
         rxe = rxe.reshape(m_max, n_gp, 4 * n_pk, n_sym)
         rxo = rxo.reshape(m_max, n_gp, 4 * n_pk, n_sym)
         wmask3 = bcast(_pblkn(_np.ones((2, 4 * m), _np.float32)))
@@ -891,7 +976,7 @@ def vae_dp_frame_train_pallas_rb(
     sdt = jnp.bfloat16 if stream_bf16 else jnp.float32
     kernel = functools.partial(
         _kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb, n_pk=n_pk,
-        stream_dtype=sdt, per_run_lr=per_run_lr,
+        stream_dtype=sdt, per_run_lr=per_run_lr, cut=cut,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     per_mb4 = lambda c, l: pl.BlockSpec(
@@ -900,23 +985,22 @@ def vae_dp_frame_train_pallas_rb(
     pk = n_pk  # row scale of every per-run scratch/output
 
     in_specs = [
-        per_mb4(pk * 4 * m, 2 * n_sym),  # xc (I|Q lane-concatenated im2col)
-        per_mb4(4 * pk, n_samp_mb),
+        per_mb4(pk * 16, l_in),  # padded signed parity rows (in-kernel im2col)
         per_mb4(4 * pk, n_sym),
         per_mb4(4 * pk, n_sym),
         full(), full(),  # parity-major mask + its transpose
         full(), full(), full(), full(),  # selv/selt/sels/eqv
         full(), full(), full(), full(),  # amp232n, selta8, sels2, ones128
         full(), full(), full(), full(),  # pfull4, tmask, ones_l, csum
-        full(),  # block-diag window permutation
+        full(), full(),  # block-diag window permutation, hmix
         full(), full(), full(), full(), full(), full(),  # params/moments
         pl.BlockSpec((1, 8), lambda mi: (0, 0), memory_space=pltpu.SMEM),
     ]
     inputs = [
-        xc, rx4, rxe, rxo, maskpm3, masktpm3,
+        xin_s, rxe, rxo, maskpm3, masktpm3,
         selv3, selt3, sels3, eqv3,
         amp232n, selta83, sels23, ones128,
-        pfull4, tmask32, ones_l, csum3, permcat3,
+        pfull4, tmask32, ones_l, csum3, permcat3, hmix3,
         w2, h8, mw2, vw2, mh8, vh8, scal,
     ]
     scratch_shapes = [
@@ -952,6 +1036,8 @@ def vae_dp_frame_train_pallas_rb(
         pltpu.VMEM((n_gp, 8 * pk, 128), jnp.float32),  # combined sums
         pltpu.VMEM((n_gp, 8 * pk, n_sym), jnp.float32),  # stacked (gE; gVar) rows
         pltpu.VMEM((n_gp, 4 * pk, n_sym - mh), jnp.float32),  # gfac rows
+        pltpu.VMEM((n_gp, 32, m), jnp.float32),  # h signed-mix park (ctd/ct2)
+        pltpu.VMEM((n_gp, pk * 4 * m, 2 * n_sym), jnp.float32),  # im2col
     ]
     if n_pk > 1:
         in_specs.append(full())  # wmask (gw off-block zeroing)
@@ -1038,14 +1124,15 @@ def vae_dp_frame_train_pallas_rb(
         ],
         axis=2,
     )  # (m_max, R, 2, 2, n_sym)
+    _wkm_inv = lambda a: jnp.moveaxis(a.reshape(n_rb, 2, m, 4), -2, -1)
     opt_new = {
-        "mw": mw_o.reshape(n_rb, 2, 4, m),
-        "vw": vw_o.reshape(n_rb, 2, 4, m),
+        "mw": _wkm_inv(mw_o),
+        "vw": _wkm_inv(vw_o),
         "mh": _from_parity_major(mh_o, m).reshape(n_rb, 2, 2, 2, m),
         "vh": _from_parity_major(vh_o, m).reshape(n_rb, 2, 2, 2, m),
     }
     return (
-        w_o.reshape(n_rb, 2, 4, m),
+        _wkm_inv(w_o),
         _from_parity_major(h_o, m).reshape(n_rb, 2, 2, 2, m),
         opt_new,
         losses,

@@ -80,10 +80,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     # the every-compile policy would otherwise grow the directory without
-    # bound across processes; cap it with LRU eviction (measured ~440 MB
-    # after two full rounds of bench + test campaigns, so 1 GiB keeps every
-    # hot program while bounding the footprint)
-    jax.config.update("jax_compilation_cache_max_size", 1 << 30)
+    # bound across processes; cap it with LRU eviction. 16 GiB: when the
+    # directory crossed the old 1 GiB cap, jax's LRU eviction inside
+    # put_executable_and_time hard-aborted the process mid-test-suite
+    # (round 4, /tmp/full_suite.log rc=134) — keep the cap far above the
+    # working set (~1 GiB after four rounds; the disk has >100 GiB free)
+    jax.config.update("jax_compilation_cache_max_size", 16 << 30)
     # jax's LRUCache assumes every *-cache entry has a *-atime sentinel and
     # errors on entries written before the cap was enabled — backfill them
     # once (their mtime approximates last use well enough for LRU)

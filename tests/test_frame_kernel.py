@@ -450,6 +450,44 @@ def test_single_run_wrapper_squeezes_rb_body():
         np.testing.assert_array_equal(s1[k], sb[k][0])
 
 
+@pytest.mark.parametrize("mod,pack", [("4-QAM", 1), ("64-QAM", 1), ("64-QAM", 2)])
+def test_frame_kernel_emit_eval_streams(mod, pack):
+    """emit_eval=True: the in-kernel decision/E_q streams equal the argmax /
+    posterior-mean of the emitted q stream (the eval stage consumes these
+    instead of re-reading the full posterior stream — round 4)."""
+    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
+
+    const, amps, P, var, _, _, _ = _setup(mod)
+    n = const.num_lev
+    rng = np.random.default_rng(5)
+    R = 2 * pack
+    w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
+    h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
+    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * M_MAX)).astype(np.float32) * 0.5)
+    opt0 = frame_opt_init({"w": w, "h": h})
+    *_, q, out, dec, eq = vae_dp_frame_train_pallas_rb(
+        w, h, opt0, rx, amps, var, const.nu_sc, P,
+        jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
+        bl_sym=BL, interpret=True, pack=pack, emit_eval=True,
+    )
+    assert dec.shape == (M_MAX, R, 2, 2, BL) and eq.shape == (M_MAX, R, 2, BL)
+    want_i = jnp.argmax(q[:, :, :, :n], axis=3)
+    want_q = jnp.argmax(q[:, :, :, n:], axis=3)
+    np.testing.assert_array_equal(np.asarray(dec[:, :, :, 0]).astype(np.int32), want_i)
+    np.testing.assert_array_equal(np.asarray(dec[:, :, :, 1]).astype(np.int32), want_q)
+    want_eq = jnp.sum(q[:, :, :, :n] * amps[None, None, None, :, None], axis=3)
+    np.testing.assert_allclose(eq, want_eq, rtol=1e-5, atol=1e-6)
+
+    # single-run wrapper passthrough
+    o1 = frame_opt_init({"w": w[0], "h": h[0]})
+    *_, d1, e1 = vae_dp_frame_train_pallas(
+        w[0], h[0], o1, rx[0], amps, var, const.nu_sc, P,
+        jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
+        bl_sym=BL, interpret=True, emit_eval=True,
+    )
+    assert d1.shape == (M_MAX, 2, 2, BL) and e1.shape == (M_MAX, 2, BL)
+
+
 def test_frame_experiment_runs_packed(monkeypatch):
     """use_pallas="frame" with runs_pack=2: same semantics as unpacked."""
     from vae_equalizer_tpu.train.dp import train_vae_dp

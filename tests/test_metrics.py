@@ -271,3 +271,16 @@ def test_dp_frame_eval_mb_matches_packed():
     got = _dp_frame_eval_mb(q_mb, out, tx, amps, P, 0.02, var, weight_fn)
     for a, b, tol in zip(got, ref, (1e-6, 1e-6, 2e-5, 0, 0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=tol)
+
+    # the kernel-emitted eval streams path (round 4): precomputed argmax
+    # decisions (n_mb, 2, 2, bl) + E_q[x^I] (n_mb, 2, bl) replace the q_mb
+    # reads for the sync and the soft SER — metrics must be unchanged
+    dec_mb = jnp.stack(
+        [jnp.argmax(q_mb[:, :, :num_lev], 2), jnp.argmax(q_mb[:, :, num_lev:], 2)],
+        axis=2,
+    ).astype(jnp.float32)
+    eq_mb = jnp.sum(q_mb[:, :, :num_lev] * amps[None, None, :, None], axis=2)
+    got2 = _dp_frame_eval_mb(q_mb, out, tx, amps, P, 0.02, var, weight_fn,
+                             dec_mb=dec_mb, eq_mb=eq_mb)
+    for a, b, tol in zip(got2, ref, (1e-6, 1e-6, 2e-5, 0, 0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=tol)

@@ -69,6 +69,10 @@ def main():
                     help="profile the minibatch-layout eval prefixes instead")
     ap.add_argument("--fine", action="store_true",
                     help="with --mb: finer sync/const sub-stage prefixes")
+    ap.add_argument("--ke", action="store_true",
+                    help="with --mb: kernel emits the eval streams "
+                         "(emit_eval=True) and the sync/soft prefixes consume "
+                         "dec/eq instead of re-reading the posterior stream")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 q/out output streams (stream_bf16)")
     ap.add_argument("--interpret", action="store_true",
@@ -122,10 +126,13 @@ def main():
     def weight_fn(s0, ms):
         return batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut)
 
-    def eval_prefix(part, q_mb, out_mb, tx):
+    def eval_prefix(part, q_mb, out_mb, tx, dec_mb=None, eq_mb=None):
         """Cumulative eval prefix; returns a scalar that depends on every
         computed piece."""
         acc = q_mb.sum() * 1e-12
+        if dec_mb is not None:
+            # depend on the emitted streams so "none" pays their DMA too
+            acc = acc + dec_mb[..., 0].sum() * 1e-12 + eq_mb[..., 0].sum() * 1e-12
         if part == "none":
             return acc
         n_out = q_mb.shape[0] * q_mb.shape[-1]
@@ -149,10 +156,14 @@ def main():
                 # sync sub-stages: the E_q[x^I] posterior reduction alone,
                 # then + the 21-lag correlation/argmax core (no align);
                 # v_corr_sub4 = the core with a stride-4 correlation sum
-                num_lev = amps.shape[0]
-                qi = q_mb[:, :, :num_lev, :]
-                e_mb = jnp.sum(
-                    qi.astype(jnp.float32) * amps[None, None, :, None], axis=2)
+                if eq_mb is not None:
+                    e_mb = eq_mb.astype(jnp.float32)
+                else:
+                    num_lev = amps.shape[0]
+                    qi = q_mb[:, :, :num_lev, :]
+                    e_mb = jnp.sum(
+                        qi.astype(jnp.float32) * amps[None, None, :, None],
+                        axis=2)
                 if part == "mb_e":
                     return acc + e_mb.sum()
                 e = jnp.moveaxis(e_mb, 0, 1).reshape(2, -1)
@@ -160,13 +171,22 @@ def main():
                 shift, r = _dp_shift_core(e, tx, 21, stride)
                 return acc + shift.sum() + r
 
-            shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
+            if eq_mb is not None:
+                e = jnp.moveaxis(eq_mb.astype(jnp.float32), 0, 1).reshape(2, -1)
+                shift, r = _dp_shift_core(e, tx, 21)
+            else:
+                shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
             w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
             tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
             acc = acc + tx_al[0, 0, 0] + w_al[0, 0]
             if part == "mb_sync":
                 return acc
-            dec = iqflip_decisions_mb(q_mb)
+            if dec_mb is not None:
+                n_mb, _, _, bl = dec_mb.shape
+                dec = jnp.moveaxis(dec_mb, 0, 2).reshape(2, 2, n_mb * bl)
+                dec = dec.astype(jnp.int32)
+            else:
+                dec = iqflip_decisions_mb(q_mb)
             ser_soft = jnp.roll(
                 ser_iqflip_from_dec(dec, tx_al, const.num_lev, weight=w_al), r)
             acc = acc + ser_soft.sum()
@@ -233,15 +253,21 @@ def main():
                 jnp.float32(cfg.lr), count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len,
                 interpret=args.interpret, stream_bf16=args.bf16,
+                emit_eval=args.ke,
             )
 
-        w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
-            p, opt, rx_g)
+        (w, h, opt, losses, var_est, q_mb, out_mb, *ev) = jax.vmap(
+            kernel_group)(p, opt, rx_g)
         p = {"w": w, "h": h}
         tx_g = tx.reshape((G, RB) + tx.shape[1:])
-        evals = jax.vmap(jax.vmap(
-            functools.partial(eval_prefix, part), in_axes=(1, 1, 0)))(
-            q_mb, out_mb, tx_g)
+        if args.ke:
+            evals = jax.vmap(jax.vmap(
+                functools.partial(eval_prefix, part),
+                in_axes=(1, 1, 0, 1, 1)))(q_mb, out_mb, tx_g, ev[0], ev[1])
+        else:
+            evals = jax.vmap(jax.vmap(
+                functools.partial(eval_prefix, part), in_axes=(1, 1, 0)))(
+                q_mb, out_mb, tx_g)
         acc = acc + losses[:, -1].sum() + evals.sum()
         return (p, opt, count + m_max, acc), None
 

@@ -194,11 +194,13 @@ def mutual_information_ambiguity_mb(
     idx = _decode_levels(tx, n)  # (2, 2, N)
     idx_i, idx_q = to_mb(idx[:, 0, :]), to_mb(idx[:, 1, :])  # (n_mb, 2, bl)
     idx_ir, idx_qr = (n - 1) - idx_i, (n - 1) - idx_q
-    # f32 upcast at the log site: q_mb may arrive bfloat16 (the kernel's
-    # stream_bf16 mode) and the 10k-term reductions below must accumulate
-    # in f32 (the convert fuses into the log2, no extra HBM traffic)
-    lqi = jnp.log2(q_mb[:, :, :n, :].astype(jnp.float32) + eps)  # (n_mb, 2, n, bl)
-    lqq = jnp.log2(q_mb[:, :, n:, :].astype(jnp.float32) + eps)
+    # SELECT-then-log (round 4): each trace picks exactly one level's q per
+    # symbol, so log2(select(q) + eps) == select(log2(q + eps)) exactly —
+    # the transcendental runs on the 8 selected (n_mb, 2, bl) traces instead
+    # of the full (n_mb, 2, 2n, bl) posterior (8x less log volume; the f32
+    # upcast for bf16 streams fuses into the selection pass)
+    qi = q_mb[:, :, :n, :].astype(jnp.float32)  # (n_mb, 2, n, bl)
+    qq = q_mb[:, :, n:, :].astype(jnp.float32)
     lp = jnp.log2(P.astype(jnp.float32))  # (n,)
 
     if weight is None:
@@ -206,10 +208,11 @@ def mutual_information_ambiguity_mb(
     else:
         w = to_mb(jnp.broadcast_to(weight.astype(jnp.float32), (2, n_mb * bl)))
         red = lambda trace: jnp.sum(trace * w, axis=(0, -1))
-    a1, a2 = red(_level_select(lqi, idx_i)), red(_level_select(lqi, idx_ir))
-    a3, a4 = red(_level_select(lqq, idx_i)), red(_level_select(lqq, idx_ir))
-    b1, b2 = red(_level_select(lqq, idx_q)), red(_level_select(lqq, idx_qr))
-    b3, b4 = red(_level_select(lqi, idx_q)), red(_level_select(lqi, idx_qr))
+    sel = lambda q, idx: red(jnp.log2(_level_select(q, idx) + eps))
+    a1, a2 = sel(qi, idx_i), sel(qi, idx_ir)
+    a3, a4 = sel(qq, idx_i), sel(qq, idx_ir)
+    b1, b2 = sel(qq, idx_q), sel(qq, idx_qr)
+    b3, b4 = sel(qi, idx_q), sel(qi, idx_qr)
     prior = red(_level_select_vec(lp, idx_i) + _level_select_vec(lp, idx_q))
     best = jnp.max(
         jnp.stack(

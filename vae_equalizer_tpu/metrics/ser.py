@@ -152,17 +152,30 @@ def ser_iqflip_from_dec(
     dec: (2, 2, N) int32 level decisions (pol, I/Q, time); tx: (2, 2, N)
     amplitude levels. Split out so callers holding posteriors in the
     minibatch layout can run the (heavy) argmax there and only pack the
-    (cheap) integer decisions (``iqflip_decisions_mb``)."""
+    (cheap) integer decisions (``iqflip_decisions_mb``), or take the
+    decisions straight from the training kernel's in-kernel argmax stream.
+
+    The 4 rotations x 2 IQ-flips run as a fused hypothesis loop of
+    compare-or-reduce passes over the (2, N) decision planes — the former
+    stacked formulation materialized a (4, 2, 2, N) int tensor per run
+    (~160 MB/frame at 128 runs), which dominated the eval stage's soft-SER
+    cost (artifacts/r4_eval_fine2.log). Same minimum over the same error
+    sets, bit for bit."""
     full = 2 * ((num_lev - 1) / 2)
+    dec = dec.astype(jnp.int32)
     data = _decode_levels(tx, num_lev)  # (2, 2, N)
-    data_iqinv = jnp.stack(
-        [data[:, 0], (full - data[:, 1].astype(jnp.float32)).astype(jnp.int32)], axis=1
-    )
-    variants = _phase_variants(dec, num_lev, comp_axis=1)  # (4, 2, 2, N)
-    both_data = jnp.stack([data, data_iqinv])  # (2flip, 2, 2, N)
-    err = jnp.any(variants[:, None] != both_data[None], axis=3)  # (4, 2flip, 2pol, N)
-    ser = _wmean(err, weight, axis=-1)  # (4, 2, 2)
-    return jnp.min(ser, axis=(0, 1))
+    d_i, d_q = dec[:, 0], dec[:, 1]
+    inv = lambda a: (full - a.astype(jnp.float32)).astype(jnp.int32)
+    i_i, i_q = inv(d_i), inv(d_q)
+    # rotation hypotheses as (I, Q) component pairs (see _phase_variants)
+    variants = ((d_i, d_q), (i_i, i_q), (i_q, d_i), (d_q, i_i))
+    data_q = (data[:, 1], inv(data[:, 1]))  # flip = reversed Q levels
+    sers = []
+    for vi, vq in variants:
+        for dq in data_q:
+            err = (vi != data[:, 0]) | (vq != dq)  # (2pol, N)
+            sers.append(_wmean(err, weight, axis=-1))
+    return jnp.min(jnp.stack(sers), axis=0)
 
 
 def iqflip_decisions_mb(q_mb: jnp.ndarray) -> jnp.ndarray:

@@ -36,12 +36,18 @@ every contraction is a batched matmul: one grid step trains ONE minibatch of
 ALL R runs. The scratch-store assembly loops (windows, coefficient matrices)
 keep their single-run op count — each store covers all R runs.
 
-The im2col inputs (X_im2col[r, i*M+k, n] = x_arr[r, i, 2n+k], built from the
-same polyphase identity xph[p, i, j] = xpad[i, 2j+p] as ops/elbo_kernel.py)
-and the 0/1 tap-support masks are precomputed on the XLA side; coefficient
-matrices CT/CT2 are lane-concats of rows of the parity-major channel
-estimate, so the kernel never needs a strided lane access (Mosaic cannot
-lower those). Matmuls run at HIGHEST precision (f32-accurate bf16 passes).
+The im2col is assembled IN-KERNEL from streamed padded signed parity rows
+(col k of the im2col is the contiguous parity-(k%2) slice starting at lane
+k//2 — the polyphase identity xph[p, i, j] = xpad[i, 2j+p] of
+ops/elbo_kernel.py), with K-MAJOR rows so each tap is one contiguous 4-row
+store; the host streams (R, 16, N+mh) per step instead of the (R, 4M, 2N)
+materialized im2col — the round-4 cost bisect measured the streamed-im2col
+variant spending 22.7 of 34.3 us/step on input DMA
+(artifacts/r4_cost_bisect16.log). The 0/1 tap-support masks are
+precomputed on the XLA side; coefficient matrices CT/CT2 are built by one
+signed row-mix dot against the channel estimate (hmix), so the kernel
+never needs a strided lane access (Mosaic cannot lower those). Matmuls run
+at HIGHEST precision (f32-accurate bf16 passes).
 
 Parameter layouts (chosen so Adam is elementwise and every consumer reads
 contiguous lanes):
@@ -119,7 +125,7 @@ def _kernel(
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     *rest,
     n_sym, m, n_lev, n_rb, n_pk=1, stream_dtype=jnp.float32,
-    per_run_lr=False, cut=None,
+    per_run_lr=False, emit_eval=False, cut=None,
 ):
     # sublane packing (n_pk = P > 1, VERDICT r3 item 2): each batch element
     # carries P runs stacked along SUBLANES — every per-run tensor's rows
@@ -140,9 +146,14 @@ def _kernel(
         # in lr share one kernel batch (sweep lr-axis batching); the scalar
         # trace is unchanged when per_run_lr is off
         lrw_ref, lrh_ref, *rest = rest
+    if emit_eval:
+        # levsel: level-weight selection for the in-kernel decision stream
+        levsel_ref, *rest = rest
     (w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref,
-     outout_ref,
-     w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
+     outout_ref, *rest) = rest
+    if emit_eval:
+        decout_ref, eqout_ref, *rest = rest
+    (w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
      eqwin_sc, gdwin_sc, gh_sc, ctd_sc, ct2_sc,
      out4_sc, eq4_sc, v4_sc, d_sc, gd_sc, ghm_sc, geq_sc,
      gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, goutc_sc, stats_sc,
@@ -291,6 +302,20 @@ def _kernel(
         eq12_sc[:, 8 * n_pk : 12 * n_pk, :]
         - eq12_sc[:, 4 * n_pk : 8 * n_pk, :] * eq12_sc[:, 4 * n_pk : 8 * n_pk, :]
     )
+    if emit_eval:
+        # in-kernel eval emission (round 4): the eval stage's soft-SER and
+        # sync no longer read the (m_max, R, 4n, N) posterior stream at all.
+        # Decisions: argmax_l q == argmin_l met, and e32 = exp(mm - met) hits
+        # exactly 1.0 at the per-component minimum (exp(0.0)), so the
+        # decision index is ONE compare + ONE level-weight dot. A bitwise met
+        # tie would sum the tied level indices (an out-of-range "level" that
+        # always counts as a symbol error) — measure-zero on real data.
+        dec4 = _bdot(levsel_ref[...], (e32 >= 1.0).astype(f32))
+        decout_ref[0] = out_cast(dec4)
+        for p in range(n_pk):  # E_q[x^I] rows (xI, yI) of the comp section
+            eqout_ref[0, :, 2 * p : 2 * p + 2, :] = out_cast(
+                eq12_sc[:, 4 * n_pk + 4 * p : 4 * n_pk + 4 * p + 2, :]
+            )
     if _cut(3, v4_sc[...]):
         return
 
@@ -686,12 +711,13 @@ def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("bl_sym", "stride_sym", "interpret", "pack", "stream_bf16",
-                     "cut"),
+                     "emit_eval", "cut"),
 )
 def vae_dp_frame_train_pallas_rb(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
-    pack: int = 1, stream_bf16: bool = False, cut: int | None = None,
+    pack: int = 1, stream_bf16: bool = False, emit_eval: bool = False,
+    cut: int | None = None,
 ):
     """Run one frame's FULL online training for R independent runs, fused.
 
@@ -885,6 +911,10 @@ def vae_dp_frame_train_pallas_rb(
     )  # (12P, P*nl4) — row sections 0:4P / 4P:8P / 8P:12P, run-blocked inside
     eqv3 = jnp.broadcast_to(eqv_m[None], (n_gp, 12 * n_pk, n_pk * nl4))
 
+    levsel3 = jnp.broadcast_to(
+        _pblkj(jnp.asarray(selt_np.T) * lev_of_row[None, :].astype(_np.float32))[None],
+        (n_gp, 4 * n_pk, n_pk * nl4),
+    )
     p_f = P.astype(jnp.float32)
     pfull4 = jnp.broadcast_to(
         jnp.tile(p_f, 4 * n_pk)[None, :, None], (n_gp, n_pk * nl4, n_sym)
@@ -976,7 +1006,7 @@ def vae_dp_frame_train_pallas_rb(
     sdt = jnp.bfloat16 if stream_bf16 else jnp.float32
     kernel = functools.partial(
         _kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb, n_pk=n_pk,
-        stream_dtype=sdt, per_run_lr=per_run_lr, cut=cut,
+        stream_dtype=sdt, per_run_lr=per_run_lr, emit_eval=emit_eval, cut=cut,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     per_mb4 = lambda c, l: pl.BlockSpec(
@@ -1060,28 +1090,40 @@ def vae_dp_frame_train_pallas_rb(
         )
         in_specs += [full(), full()]
         inputs += [lrw3, lrh3]
+    if emit_eval:
+        in_specs.append(full())
+        inputs.append(levsel3)
 
-    (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, q_all, out_all) = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
+        jax.ShapeDtypeStruct((m_max, n_gp, pk, 128), jnp.float32),
+        jax.ShapeDtypeStruct((m_max, n_gp, pk * 4 * n_lev, n_sym), sdt),
+        jax.ShapeDtypeStruct((m_max, n_gp, 4 * pk, n_sym), sdt),
+    ]
+    out_specs = [
+        full(), full(), full(), full(), full(), full(),
+        pl.BlockSpec((1, n_gp, pk, 128), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
+        per_mb4(pk * 4 * n_lev, n_sym),
+        per_mb4(4 * pk, n_sym),
+    ]
+    if emit_eval:
+        out_shape += [
+            jax.ShapeDtypeStruct((m_max, n_gp, 4 * pk, n_sym), sdt),
+            jax.ShapeDtypeStruct((m_max, n_gp, 2 * pk, n_sym), sdt),
+        ]
+        out_specs += [per_mb4(4 * pk, n_sym), per_mb4(2 * pk, n_sym)]
+    (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, q_all, out_all,
+     *eval_all) = pl.pallas_call(
         kernel,
         grid=(m_max,),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
-            jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
-            jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
-            jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, n_gp, pk, 128), jnp.float32),
-            jax.ShapeDtypeStruct((m_max, n_gp, pk * 4 * n_lev, n_sym), sdt),
-            jax.ShapeDtypeStruct((m_max, n_gp, 4 * pk, n_sym), sdt),
-        ),
+        out_shape=tuple(out_shape),
         in_specs=in_specs,
-        out_specs=(
-            full(), full(), full(), full(), full(), full(),
-            pl.BlockSpec((1, n_gp, pk, 128), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
-            per_mb4(pk * 4 * n_lev, n_sym),
-            per_mb4(4 * pk, n_sym),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
         # stream buffers + scratch exceed the 16 MiB default scoped-vmem
         # limit past ~8 runs/group (rb=16 or pack=2 x rb=16); the v5e has
@@ -1106,6 +1148,9 @@ def vae_dp_frame_train_pallas_rb(
         stats = stats.reshape(m_max, n_rb, 1, 128)
         q_all = q_all.reshape(m_max, n_rb, 4 * n_lev, n_sym)
         out_all = out_all.reshape(m_max, n_rb, 4, n_sym)
+        if emit_eval:
+            eval_all = [eval_all[0].reshape(m_max, n_rb, 4, n_sym),
+                        eval_all[1].reshape(m_max, n_rb, 2, n_sym)]
 
     losses = stats[:, :, 0, 0]  # (m_max, R)
     var_est = stats[:, :, 0, 1:3]  # (m_max, R, 2)
@@ -1131,7 +1176,7 @@ def vae_dp_frame_train_pallas_rb(
         "mh": _from_parity_major(mh_o, m).reshape(n_rb, 2, 2, 2, m),
         "vh": _from_parity_major(vh_o, m).reshape(n_rb, 2, 2, 2, m),
     }
-    return (
+    base = (
         _wkm_inv(w_o),
         _from_parity_major(h_o, m).reshape(n_rb, 2, 2, 2, m),
         opt_new,
@@ -1140,6 +1185,18 @@ def vae_dp_frame_train_pallas_rb(
         q,
         out,
     )
+    if not emit_eval:
+        return base
+    # dec rows are comp-order like q (xI, yI, xQ, yQ); eq rows are per pol
+    d4, eq2 = eval_all
+    dec = jnp.stack(
+        [
+            jnp.stack([d4[:, :, 0], d4[:, :, 2]], axis=2),
+            jnp.stack([d4[:, :, 1], d4[:, :, 3]], axis=2),
+        ],
+        axis=2,
+    )  # (m_max, R, 2pol, 2comp, n_sym)
+    return base + (dec, eq2)
 
 
 
@@ -1147,6 +1204,7 @@ def vae_dp_frame_train_pallas_rb(
 def vae_dp_frame_train_pallas(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
+    emit_eval: bool = False,
 ):
     """Run one frame's FULL online training (all minibatches + Adam) fused.
 
@@ -1167,12 +1225,14 @@ def vae_dp_frame_train_pallas(
     q (m_max, 2, 2*n_lev, bl_sym), out (m_max, 2, 2, bl_sym)) — exactly the
     per-frame quantities of the lax.scan step path in train/dp.py.
     """
-    w_r, h_r, opt_r, losses, var_est, q, out = vae_dp_frame_train_pallas_rb(
+    w_r, h_r, opt_r, losses, var_est, q, out, *ev = vae_dp_frame_train_pallas_rb(
         w[None], h[None], jax.tree.map(lambda x: x[None], opt), rx[None],
         amps, var, nu_sc, P, lr, step0, lr_half_step,
         bl_sym=bl_sym, stride_sym=stride_sym, interpret=interpret,
+        emit_eval=emit_eval,
     )
-    return (
+    base = (
         w_r[0], h_r[0], jax.tree.map(lambda x: x[0], opt_r),
         losses[:, 0], var_est[:, 0], q[:, 0], out[:, 0],
     )
+    return base + tuple(a[:, 0] for a in ev)

@@ -40,6 +40,7 @@ from ..metrics.mi import (
     mutual_information_ambiguity,
     mutual_information_ambiguity_mb,
 )
+from ..metrics.sync import _dp_shift_core
 from ..models import (
     butterfly_init,
     cma_batch_dp,
@@ -127,7 +128,8 @@ def _dp_frame_eval(q_train, out_const, tx, amps, P, nu_sc, var, weight_fn):
     return ser_const, ser_soft, mi, shift, r
 
 
-def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn):
+def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
+                      dec_mb=None, eq_mb=None):
     """``_dp_frame_eval`` with the posteriors kept in MINIBATCH layout.
 
     q_mb: (n_mb, 2, 2*num_lev, bl), the training kernel's native output
@@ -138,12 +140,26 @@ def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn):
     layout as single fused passes, so the (2, 2n, N) posterior tensor is
     never materialized or transposed — the eval stage of the runs-batched
     aggregate pipeline is HBM-bandwidth-bound (PARITY_RESULTS round 3).
+
+    With the kernel's in-kernel eval streams (round 4) — dec_mb
+    (n_mb, 2, 2, bl) argmax level indices, eq_mb (n_mb, 2, bl) E_q[x^I] —
+    the sync and the soft-SER never read the posterior stream at all; only
+    the MI selection still makes one fused pass over q_mb.
     """
     num_lev = amps.shape[0]
-    shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
+    if eq_mb is None:
+        shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
+    else:
+        e = jnp.moveaxis(eq_mb.astype(jnp.float32), 0, 1).reshape(2, -1)
+        shift, r = _dp_shift_core(e, tx, 21)
     w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
     tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
-    dec = iqflip_decisions_mb(q_mb)
+    if dec_mb is None:
+        dec = iqflip_decisions_mb(q_mb)
+    else:
+        n_mb, _, _, bl = dec_mb.shape
+        dec = jnp.moveaxis(dec_mb, 0, 2).reshape(2, 2, n_mb * bl)
+        dec = dec.astype(jnp.int32)
     ser_soft = jnp.roll(ser_iqflip_from_dec(dec, tx_al, num_lev, weight=w_al), r)
     mi = jnp.roll(
         mutual_information_ambiguity_mb(q_mb, tx_al, amps, P, weight=w_al), r
@@ -166,7 +182,7 @@ _CMA_FIELDS = (("loss", 1), ("ser_const", 2), ("ser_soft", 2), ("mi", 2),
 
 
 def _finish_vae_frame(losses, q_mb, out_mb, var_est, tx, const, amps, P, var,
-                      weight_fn, sigma):
+                      weight_fn, sigma, dec_mb=None, eq_mb=None):
     """Gather the minibatch scan outputs into frame streams, evaluate, and
     pack the frame's metric vector (shared by the VAE and VAEflex loops)."""
     n_out = q_mb.shape[0] * q_mb.shape[-1]
@@ -175,7 +191,8 @@ def _finish_vae_frame(losses, q_mb, out_mb, var_est, tx, const, amps, P, var,
     out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
 
     ser_const, ser_soft, mi, shift, r = _dp_frame_eval_mb(
-        q_mb, out_const, tx, amps, P, const.nu_sc, var, weight_fn
+        q_mb, out_const, tx, amps, P, const.nu_sc, var, weight_fn,
+        dec_mb=dec_mb, eq_mb=eq_mb
     )
     snr_est = const.pow_mean / jnp.mean(var_est)
     metrics = {
@@ -296,31 +313,34 @@ def _run_frame_kernel_experiment(
             )(snr_vec).reshape(groups, rb, 2)
             var_groups = var_runs
 
-    def one_run_finish(losses, q_mb, out_mb, var_est, tx_full, sigma, var_r):
+    def one_run_finish(losses, q_mb, out_mb, dec_mb, eq_mb, var_est, tx_full,
+                       sigma, var_r):
         return _finish_vae_frame(
             losses, q_mb, out_mb, var_est, tx_of(tx_full), const, amps, P,
-            var_r, weight_fn, sigma,
+            var_r, weight_fn, sigma, dec_mb=dec_mb, eq_mb=eq_mb,
         )
 
-    def crop_flex(q_mb, out_mb):
+    def crop_flex(*streams):
         if stride_sym is None:  # VAEflex: central crop of each window
-            return q_mb, out_mb
+            return streams
         crop0 = (cfg.batch_len - stride_sym) // 2
-        return (q_mb[..., crop0 : crop0 + stride_sym],
-                out_mb[..., crop0 : crop0 + stride_sym])
+        return tuple(a[..., crop0 : crop0 + stride_sym] for a in streams)
 
     def frame_step(carry, key, theta):
         params, opt, count = carry
         if rb is None:
             rx, tx_full, sigma = gen(key, theta)
-            w, h, opt, losses, var_est, q_mb, out_mb = vae_dp_frame_train_pallas(
+            (w, h, opt, losses, var_est, q_mb, out_mb, dec_mb,
+             eq_mb) = vae_dp_frame_train_pallas(
                 params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
                 jnp.float32(cfg.lr), count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
+                emit_eval=True,
             )
-            q_mb, out_mb = crop_flex(q_mb, out_mb)
+            q_mb, out_mb, dec_mb, eq_mb = crop_flex(q_mb, out_mb, dec_mb, eq_mb)
             packed = one_run_finish(
-                losses, q_mb, out_mb, var_est, tx_full, sigma, var
+                losses, q_mb, out_mb, dec_mb, eq_mb, var_est, tx_full, sigma,
+                var
             )
             return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 
@@ -338,20 +358,22 @@ def _run_frame_kernel_experiment(
                 p["w"], p["h"], o, rxg, amps, varg, const.nu_sc, P,
                 lrg, count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
-                pack=runs_pack, stream_bf16=stream_bf16,
+                pack=runs_pack, stream_bf16=stream_bf16, emit_eval=True,
             )
 
-        w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
+        (w, h, opt, losses, var_est, q_mb, out_mb, dec_mb,
+         eq_mb) = jax.vmap(kernel_group)(
             params, opt, rx_g, lr_groups, var_groups
         )
         # batched eval via nested (groups, rb) vmaps — flattening the kernel
         # outputs to a runs axis first would transpose ~MB/run per frame
-        q_mb, out_mb = crop_flex(q_mb, out_mb)
+        q_mb, out_mb, dec_mb, eq_mb = crop_flex(q_mb, out_mb, dec_mb, eq_mb)
         tx_g = tx_full.reshape((groups, rb) + tx_full.shape[1:])
         sigma_g = sigma.reshape((groups, rb) + sigma.shape[1:])
         packed = jax.vmap(
-            jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 0, 0, 0))
-        )(losses, q_mb, out_mb, var_est, tx_g, sigma_g, var_runs)  # (groups, rb, n_tot)
+            jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 1, 1, 0, 0, 0))
+        )(losses, q_mb, out_mb, dec_mb, eq_mb, var_est, tx_g, sigma_g,
+          var_runs)  # (groups, rb, n_tot)
         packed = packed.reshape((runs,) + packed.shape[2:])
         return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 

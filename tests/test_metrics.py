@@ -284,3 +284,30 @@ def test_dp_frame_eval_mb_matches_packed():
                              dec_mb=dec_mb, eq_mb=eq_mb)
     for a, b, tol in zip(got2, ref, (1e-6, 1e-6, 2e-5, 0, 0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=tol)
+
+
+def test_mi_ambiguity_mb_single_pass_matches():
+    """The single-read level-sweep MI (``_mb_sp``) equals the trace form
+    (``_mb``) — same 8-variant algebra, reorganized so each posterior row is
+    loaded once (the eval stage is HBM-bound, PARITY_RESULTS round 4)."""
+    from vae_equalizer_tpu.metrics.mi import (
+        mutual_information_ambiguity_mb,
+        mutual_information_ambiguity_mb_sp,
+    )
+    from vae_equalizer_tpu.core import make_constellation
+
+    rng = np.random.default_rng(11)
+    n_mb, bl, num_lev = 6, 50, 8
+    n = n_mb * bl
+    const = make_constellation("64-QAM", 0.0525)
+    amps = jnp.asarray(const.amps)
+    P = jnp.asarray(const.P, jnp.float32)
+    logits = rng.normal(size=(n_mb, 2, 2 * num_lev, bl)).astype(np.float32)
+    q_mb = np.exp(logits)
+    q_mb[:, :, :num_lev] /= q_mb[:, :, :num_lev].sum(2, keepdims=True)
+    q_mb[:, :, num_lev:] /= q_mb[:, :, num_lev:].sum(2, keepdims=True)
+    tx = np.asarray(amps)[rng.integers(0, num_lev, size=(2, 2, n))]
+    for w in (None, jnp.asarray((rng.random((2, n)) > 0.1).astype(np.float32))):
+        ref = mutual_information_ambiguity_mb(jnp.asarray(q_mb), jnp.asarray(tx), amps, P, weight=w)
+        got = mutual_information_ambiguity_mb_sp(jnp.asarray(q_mb), jnp.asarray(tx), amps, P, weight=w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

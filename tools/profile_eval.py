@@ -52,7 +52,7 @@ MB_PARTS = ["none", "mb_sync", "mb_soft", "mb_mi", "mb_const"]
 # reduction / the shift correlation core / the data-dependent align rolls /
 # the const-stream sync vs its shaping SER)
 MB_FINE_PARTS = ["none", "mb_e", "mb_corr", "v_corr_sub4", "mb_sync",
-                 "mb_soft", "mb_mi", "mb_csync", "mb_const"]
+                 "mb_soft", "mb_mi", "mb_mi_sp", "mb_csync", "mb_const"]
 # v_corr_sub4: the shift core with a stride-4 subsampled correlation sum
 # (4x less roll-stack traffic; lag resolution unchanged) — measured as
 # none + e + core, directly comparable to mb_corr.
@@ -142,6 +142,7 @@ def main():
             # "none" isolate sync / decisions+SER / MI / const sub-stages
             from vae_equalizer_tpu.metrics.mi import (
                 mutual_information_ambiguity_mb,
+                mutual_information_ambiguity_mb_sp,
             )
             from vae_equalizer_tpu.metrics.ser import (
                 iqflip_decisions_mb,
@@ -192,10 +193,11 @@ def main():
             acc = acc + ser_soft.sum()
             if part == "mb_soft":
                 return acc
-            mi = jnp.roll(mutual_information_ambiguity_mb(
-                q_mb, tx_al, amps, P, weight=w_al), r)
+            mi_fn = (mutual_information_ambiguity_mb_sp
+                     if part == "mb_mi_sp" else mutual_information_ambiguity_mb)
+            mi = jnp.roll(mi_fn(q_mb, tx_al, amps, P, weight=w_al), r)
             acc = acc + mi.sum()
-            if part == "mb_mi":
+            if part in ("mb_mi", "mb_mi_sp"):
                 return acc
             out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
             shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)

@@ -167,6 +167,78 @@ def mutual_information_ambiguity(
     return (best - prior) / wsum
 
 
+def mutual_information_ambiguity_mb_sp(
+    q_mb: jnp.ndarray,
+    tx: jnp.ndarray,
+    amps: jnp.ndarray,
+    P: jnp.ndarray,
+    weight: jnp.ndarray | None = None,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """``mutual_information_ambiguity_mb`` with a single-read level sweep.
+
+    Same 8-variant trace algebra, reorganized so the LEVEL loop is outermost
+    and every posterior row q[..., lev, :] is loaded exactly once: the trace
+    identity sel(lq, idx) = sum_lev [idx == lev] * lq[lev] turns each of the
+    8 selected traces into per-level masked reductions, and all 8 share the
+    two rows (qi[lev], qq[lev]) read in that iteration. The ``_mb`` form's 8
+    ``_level_select`` calls each rescan their q block (qi and qq are swept
+    4x each); here the full posterior stream is read once — the eval stage
+    of the runs-batched aggregate pipeline is HBM-bound (PARITY_RESULTS
+    round 3/4). Selection commutes with log2 exactly (one level picked per
+    symbol), so results match ``_mb`` up to sum order.
+    """
+    n = amps.shape[0]
+    n_mb, _, _, bl = q_mb.shape
+
+    def to_mb(a):  # (..., N) time-major -> (n_mb, ..., bl)
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (n_mb, bl)), -2, 0)
+
+    idx = _decode_levels(tx, n)  # (2, 2, N)
+    idx_i, idx_q = to_mb(idx[:, 0, :]), to_mb(idx[:, 1, :])  # (n_mb, 2, bl)
+    lp = jnp.log2(P.astype(jnp.float32))  # (n,)
+
+    if weight is None:
+        w = None
+    else:
+        w = to_mb(jnp.broadcast_to(weight.astype(jnp.float32), (2, n_mb * bl)))
+
+    def msk(idx_t, lev):
+        m = (idx_t == lev).astype(jnp.float32)
+        return m if w is None else m * w
+
+    red = lambda t: jnp.sum(t, axis=(0, -1))  # (n_mb, 2, bl) -> (2,)
+    acc = [jnp.zeros((2,), jnp.float32) for _ in range(8)]  # a1..a4, b1..b4
+    for lev in range(n):
+        lqi = jnp.log2(q_mb[:, :, lev, :].astype(jnp.float32) + eps)
+        lqq = jnp.log2(q_mb[:, :, n + lev, :].astype(jnp.float32) + eps)
+        mi_l, mi_r = msk(idx_i, lev), msk(idx_i, n - 1 - lev)
+        mq_l, mq_r = msk(idx_q, lev), msk(idx_q, n - 1 - lev)
+        acc[0] = acc[0] + red(lqi * mi_l)  # a1 = sel(lqi, idx_i)
+        acc[1] = acc[1] + red(lqi * mi_r)  # a2 = sel(lqi, idx_ir)
+        acc[2] = acc[2] + red(lqq * mi_l)  # a3 = sel(lqq, idx_i)
+        acc[3] = acc[3] + red(lqq * mi_r)  # a4 = sel(lqq, idx_ir)
+        acc[4] = acc[4] + red(lqq * mq_l)  # b1 = sel(lqq, idx_q)
+        acc[5] = acc[5] + red(lqq * mq_r)  # b2 = sel(lqq, idx_qr)
+        acc[6] = acc[6] + red(lqi * mq_l)  # b3 = sel(lqi, idx_q)
+        acc[7] = acc[7] + red(lqi * mq_r)  # b4 = sel(lqi, idx_qr)
+    a1, a2, a3, a4, b1, b2, b3, b4 = acc
+    pr = _level_select_vec(lp, idx_i) + _level_select_vec(lp, idx_q)
+    prior = red(pr if w is None else pr * w)
+    best = jnp.max(
+        jnp.stack(
+            [a1 + b1, a2 + b2, a4 + b3, a3 + b4, a1 + b2, a2 + b1, a3 + b3, a4 + b4]
+        ),
+        axis=0,
+    )
+    if weight is None:
+        return (best - prior) / (n_mb * bl)
+    wsum = jnp.sum(
+        jnp.broadcast_to(weight.astype(jnp.float32), (2, n_mb * bl)), axis=-1
+    )
+    return (best - prior) / wsum
+
+
 def mutual_information_ambiguity_mb(
     q_mb: jnp.ndarray,
     tx: jnp.ndarray,

@@ -125,3 +125,40 @@ def test_pcs_sampling_distribution():
     tx = np.asarray(tx).ravel()
     counts = np.array([(np.abs(tx - a) < 1e-4).mean() for a in const.amps])
     np.testing.assert_allclose(counts, const.P, atol=0.01)
+
+
+def test_dp_fft_folded_fir_equals_direct_conv(const64):
+    """With all impairments off (tau_cd = tau_pmd = theta = phi_iq = 0, huge
+    SNR), the frequency-domain pulse/ISI application (h_comb's DFT folded
+    into the scalar CD response, round 4) must equal the direct 'valid'
+    time-domain convolution of the upsampled levels with the fused
+    pulse+ISI FIR — the fold is an exact linear-conv factorization, not an
+    approximation (fft_len >= up_len keeps the kept window wrap-free)."""
+    from vae_equalizer_tpu.channels.optical_dp import PULSE_BETA, PULSE_T
+    from vae_equalizer_tpu.core.filters import rrcfir
+
+    h_up, _ = channel_ir("h1", 2)
+    N, sps = 500, 2
+    gen = jax.jit(make_dp_simulator(const64, 300.0, h_up, N, sps, 90e9, 0.0, 0.0, np.zeros(2)))
+    key = jax.random.PRNGKey(7)
+    rx, tx, sigma = gen(key, jnp.float32(0.0))
+    assert float(sigma) < 1e-9
+
+    # rebuild the transmitted upsampled stream exactly as the simulator does
+    from vae_equalizer_tpu.core.constellation import sample_levels
+
+    amps = jnp.asarray(const64.amps)
+    P = jnp.asarray(const64.P, jnp.float32)
+    m_up = h_up.shape[-1]
+    n_conv = N + m_up + 4 * PULSE_T
+    k_sym, _ = jax.random.split(key)
+    data = np.asarray(sample_levels(k_sym, amps, P, (4, n_conv)))
+    h_pulse = rrcfir(PULSE_T, sps, PULSE_BETA)
+    h_comb = np.convolve(h_pulse.astype(np.complex128), h_up)
+    up_len = sps * (n_conv - 1) + 1
+    for pol in range(2):
+        z = np.zeros(up_len, np.complex128)
+        z[::sps] = data[2 * pol] + 1j * data[2 * pol + 1]
+        want = np.convolve(z, h_comb, mode="valid")[: sps * N]
+        got = np.asarray(rx)[pol, 0] + 1j * np.asarray(rx)[pol, 1]
+        np.testing.assert_allclose(got, want, atol=2e-4)

@@ -1,7 +1,9 @@
 """Linear optical dual-polarization (2x2 MIMO) channel simulator.
 
-TX per-pol PCS symbol streams -> upsampling -> RRC pulse + optional extra ISI
-IR (time domain) -> frequency-domain impairments: residual chromatic
+TX per-pol PCS symbol streams -> upsampling -> one frequency-domain pass
+applying the RRC pulse + optional extra ISI IR (their DFT folded into the
+scalar dispersion response — exact 'valid' linear convolution, see
+``make_dp_simulator``) together with the impairments: residual chromatic
 dispersion (CD), polarization-mode dispersion (PMD), polarization rotation
 theta with static IQ phase shift -> AWGN.
 
@@ -32,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import cplx
 from ..core.constellation import Constellation, sample_levels
 from ..core.filters import rrcfir
 
@@ -88,26 +89,35 @@ def make_dp_simulator(
     h_pulse_re = rrcfir(PULSE_T, sps, PULSE_BETA)
     # pulse and extra ISI IR fused into one kernel (conv associativity):
     # (x * h_pulse) * h_chan == x * (h_pulse * h_chan) — halves the conv work
-    h_comb_c = np.convolve(h_pulse_re.astype(np.complex64), h_channel_up)
-    h_comb = jnp.asarray(np.stack([h_comb_c.real, h_comb_c.imag]).astype(np.float32))
+    h_comb_c = np.convolve(h_pulse_re.astype(np.complex128), h_channel_up)
 
     amps = jnp.asarray(const.amps)
     P = jnp.asarray(const.P, dtype=jnp.float32)
     m_up = h_channel_up.shape[-1]
     n_conv = N + m_up + 4 * PULSE_T
     up_len = sps * (n_conv - 1) + 1
+    h_len = h_comb_c.shape[-1]
     sig_len = up_len - h_pulse_re.shape[-1] - m_up + 2  # after two 'valid' convs
     offset = PULSE_T + m_up - 1
     snr_lin = 10 ** (snr_db / 10)
 
     # frequency-domain constants, precomputed in float64 on the host and
-    # shipped as real planes; the FFT runs at a 2^a-rich padded length
-    fft_len = _fast_fft_len(sig_len)
+    # shipped as real planes; the FFT runs at a 2^a-rich padded length.
+    # The fused pulse+ISI FIR rides the SAME fft pass (round 4): fft_len >=
+    # up_len keeps the slice [h_len-1, h_len-1+sig_len) free of circular
+    # wrap, so multiplying h_comb's DFT into the scalar CD response applies
+    # the 'valid' time-domain convolution exactly (LTI filters commute) —
+    # the explicit jnp.convolve stage (4 real 1-D convs per pol, ~2.8
+    # ms/frame at R=128 on v5e, artifacts/r4_gen_breakdown.log) disappears
+    # for zero extra FFT cost (default config: both need fft_len 20160).
+    fft_len = _fast_fft_len(up_len)
     freq = np.fft.fftfreq(fft_len, 1 / symb_rate / sps)
     cd_phase = 2 * (np.pi * freq) ** 2 * tau_cd  # exp(+1j*cd_phase)
     pmd_phase = np.pi * tau_pmd * freq  # exp(+1j*pmd_phase) / conj
+    h_f = np.fft.fft(np.pad(h_comb_c, (0, fft_len - h_len)))
+    cd_c = np.exp(1j * cd_phase) * h_f  # scalar response: CD x pulse/ISI FIR
     cd = jnp.asarray(
-        np.stack([np.cos(cd_phase), np.sin(cd_phase)]).astype(np.float32)
+        np.stack([cd_c.real, cd_c.imag]).astype(np.float32)
     )
     pmd = jnp.asarray(
         np.stack([np.cos(pmd_phase), np.sin(pmd_phase)]).astype(np.float32)
@@ -133,13 +143,11 @@ def make_dp_simulator(
             [d4[..., None], jnp.zeros((pol, 2, n_conv, sps - 1), jnp.float32)], -1
         ).reshape(pol, 2, n_conv * sps)[..., :up_len]
 
-        # per-pol fused pulse+ISI shaping ('valid' conv, real planes)
-        sig = jax.vmap(lambda xp: cplx.conv_valid(xp, h_comb))(tx_up)  # (pol, 2, sig_len)
-
-        # frequency-domain CD + PMD + rotation + IQ shift; complex64 exists
-        # only inside this block (device-internal)
-        z = sig[:, 0, :] + 1j * sig[:, 1, :]
-        z = jnp.pad(z, ((0, 0), (0, fft_len - sig_len)))
+        # frequency-domain pulse/ISI shaping (folded into the CD response)
+        # + CD + PMD + rotation + IQ shift; complex64 exists only inside
+        # this block (device-internal)
+        z = tx_up[:, 0, :] + 1j * tx_up[:, 1, :]
+        z = jnp.pad(z, ((0, 0), (0, fft_len - up_len)))
         zf = jnp.fft.fft(z, axis=-1)
         ct, st = jnp.cos(theta), jnp.sin(theta)
         e0 = e_phi[0, 0] + 1j * e_phi[1, 0]
@@ -154,7 +162,9 @@ def make_dp_simulator(
         h11 = st * e1 * d0 * st * e0 + ct * e1 * d1 * ct * e1
         out0 = (h00 * zf[0] + h01 * zf[1]) * cdz
         out1 = (h10 * zf[0] + h11 * zf[1]) * cdz
-        z = jnp.fft.ifft(jnp.stack([out0, out1]), axis=-1)[:, :sig_len]
+        z = jnp.fft.ifft(jnp.stack([out0, out1]), axis=-1)[
+            :, h_len - 1 : h_len - 1 + sig_len
+        ]  # the 'valid' window of the folded FIR (linear conv: fft_len >= up_len)
         sig = jnp.stack([jnp.real(z), jnp.imag(z)], axis=1).astype(jnp.float32)
 
         sigma = jnp.sqrt(jnp.mean(sig**2) * 2 * sps / 2 / snr).astype(jnp.float32)

@@ -38,7 +38,7 @@ from ..metrics import (
 )
 from ..metrics.mi import (
     mutual_information_ambiguity,
-    mutual_information_ambiguity_mb,
+    mutual_information_ambiguity_mb_sp,
 )
 from ..metrics.sync import _dp_shift_core
 from ..models import (
@@ -161,8 +161,10 @@ def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
         dec = jnp.moveaxis(dec_mb, 0, 2).reshape(2, 2, n_mb * bl)
         dec = dec.astype(jnp.int32)
     ser_soft = jnp.roll(ser_iqflip_from_dec(dec, tx_al, num_lev, weight=w_al), r)
+    # single-read level sweep: ~2.1 vs ~3.1 ms/frame at R=128/rb=16/bf16 on
+    # v5e (tools/profile_eval.py mb_mi_sp vs mb_mi, artifacts/r4_eval_sp.log)
     mi = jnp.roll(
-        mutual_information_ambiguity_mb(q_mb, tx_al, amps, P, weight=w_al), r
+        mutual_information_ambiguity_mb_sp(q_mb, tx_al, amps, P, weight=w_al), r
     )
 
     shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)

@@ -289,7 +289,10 @@ def main(argv=None):
     # PARITY_RESULTS round 4); pack=2 measured a slight loss at every group
     # size (elementwise tiles bind once the dot bill is merged), so the p2
     # rows were retired from the official record after one captured round.
-    agg_keys = ((8, 32, 128, "128r16", "128r16b")
+    # 32 runs became the knee once the train stage stopped being input-DMA
+    # bound (capture 5: 58.1M @ 32 vs 57.4M @ 128r16b) — give the knee the
+    # same rb=16 + bf16 treatment that recovered the 128-run row
+    agg_keys = ((8, 32, "32r16b", 128, "128r16", "128r16b")
                 if not args.quick else (args.runs,))
 
     def agg_measure(key):

@@ -152,6 +152,7 @@ def main():
                 _dp_shift_core,
                 find_shift_dp_mb,
             )
+            from vae_equalizer_tpu.train.dp import _SYNC_CORR_LEN
 
             if part in ("mb_e", "mb_corr", "v_corr_sub4"):
                 # sync sub-stages: the E_q[x^I] posterior reduction alone,
@@ -169,14 +170,16 @@ def main():
                     return acc + e_mb.sum()
                 e = jnp.moveaxis(e_mb, 0, 1).reshape(2, -1)
                 stride = 4 if part == "v_corr_sub4" else 1
-                shift, r = _dp_shift_core(e, tx, 21, stride)
+                shift, r = _dp_shift_core(e, tx, 21, stride,
+                                          corr_len=_SYNC_CORR_LEN)
                 return acc + shift.sum() + r
 
             if eq_mb is not None:
                 e = jnp.moveaxis(eq_mb.astype(jnp.float32), 0, 1).reshape(2, -1)
-                shift, r = _dp_shift_core(e, tx, 21)
+                shift, r = _dp_shift_core(e, tx, 21, corr_len=_SYNC_CORR_LEN)
             else:
-                shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
+                shift, r = find_shift_dp_mb(q_mb, tx, 21, amps,
+                                            corr_len=_SYNC_CORR_LEN)
             w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
             tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
             acc = acc + tx_al[0, 0, 0] + w_al[0, 0]
@@ -200,7 +203,8 @@ def main():
             if part in ("mb_mi", "mb_mi_sp"):
                 return acc
             out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
-            shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+            shift_c, r_c = find_shift_symb_dp(out_const, tx, 21,
+                                              corr_len=_SYNC_CORR_LEN)
             w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
             tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
             acc = acc + tx_al_c[0, 0, 0] + w_al_c[0, 0] + shift_c.sum()

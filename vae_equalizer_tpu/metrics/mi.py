@@ -195,7 +195,10 @@ def mutual_information_ambiguity_mb_sp(
         return jnp.moveaxis(a.reshape(a.shape[:-1] + (n_mb, bl)), -2, 0)
 
     idx = _decode_levels(tx, n)  # (2, 2, N)
-    idx_i, idx_q = to_mb(idx[:, 0, :]), to_mb(idx[:, 1, :])  # (n_mb, 2, bl)
+    # int8 indices (levels < 16): the masks re-read idx every level iteration,
+    # so the index stream is 4x cheaper than int32 — this loop is HBM-bound
+    idx_i = to_mb(idx[:, 0, :]).astype(jnp.int8)  # (n_mb, 2, bl)
+    idx_q = to_mb(idx[:, 1, :]).astype(jnp.int8)
     lp = jnp.log2(P.astype(jnp.float32))  # (n,)
 
     if weight is None:
@@ -207,21 +210,39 @@ def mutual_information_ambiguity_mb_sp(
         m = (idx_t == lev).astype(jnp.float32)
         return m if w is None else m * w
 
+    def lrow(lev):
+        return jnp.log2(q_mb[:, :, lev, :].astype(jnp.float32) + eps)
+
     red = lambda t: jnp.sum(t, axis=(0, -1))  # (n_mb, 2, bl) -> (2,)
     acc = [jnp.zeros((2,), jnp.float32) for _ in range(8)]  # a1..a4, b1..b4
-    for lev in range(n):
-        lqi = jnp.log2(q_mb[:, :, lev, :].astype(jnp.float32) + eps)
-        lqq = jnp.log2(q_mb[:, :, n + lev, :].astype(jnp.float32) + eps)
-        mi_l, mi_r = msk(idx_i, lev), msk(idx_i, n - 1 - lev)
-        mq_l, mq_r = msk(idx_q, lev), msk(idx_q, n - 1 - lev)
-        acc[0] = acc[0] + red(lqi * mi_l)  # a1 = sel(lqi, idx_i)
-        acc[1] = acc[1] + red(lqi * mi_r)  # a2 = sel(lqi, idx_ir)
-        acc[2] = acc[2] + red(lqq * mi_l)  # a3 = sel(lqq, idx_i)
-        acc[3] = acc[3] + red(lqq * mi_r)  # a4 = sel(lqq, idx_ir)
-        acc[4] = acc[4] + red(lqq * mq_l)  # b1 = sel(lqq, idx_q)
-        acc[5] = acc[5] + red(lqq * mq_r)  # b2 = sel(lqq, idx_qr)
-        acc[6] = acc[6] + red(lqi * mq_l)  # b3 = sel(lqi, idx_q)
-        acc[7] = acc[7] + red(lqi * mq_r)  # b4 = sel(lqi, idx_qr)
+    # mirror-pair sweep: levels (lev, n-1-lev) share the same four masks —
+    # a2 = sum_lev lqi[lev]*m(idx_i, n-1-lev) regroups over pairs as
+    # lqi_l*mi_r + lqi_r*mi_l — so each mask (and its weight multiply) is
+    # built once per PAIR instead of once per level: half the idx/w traffic
+    # of the per-level sweep at identical q-row reads (each row still read
+    # exactly once)
+    for lev in range(n // 2):
+        mir = n - 1 - lev
+        lqi_l, lqi_r = lrow(lev), lrow(mir)
+        lqq_l, lqq_r = lrow(n + lev), lrow(n + mir)
+        mi_l, mi_r = msk(idx_i, lev), msk(idx_i, mir)
+        mq_l, mq_r = msk(idx_q, lev), msk(idx_q, mir)
+        acc[0] = acc[0] + red(lqi_l * mi_l + lqi_r * mi_r)  # a1 = sel(lqi, idx_i)
+        acc[1] = acc[1] + red(lqi_l * mi_r + lqi_r * mi_l)  # a2 = sel(lqi, idx_ir)
+        acc[2] = acc[2] + red(lqq_l * mi_l + lqq_r * mi_r)  # a3 = sel(lqq, idx_i)
+        acc[3] = acc[3] + red(lqq_l * mi_r + lqq_r * mi_l)  # a4 = sel(lqq, idx_ir)
+        acc[4] = acc[4] + red(lqq_l * mq_l + lqq_r * mq_r)  # b1 = sel(lqq, idx_q)
+        acc[5] = acc[5] + red(lqq_l * mq_r + lqq_r * mq_l)  # b2 = sel(lqq, idx_qr)
+        acc[6] = acc[6] + red(lqi_l * mq_l + lqi_r * mq_r)  # b3 = sel(lqi, idx_q)
+        acc[7] = acc[7] + red(lqi_l * mq_r + lqi_r * mq_l)  # b4 = sel(lqi, idx_qr)
+    if n % 2:  # middle level is its own mirror
+        lev = n // 2
+        lqi_m, lqq_m = lrow(lev), lrow(n + lev)
+        mi_m, mq_m = msk(idx_i, lev), msk(idx_q, lev)
+        for k, t in enumerate((lqi_m * mi_m, lqi_m * mi_m, lqq_m * mi_m,
+                               lqq_m * mi_m, lqq_m * mq_m, lqq_m * mq_m,
+                               lqi_m * mq_m, lqi_m * mq_m)):
+            acc[k] = acc[k] + red(t)
     a1, a2, a3, a4, b1, b2, b3, b4 = acc
     pr = _level_select_vec(lp, idx_i) + _level_select_vec(lp, idx_q)
     prior = red(pr if w is None else pr * w)

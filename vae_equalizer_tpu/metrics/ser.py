@@ -231,9 +231,8 @@ def ser_constell_shaping(
     num_lev = amps.shape[0]
     full = 2 * ((num_lev - 1) / 2)
     data = _decode_levels(tx, num_lev)
-    data_iqinv = jnp.stack(
-        [data[:, 0], (full - data[:, 1].astype(jnp.float32)).astype(jnp.int32)], axis=1
-    )
+    data_i, data_q = data[:, 0], data[:, 1]
+    data_q_inv = (full - data_q.astype(jnp.float32)).astype(jnp.int32)
 
     d_vec = (1 + 2 * nu_sc * var[0]) * (amps[:-1] + amps[1:]) / 2
 
@@ -242,22 +241,36 @@ def ser_constell_shaping(
     mag_rx = _wmean(jnp.sqrt(rx[:, 0] ** 2 + rx[:, 1] ** 2), weight, axis=(0, -1))
     rx = rx * (mag_tx / mag_rx)
 
-    rx_pi4 = jnp.stack([-rx[:, 1], rx[:, 0]], axis=1)
-    rx_variants = jnp.stack([rx, -rx, rx_pi4, -rx_pi4])  # (4, 2, 2, N)
-    both_data = jnp.stack([data, data_iqinv])  # (2flip, 2, 2, N)
-
-    # Decision = the boundary bin of rx: bin(x) = #(x >= d_vec[l]), which is
+    # Decision = the boundary bin: bin(x) = #(x >= d_vec[l]), which is
     # exactly "d_lo[i] <= x < d_hi[i]" for i = bin(x). Per-level compares
     # instead of a boundary-table gather (XLA's TPU gather costs ~0.4 ms per
-    # 40k lookups; 7 vector compares are ~free).
-    dec = jnp.zeros(rx_variants.shape, jnp.int32)
+    # 40k lookups; 7 vector compares are ~free). The four pi/2 rotations'
+    # decisions all derive from TWO compare sweeps over the base (2, 2, N)
+    # stream — bin(-x) = #(x <= -d_vec[l]) exactly (incl. boundary ties,
+    # no symmetry assumption on d_vec) — instead of a materialized
+    # (4, 2, 2, N) rotation stack; the const stage of the runs-batched
+    # aggregate eval is HBM-bound (PARITY_RESULTS round 4).
+    dec_pos = jnp.zeros(rx.shape, jnp.int32)  # (2, 2, N): bin(+rx)
+    dec_neg = jnp.zeros(rx.shape, jnp.int32)  # (2, 2, N): bin(-rx)
     for lev in range(num_lev - 1):
-        dec = dec + (rx_variants >= d_vec[lev]).astype(jnp.int32)
+        dec_pos = dec_pos + (rx >= d_vec[lev]).astype(jnp.int32)
+        dec_neg = dec_neg + (rx <= -d_vec[lev]).astype(jnp.int32)
+
+    # variant (I-comp, Q-comp) sources: rx -> (p0, p1), -rx -> (n0, n1),
+    # rx_pi4 = (-rx_Q, rx_I) -> (n1, p0), -rx_pi4 = (rx_Q, -rx_I) -> (p1, n0)
+    p0, p1 = dec_pos[:, 0], dec_pos[:, 1]
+    n0, n1 = dec_neg[:, 0], dec_neg[:, 1]
+    i_src = (p0, n0, n1, p1)
+    q_src = (p1, n1, p0, n0)
     # non-finite equalizer output must always count as an error (compares
     # against boundaries are all False for NaN, which would otherwise decode
     # it as the lowest level — a diverged run must report SER ~= 1, like the
-    # reference's in-bounds check)
-    bad = ~jnp.isfinite(rx_variants)
-    err = jnp.any((dec[:, None] != both_data[None]) | bad[:, None], axis=3)  # (4, 2flip, 2pol, N)
+    # reference's in-bounds check). Finiteness is negation-invariant, so the
+    # per-variant "any component bad" mask is the same for all 8 hypotheses.
+    bad = jnp.any(~jnp.isfinite(rx), axis=1)  # (2, N)
+    err = jnp.stack(
+        [(i_src[v] != data_i) | (q_src[v] != data_q) | bad for v in range(4)]
+        + [(i_src[v] != data_i) | (q_src[v] != data_q_inv) | bad for v in range(4)]
+    )  # (4rot x 2flip, 2pol, N)
     ser = _wmean(err, weight, axis=-1)
-    return jnp.min(ser, axis=(0, 1))
+    return jnp.min(ser, axis=0)

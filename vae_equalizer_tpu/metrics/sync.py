@@ -96,7 +96,8 @@ def find_shift_symb_siso(rx: jnp.ndarray, tx: jnp.ndarray, n_shift: int, corr_le
     return jnp.where(use_i, s_i, jnp.where(use_q, s_q, s_i)).astype(jnp.int32)
 
 
-def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int, stride: int = 1):
+def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int, stride: int = 1,
+                   corr_len: int | None = None):
     """Shared DP shift/pol search.
 
     e: (2, L) correlation signal per equalizer output pol;
@@ -107,12 +108,22 @@ def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int, stride: int = 
     lag resolution stays 1 symbol — corr[s] = sum over every stride-th k of
     tx[k]*e[k+s] — only the number of accumulated terms drops. The peak
     detection margin scales as sqrt(terms), so stride 4 keeps ~50:1 peak
-    margin at L=10000; the runs-batched aggregate eval uses it because the
-    roll stack's HBM traffic dominates the sync stage (measured 2.49
-    ms/frame at R=128, artifacts/r4_eval_fine.log). The reference correlates
-    over the full length (shared_funcs.py:297); parity of the found shifts
-    is statistical, covered by the SER band tests.
+    margin at L=10000; but lane-strided slices relayout expensively on TPU
+    (measured +9.5 ms/frame at R=128) — use ``corr_len`` instead.
+
+    ``corr_len`` bounds the correlation to the first ``corr_len`` symbols —
+    a CONTIGUOUS slice (free on TPU, unlike the strided subsample), same
+    sqrt(terms) margin argument, and it shrinks the dominant cost of the
+    stage: the (n_shift, 2, L) roll-stack traffic. Mirrors the reference's
+    own SISO convention (corr_len=1000, func_CMA_MQAM_shaping.py:127-140);
+    the DP reference correlates the full length (shared_funcs.py:297), so
+    parity of the found shifts is statistical, covered by the SER band
+    tests. The delay being searched is global, so any window finds it; the
+    cyclic wrap inside the window touches <= n_shift//2 of corr_len terms.
     """
+    if corr_len is not None and corr_len < e.shape[-1]:
+        e = e[..., :corr_len]
+        tx = tx[..., :corr_len]
     L = e.shape[-1]
     e_mat = _roll_stack(e, n_shift)  # (n_shift, 2, L): lag leading, time in lanes
     if stride > 1:
@@ -146,14 +157,14 @@ def _dp_shift_core(e: jnp.ndarray, tx: jnp.ndarray, n_shift: int, stride: int = 
 
 
 def find_shift_dp(q: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp.ndarray,
-                  stride: int = 1):
+                  stride: int = 1, corr_len: int | None = None):
     """Pol assignment + per-pol time shift from DP posteriors q (2, 2n, L)."""
     e = expectation_i(q, amps)  # (2, L)
-    return _dp_shift_core(e, tx, n_shift, stride)
+    return _dp_shift_core(e, tx, n_shift, stride, corr_len)
 
 
 def find_shift_dp_mb(q_mb: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp.ndarray,
-                     stride: int = 1):
+                     stride: int = 1, corr_len: int | None = None):
     """``find_shift_dp`` on minibatch-layout posteriors (n_mb, 2, 2n, bl).
 
     The E_q[x^I] reduction runs in the training kernel's native output
@@ -165,10 +176,10 @@ def find_shift_dp_mb(q_mb: jnp.ndarray, tx: jnp.ndarray, n_shift: int, amps: jnp
     qi = q_mb[:, :, :num_lev, :]  # (n_mb, 2, n, bl)
     e_mb = jnp.sum(qi * amps[None, None, :, None], axis=2)  # (n_mb, 2, bl)
     e = jnp.moveaxis(e_mb, 0, 1).reshape(2, -1)
-    return _dp_shift_core(e, tx, n_shift, stride)
+    return _dp_shift_core(e, tx, n_shift, stride, corr_len)
 
 
 def find_shift_symb_dp(rx: jnp.ndarray, tx: jnp.ndarray, n_shift: int,
-                       stride: int = 1):
+                       stride: int = 1, corr_len: int | None = None):
     """Pol assignment + time shift from DP constellation output rx (2, 2, L)."""
-    return _dp_shift_core(rx[:, 0, :], tx, n_shift, stride)
+    return _dp_shift_core(rx[:, 0, :], tx, n_shift, stride, corr_len)

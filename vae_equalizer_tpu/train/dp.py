@@ -58,6 +58,17 @@ from .harness import Progress, init_carry, pack_metrics, run_frame_loop
 from .modes import check_pallas_mode
 
 
+# Correlation window for the per-frame sync searches (both the E_q and the
+# constellation-output sync). A contiguous prefix window: the blind delay is
+# global, so 2000 symbols give a ~sqrt(2000) ≈ 45:1 peak margin while cutting
+# the (21, 2, N) roll-stack HBM traffic 5x at N=10000 — the sync stages of the
+# runs-batched aggregate eval are bandwidth-bound (PARITY_RESULTS round 4).
+# The reference's own SISO sync uses a 1000-symbol window
+# (func_CMA_MQAM_shaping.py:127-140); its DP sync correlates the full frame
+# (shared_funcs.py:297) — shift parity is statistical, SER-band tested.
+_SYNC_CORR_LEN = 2000
+
+
 def _setup(cfg: DpConfig, n_frame: int):
     """Constellation, demapper variance and the jitted channel generator."""
     const = make_constellation(cfg.mod, cfg.nu)
@@ -109,7 +120,7 @@ def _dp_frame_eval(q_train, out_const, tx, amps, P, nu_sc, var, weight_fn):
     stage of the runs-batched aggregate pipeline is HBM-bandwidth-bound
     (PARITY_RESULTS round-3 saturation analysis).
     """
-    shift, r = find_shift_dp(q_train, tx, 21, amps)
+    shift, r = find_shift_dp(q_train, tx, 21, amps, corr_len=_SYNC_CORR_LEN)
     w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
     tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
     # aligned metrics are per EQUALIZER pol j; report per tx pol i=(j+r)%2
@@ -118,7 +129,7 @@ def _dp_frame_eval(q_train, out_const, tx, amps, P, nu_sc, var, weight_fn):
         mutual_information_ambiguity(q_train, tx_al, amps, P, weight=w_al), r
     )
 
-    shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+    shift_c, r_c = find_shift_symb_dp(out_const, tx, 21, corr_len=_SYNC_CORR_LEN)
     w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
     tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
     ser_const = jnp.roll(
@@ -148,10 +159,10 @@ def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
     """
     num_lev = amps.shape[0]
     if eq_mb is None:
-        shift, r = find_shift_dp_mb(q_mb, tx, 21, amps)
+        shift, r = find_shift_dp_mb(q_mb, tx, 21, amps, corr_len=_SYNC_CORR_LEN)
     else:
         e = jnp.moveaxis(eq_mb.astype(jnp.float32), 0, 1).reshape(2, -1)
-        shift, r = _dp_shift_core(e, tx, 21)
+        shift, r = _dp_shift_core(e, tx, 21, corr_len=_SYNC_CORR_LEN)
     w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
     tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
     if dec_mb is None:
@@ -167,7 +178,7 @@ def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
         mutual_information_ambiguity_mb_sp(q_mb, tx_al, amps, P, weight=w_al), r
     )
 
-    shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+    shift_c, r_c = find_shift_symb_dp(out_const, tx, 21, corr_len=_SYNC_CORR_LEN)
     w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
     tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
     ser_const = jnp.roll(
@@ -689,7 +700,7 @@ def run_cma_dp(
             q, out, tx_c, amps, P, const.nu_sc, var,
             lambda s0, ms: margin_weight_maxshift(n_eval, ms),
         )
-        shift_c, r_c = find_shift_symb_dp(out, tx_c, 21)
+        shift_c, r_c = find_shift_symb_dp(out, tx_c, 21, corr_len=_SYNC_CORR_LEN)
 
         metrics = {
             "loss": jnp.sum(e),

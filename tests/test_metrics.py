@@ -311,3 +311,52 @@ def test_mi_ambiguity_mb_single_pass_matches():
         ref = mutual_information_ambiguity_mb(jnp.asarray(q_mb), jnp.asarray(tx), amps, P, weight=w)
         got = mutual_information_ambiguity_mb_sp(jnp.asarray(q_mb), jnp.asarray(tx), amps, P, weight=w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_ser_constell_shaping_matches_rotation_stack():
+    """The derived-decision form (two compare sweeps + bin(-x) = #(x <= -d_l),
+    commit 9a240ef) must reproduce a brute-force materialized rotation stack
+    hypothesis-for-hypothesis — including rx samples placed EXACTLY on
+    decision boundaries, where the sign-flip identity is the easy thing to
+    get wrong."""
+    from vae_equalizer_tpu.core import make_constellation
+    from vae_equalizer_tpu.core.constellation import demapper_noise_var
+    from vae_equalizer_tpu.metrics.ser import _decode_levels, _wmean
+
+    c = make_constellation("64-QAM", 0.0225)
+    amps = jnp.asarray(c.amps)
+    num_lev = len(c.amps)
+    var = jnp.full((2,), demapper_noise_var(c, 23.0), jnp.float32)
+    rng = np.random.default_rng(7)
+    tx = np.asarray(c.amps)[rng.integers(0, num_lev, size=(2, 2, 400))].astype(np.float32)
+    rx = tx + rng.normal(0, 0.15, size=tx.shape).astype(np.float32)
+    # place some samples exactly on the shaped decision boundaries
+    d_vec = np.asarray((1 + 2 * c.nu_sc * float(var[0])) * (amps[:-1] + amps[1:]) / 2)
+    rx[:, :, :num_lev - 1] = d_vec
+    rx[:, :, num_lev : 2 * num_lev - 1] = -d_vec
+    rx, tx = jnp.asarray(rx), jnp.asarray(tx)
+    w = jnp.asarray((rng.random((2, 400)) > 0.1).astype(np.float32))
+
+    got = ser_constell_shaping(rx, tx, amps, c.nu_sc, var, weight=w)
+
+    # brute force: materialize the 4-rotation stack, bin each with the same
+    # normalization, min over 8 hypotheses (the pre-9a240ef formulation)
+    full = 2 * ((num_lev - 1) / 2)
+    data = _decode_levels(tx, num_lev)
+    data_iqinv = jnp.stack(
+        [data[:, 0], (full - data[:, 1].astype(jnp.float32)).astype(jnp.int32)], axis=1)
+    txf = tx.astype(jnp.float32)
+    mag_tx = _wmean(jnp.sqrt(txf[:, 0] ** 2 + txf[:, 1] ** 2), w, axis=(0, -1))
+    mag_rx = _wmean(jnp.sqrt(rx[:, 0] ** 2 + rx[:, 1] ** 2), w, axis=(0, -1))
+    rxs = rx * (mag_tx / mag_rx)
+    rx_pi4 = jnp.stack([-rxs[:, 1], rxs[:, 0]], axis=1)
+    rx_variants = jnp.stack([rxs, -rxs, rx_pi4, -rx_pi4])
+    both_data = jnp.stack([data, data_iqinv])
+    dec = jnp.zeros(rx_variants.shape, jnp.int32)
+    dv = jnp.asarray(d_vec)
+    for lev in range(num_lev - 1):
+        dec = dec + (rx_variants >= dv[lev]).astype(jnp.int32)
+    err = jnp.any(dec[:, None] != both_data[None], axis=3)
+    ref = jnp.min(_wmean(err, w, axis=-1), axis=(0, 1))
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-7)

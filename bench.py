@@ -71,7 +71,7 @@ def measure_tpu(frames: int, n_frame: int, runs: int | None = None) -> dict:
 
 def measure_tpu_compiled(
     frames: int, n_frame: int, runs: int | None = None, use_pallas: bool = False,
-    runs_batch: int | None = None, runs_pack: int = 1, stream_bf16: bool = False,
+    runs_batch: int | None = None, stream_bf16: bool = False,
 ) -> dict:
     """Whole-experiment lax.scan mode: ONE jitted call for all frames, one
     packed D2H at the end — no per-frame host round trips. This is the
@@ -89,15 +89,22 @@ def measure_tpu_compiled(
     cfg = DpConfig(mod=MOD, n_frame_max=n_frame, num_frames=frames, n_lrhalf=10**9)
     timings: dict = {}
     kw = {} if runs_batch is None else {"runs_batch": runs_batch}
-    if runs_pack != 1:
-        kw["runs_pack"] = runs_pack
     if stream_bf16:
         kw["stream_bf16"] = True
-    train_vae_dp(cfg, key, compiled=True, runs=runs, use_pallas=use_pallas,
-                 timings=timings, **kw)
+    res = train_vae_dp(cfg, key, compiled=True, runs=runs, use_pallas=use_pallas,
+                       timings=timings, **kw)
     dt = timings["run_s"]  # pure execution of the AOT-compiled program
     sps = (runs or 1) * frames * (n_frame // cfg.batch_len * cfg.batch_len) / dt
-    return {"symbols_per_sec": sps, "frames_timed": frames, **timings}
+    # accuracy certificate (round-4 verdict weak #2): the program computes
+    # SER every frame anyway — record the converged (last-20-frame) soft SER
+    # so a fast-but-wrong kernel regression can never produce a shiny record
+    import numpy as np
+
+    soft = np.asarray(res["ser"])[..., 2:4, :]  # soft-demapper SER rows
+    n_last = min(20, soft.shape[-1])
+    ser_last = float(np.mean(soft[..., -n_last:]))
+    return {"symbols_per_sec": sps, "frames_timed": frames,
+            "ser_soft_last20": ser_last, **timings}
 
 
 def measure_reference_baseline(n_frame: int) -> dict:
@@ -184,6 +191,28 @@ def collect_aggregates(measure, runs_list) -> dict:
             print(f"# aggregate {nruns} runs failed: {e}", flush=True)
             continue
     return aggs
+
+
+SER_BAND = (0.029, 0.034)
+
+
+def ser_band_check(named_measurements) -> tuple[bool | None, dict]:
+    """Accuracy certificate over FULL-workload (>= 170 frame) measurements.
+
+    Each must land its converged (last-20-frame mean) soft SER in the
+    documented flagship band — PARITY_RESULTS' 0.030-0.033 run-to-run
+    spread, +-0.001 margin for the mean estimator. Short --quick programs
+    are still converging and are exempt. Returns (ok_or_None, {name: ser}).
+    """
+    full_sers = {
+        name: m["ser_soft_last20"]
+        for name, m in named_measurements
+        if m and m.get("frames_timed", 0) >= 170 and "ser_soft_last20" in m
+    }
+    if not full_sers:
+        return None, full_sers
+    ok = all(SER_BAND[0] <= s <= SER_BAND[1] for s in full_sers.values())
+    return ok, full_sers
 
 
 def get_baseline(n_frame: int, force: bool = False) -> dict:
@@ -281,14 +310,13 @@ def main(argv=None):
     # would prepend a serial grid dimension, which is why round-2 saturated
     # at 1.8x one run. Measured at the FULL workload (same AOT program as
     # the headline, so the aggregate can never under-amortize below it).
-    # keys: runs count, with optional "r<rb>" (kernel batch size, default 8),
-    # "p<pack>" (sublane packing), and trailing "b" (bfloat16 q/out output
-    # streams) suffixes. rb=16 measured fastest on v5e once the kernel's
-    # VMEM limit was raised, and the bf16 streams cut the HBM-bound eval
-    # stage 7.4 -> 5.9 ms/frame at 128 runs (artifacts/r4_agg_grid128.log,
-    # PARITY_RESULTS round 4); pack=2 measured a slight loss at every group
-    # size (elementwise tiles bind once the dot bill is merged), so the p2
-    # rows were retired from the official record after one captured round.
+    # keys: runs count, with optional "r<rb>" (kernel batch size, default 8)
+    # and trailing "b" (bfloat16 q/out output streams) suffixes. rb=16
+    # measured fastest on v5e once the kernel's VMEM limit was raised, and
+    # the bf16 streams cut the HBM-bound eval stage 7.4 -> 5.9 ms/frame at
+    # 128 runs (artifacts/r4_agg_grid128.log, PARITY_RESULTS round 4). (A
+    # pack=2 sublane-packing variant measured a loss at every group size
+    # and was deleted in round 5.)
     # 32 runs became the knee once the train stage stopped being input-DMA
     # bound (capture 5: 58.1M @ 32 vs 57.4M @ 128r16b) — give the knee the
     # same rb=16 + bf16 treatment that recovered the 128-run row
@@ -296,12 +324,12 @@ def main(argv=None):
                 if not args.quick else (args.runs,))
 
     def agg_measure(key):
-        m = re.fullmatch(r"(\d+)(?:r(\d+))?(?:p(\d+))?(b)?", str(key))
-        nruns, rb, pk, bf = m.groups()
+        m = re.fullmatch(r"(\d+)(?:r(\d+))?(b)?", str(key))
+        nruns, rb, bf = m.groups()
         return measure_tpu_compiled(
             frames if args.quick else max(frames, 170), n_frame,
             runs=int(nruns), use_pallas=False if args.cpu else "frame",
-            runs_batch=int(rb) if rb else None, runs_pack=int(pk) if pk else 1,
+            runs_batch=int(rb) if rb else None,
             stream_bf16=bool(bf),
         )
 
@@ -321,6 +349,13 @@ def main(argv=None):
         *(a["symbols_per_sec"] for a in aggs.values()),
     )
     vs = (best / base_sps) if base_sps else None
+    ser_band_ok, full_sers = ser_band_check(
+        (("compiled_pallas", comp_pallas),
+         *((f"aggregate_{n}runs", a) for n, a in aggs.items()))
+    )
+    if ser_band_ok is False:
+        print(f"# WARNING: ser_band_ok=False — {full_sers} outside {SER_BAND}",
+              flush=True)
     print(
         json.dumps(
             {
@@ -328,6 +363,10 @@ def main(argv=None):
                 "value": round(best, 1),
                 "unit": "symbols/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "ser_band_ok": ser_band_ok,
+                "ser_soft_last20": {
+                    k: round(v, 5) for k, v in full_sers.items()
+                } or None,
                 "loop_mode_sps": round(res["symbols_per_sec"], 1),
                 "compiled_mode_sps": round(comp["symbols_per_sec"], 1) if comp else None,
                 "compiled_pallas_sps": round(comp_pallas["symbols_per_sec"], 1)

@@ -28,3 +28,23 @@ def test_collect_aggregates_all_ok():
     aggs = bench.collect_aggregates(
         lambda n: {"symbols_per_sec": 1.0}, (8, 32))
     assert sorted(aggs) == [8, 32]
+
+
+def test_ser_band_check():
+    """Every capture is an accuracy certificate (VERDICT r4 weak #2): full-
+    workload measurements must carry their converged soft SER, and the band
+    verdict covers exactly the >= 170-frame programs."""
+    ok, sers = bench.ser_band_check([
+        ("agg", {"frames_timed": 170, "ser_soft_last20": 0.0315,
+                 "symbols_per_sec": 1.0}),
+        ("short", {"frames_timed": 10, "ser_soft_last20": 0.4}),  # exempt
+        ("missing", None),
+    ])
+    assert ok is True and sers == {"agg": 0.0315}
+
+    ok, sers = bench.ser_band_check([
+        ("agg", {"frames_timed": 170, "ser_soft_last20": 0.05})])
+    assert ok is False
+
+    ok, sers = bench.ser_band_check([("none", None)])
+    assert ok is None and sers == {}

@@ -83,24 +83,3 @@ def test_eval_run_vaenn_pallas_frame_quick(tmp_path, monkeypatch):
         "--net-type", "Net_BN", "--batch-len", "500", "--out", str(bn_dir),
     ])
     assert len(list(bn_dir.glob("*.mat"))) == 1
-
-
-def test_eval_run_dp_pallas_frame_packed_quick(tmp_path, monkeypatch):
-    """--pallas-frame --runs-pack 2: the sublane-packed rb kernel behind the
-    standard sweep CLI (kernels in interpret mode on CPU)."""
-    import vae_equalizer_tpu.ops.frame_kernel as fk
-    from vae_equalizer_tpu.drivers import eval_run_dp
-
-    orig = fk.vae_dp_frame_train_pallas_rb
-    monkeypatch.setattr(
-        fk, "vae_dp_frame_train_pallas_rb",
-        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
-    )
-    eval_run_dp.main([
-        "--quick", "--loss-type", "VAE", "--iters", "2", "--no-mesh",
-        "--pallas-frame", "--runs-pack", "2", "--out", str(tmp_path),
-    ])
-    mats = list(tmp_path.glob("*.mat"))
-    assert len(mats) == 1
-    d = sio.loadmat(mats[0], simplify_cells=True)["dict"]
-    assert np.all(np.isfinite(np.asarray(d["SER"])))

@@ -342,81 +342,6 @@ def test_frame_experiment_runs_batched(monkeypatch):
     assert len({float(s) for s in res["ser"][:, 0, -1]}) > 1
 
 
-@pytest.mark.parametrize("mod", ["4-QAM", "64-QAM"])
-def test_sublane_packed_kernel_matches_unpacked(mod):
-    """pack=2 (two runs per batch element, sublane-stacked with block-diag
-    contractions) == pack=1 per run.
-
-    Same invariant structure as test_runs_batched_kernel_matches_single_run
-    _stack: lr=0 forwards to float noise, one optimizer step to float noise
-    (moments relative — gw magnitudes reach O(1e3), so absolute tolerances
-    don't apply), multi-step well-formed.
-    """
-    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
-
-    const, amps, P, var, _, _, _ = _setup(mod)
-    rng = np.random.default_rng(17)
-    R = 4
-    w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
-    h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
-    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * M_MAX)).astype(np.float32) * 0.5)
-
-    def run(pack, lr, x):
-        opt0 = frame_opt_init({"w": w, "h": h})
-        return vae_dp_frame_train_pallas_rb(
-            w, h, opt0, x, amps, var, const.nu_sc, P,
-            jnp.float32(lr), jnp.float32(0.0), jnp.float32(10**9),
-            bl_sym=BL, interpret=True, pack=pack,
-        )
-
-    # (a) lr=0: forward/streaming parity over all grid steps
-    _, _, _, l1, v1, q1, o1 = run(1, 0.0, rx)
-    _, _, _, l2, v2, q2, o2 = run(2, 0.0, rx)
-    np.testing.assert_allclose(l2, l1, rtol=1e-6)
-    np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-6)
-    np.testing.assert_allclose(v2, v1, rtol=1e-5)
-
-    # (b) one minibatch at lr>0: packed backward + Adam per run
-    w1, h1, s1, *_ = run(1, LR, rx[..., : 2 * BL])
-    w2, h2, s2, *_ = run(2, LR, rx[..., : 2 * BL])
-    np.testing.assert_allclose(w2, w1, rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(h2, h1, rtol=1e-5, atol=1e-7)
-    for k in ("mw", "vw", "mh", "vh"):
-        np.testing.assert_allclose(s2[k], s1[k], rtol=1e-4, atol=1e-7)
-
-    # (c) multi-step training: well-formed
-    w2, h2, _, l2, _, q2, o2 = run(2, LR, rx)
-    assert q2.shape == (M_MAX, R, 2, 2 * const.num_lev, BL)
-    assert all(np.all(np.isfinite(np.asarray(t))) for t in (w2, h2, l2, q2, o2))
-
-
-def test_sublane_packed_kernel_flex_windows():
-    """pack=2 with the VAEflex stride: window assembly must pack identically."""
-    from vae_equalizer_tpu.ops.frame_kernel import vae_dp_frame_train_pallas_rb
-
-    const, amps, P, var, _, _, _ = _setup("4-QAM")
-    rng = np.random.default_rng(19)
-    R, FS = 2, 25
-    w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
-    h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
-    rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * M_MAX)).astype(np.float32) * 0.5)
-
-    def run(pack):
-        opt0 = frame_opt_init({"w": w, "h": h})
-        return vae_dp_frame_train_pallas_rb(
-            w, h, opt0, rx, amps, var, const.nu_sc, P,
-            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(10**9),
-            bl_sym=BL, stride_sym=FS, interpret=True, pack=pack,
-        )
-
-    _, _, _, l1, _, q1, o1 = run(1)
-    _, _, _, l2, _, q2, o2 = run(2)
-    np.testing.assert_allclose(l2, l1, rtol=1e-6)
-    np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-6)
-
-
 def test_single_run_wrapper_squeezes_rb_body():
     """vae_dp_frame_train_pallas is now a thin R=1 surface over the rb body
     (the dedicated single-run kernel was retired once rb@R=1 matched it on
@@ -450,8 +375,8 @@ def test_single_run_wrapper_squeezes_rb_body():
         np.testing.assert_array_equal(s1[k], sb[k][0])
 
 
-@pytest.mark.parametrize("mod,pack", [("4-QAM", 1), ("64-QAM", 1), ("64-QAM", 2)])
-def test_frame_kernel_emit_eval_streams(mod, pack):
+@pytest.mark.parametrize("mod", ["4-QAM", "64-QAM"])
+def test_frame_kernel_emit_eval_streams(mod):
     """emit_eval=True: the in-kernel decision/E_q streams equal the argmax /
     posterior-mean of the emitted q stream (the eval stage consumes these
     instead of re-reading the full posterior stream — round 4)."""
@@ -460,15 +385,15 @@ def test_frame_kernel_emit_eval_streams(mod, pack):
     const, amps, P, var, _, _, _ = _setup(mod)
     n = const.num_lev
     rng = np.random.default_rng(5)
-    R = 2 * pack
+    R = 2
     w = jnp.asarray(rng.normal(size=(R, 2, 4, M)).astype(np.float32)) * 0.01 + butterfly_init(M)
     h = jnp.asarray(rng.normal(size=(R, 2, 2, 2, M)).astype(np.float32)) * 0.01 + dirac_taps_dp(M)
     rx = jnp.asarray(rng.normal(size=(R, 2, 2, 2 * BL * M_MAX)).astype(np.float32) * 0.5)
     opt0 = frame_opt_init({"w": w, "h": h})
-    *_, q, out, dec, eq = vae_dp_frame_train_pallas_rb(
+    *_, q, out, dec, eq, mm, s1 = vae_dp_frame_train_pallas_rb(
         w, h, opt0, rx, amps, var, const.nu_sc, P,
         jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
-        bl_sym=BL, interpret=True, pack=pack, emit_eval=True,
+        bl_sym=BL, interpret=True, emit_eval=True,
     )
     assert dec.shape == (M_MAX, R, 2, 2, BL) and eq.shape == (M_MAX, R, 2, BL)
     want_i = jnp.argmax(q[:, :, :, :n], axis=3)
@@ -478,44 +403,40 @@ def test_frame_kernel_emit_eval_streams(mod, pack):
     want_eq = jnp.sum(q[:, :, :, :n] * amps[None, None, None, :, None], axis=3)
     np.testing.assert_allclose(eq, want_eq, rtol=1e-5, atol=1e-6)
 
+    # sufficient statistics (round 5): q must reconstruct from (out, mm, s1)
+    # via the demapper formula q[l] = exp(mm - met_l)/s1 — checked at every
+    # level for both components
+    assert mm.shape == (M_MAX, R, 2, 2, BL) and s1.shape == (M_MAX, R, 2, 2, BL)
+    a = np.asarray(amps)
+    v = np.asarray(var)[None, None, :, None, None]  # per-pol variance
+    o_np = np.asarray(out)[:, :, :, :, None, :]  # (m, R, 2pol, 2comp, 1, BL)
+    met = ((o_np - a[None, None, None, None, :, None]) ** 2 / (2 * v)
+           + const.nu_sc * (a ** 2)[None, None, None, None, :, None])
+    q_rec = np.exp(np.asarray(mm)[:, :, :, :, None, :] - met) / np.asarray(s1)[:, :, :, :, None, :]
+    q_rec = np.concatenate([q_rec[:, :, :, 0], q_rec[:, :, :, 1]], axis=3)
+    np.testing.assert_allclose(q_rec, np.asarray(q), rtol=2e-4, atol=2e-5)
+
+    # emit_q=False: identical eval streams, no posterior output
+    *_, qn, outn, decn, eqn, mmn, s1n = vae_dp_frame_train_pallas_rb(
+        w, h, opt0, rx, amps, var, const.nu_sc, P,
+        jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
+        bl_sym=BL, interpret=True, emit_eval=True, emit_q=False,
+    )
+    assert qn is None
+    np.testing.assert_array_equal(np.asarray(outn), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(decn), np.asarray(dec))
+    np.testing.assert_array_equal(np.asarray(mmn), np.asarray(mm))
+    np.testing.assert_array_equal(np.asarray(s1n), np.asarray(s1))
+
     # single-run wrapper passthrough
     o1 = frame_opt_init({"w": w[0], "h": h[0]})
-    *_, d1, e1 = vae_dp_frame_train_pallas(
+    *_, d1, e1, mm1, s11 = vae_dp_frame_train_pallas(
         w[0], h[0], o1, rx[0], amps, var, const.nu_sc, P,
         jnp.float32(LR), jnp.float32(0.0), jnp.float32(10**9),
         bl_sym=BL, interpret=True, emit_eval=True,
     )
     assert d1.shape == (M_MAX, 2, 2, BL) and e1.shape == (M_MAX, 2, BL)
-
-
-def test_frame_experiment_runs_packed(monkeypatch):
-    """use_pallas="frame" with runs_pack=2: same semantics as unpacked."""
-    from vae_equalizer_tpu.train.dp import train_vae_dp
-    from vae_equalizer_tpu.utils.config import DpConfig
-
-    _interpret_kernels(monkeypatch)
-    import vae_equalizer_tpu.ops.frame_kernel as fk
-
-    orig = fk.vae_dp_frame_train_pallas_rb
-    monkeypatch.setattr(
-        fk, "vae_dp_frame_train_pallas_rb",
-        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
-    )
-
-    cfg = DpConfig(
-        mod="4-QAM", num_frames=2, n_frame_max=400, batch_len=100,
-        n_lrhalf=10**6,
-    )
-    key = jax.random.PRNGKey(0)
-    # runs_batch=2 + pack=2: TWO vmapped groups, each ONE fully-packed batch
-    # element — exercises the groups vmap over the packed pallas_call
-    res = train_vae_dp(cfg, key, runs=4, use_pallas="frame",
-                       runs_batch=2, runs_pack=2)
-    ref = train_vae_dp(cfg, key, runs=4, use_pallas="frame", runs_batch=4)
-    assert res["ser"].shape == (4, 4, 2)
-    np.testing.assert_allclose(res["ser"][..., 0], ref["ser"][..., 0], atol=2e-3)
-    np.testing.assert_allclose(res["params"]["w"], ref["params"]["w"],
-                               rtol=1e-3, atol=1e-4)
+    assert mm1.shape == (M_MAX, 2, 2, BL) and s11.shape == (M_MAX, 2, 2, BL)
 
 
 @pytest.mark.parametrize("mod", ["4-QAM", "64-QAM"])
@@ -588,8 +509,7 @@ def test_frame_experiment_stream_bf16(monkeypatch):
     np.testing.assert_allclose(res["mi"], ref["mi"], rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("pack", [1, 2])
-def test_runs_batched_kernel_per_run_lr(pack):
+def test_runs_batched_kernel_per_run_lr():
     """Per-run lr (the sweep lr-axis batched into the kernel): a 4-run call
     with lr vector [a, a, b, b] must equal two 2-run calls at scalar a / b.
     Both paths use the rb body, so the only delta is the materialized
@@ -609,7 +529,7 @@ def test_runs_batched_kernel_per_run_lr(pack):
         return vae_dp_frame_train_pallas_rb(
             w[idx], h[idx], opt0, rx[idx], amps, var, const.nu_sc, P,
             lr, jnp.float32(0.0), jnp.float32(10**9),
-            bl_sym=BL, interpret=True, pack=pack,
+            bl_sym=BL, interpret=True,
         )
 
     lr_vec = jnp.asarray([lrs[0], lrs[0], lrs[1], lrs[1]], jnp.float32)

@@ -41,8 +41,6 @@ def main():
     ap.add_argument("--runs", type=int, default=8, help="total runs")
     ap.add_argument("--rb", type=int, default=None,
                     help="kernel batch size (default min(runs, 8))")
-    ap.add_argument("--pack", type=int, default=1,
-                    help="sublane packing inside the kernel batch")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 q/out output streams (stream_bf16)")
     ap.add_argument("--frames", type=int, default=170)
@@ -117,7 +115,7 @@ def main():
                     pg["w"], pg["h"], og, rxg, amps, var, const.nu_sc, P,
                     jnp.float32(cfg.lr), count.astype(jnp.float32),
                     jnp.float32(thresh), bl_sym=cfg.batch_len,
-                    pack=args.pack, stream_bf16=args.bf16,
+                    stream_bf16=args.bf16,
                 )
 
             w, h, opt, losses, var_est, q_mb, out_mb = jax.vmap(kernel_group)(
@@ -157,7 +155,7 @@ def main():
         results[name] = per_frame
         print(f"{name:>10}: {per_frame:8.3f} ms/frame  "
               f"(total {best:.3f} s, compile {comp:.0f} s)", flush=True)
-    print(f"\nR={R} (rb={RB}, pack={args.pack}, bf16={args.bf16}): train stage = {results['gen+train']-results['gen']:.3f} "
+    print(f"\nR={R} (rb={RB}, bf16={args.bf16}): train stage = {results['gen+train']-results['gen']:.3f} "
           f"ms/frame, eval stage = {results['full']-results['gen+train']:.3f} "
           f"ms/frame, gen stage = {results['gen']:.3f} ms/frame", flush=True)
     agg = R * args.frames * n_frame / (results["full"] * args.frames * 1e-3)

@@ -52,7 +52,8 @@ MB_PARTS = ["none", "mb_sync", "mb_soft", "mb_mi", "mb_const"]
 # reduction / the shift correlation core / the data-dependent align rolls /
 # the const-stream sync vs its shaping SER)
 MB_FINE_PARTS = ["none", "mb_e", "mb_corr", "v_corr_sub4", "mb_sync",
-                 "mb_soft", "mb_mi", "mb_mi_sp", "mb_csync", "mb_const"]
+                 "mb_soft", "mb_mi", "mb_mi_sp", "mb_mi_st", "mb_csync",
+                 "mb_const"]
 # v_corr_sub4: the shift core with a stride-4 subsampled correlation sum
 # (4x less roll-stack traffic; lag resolution unchanged) — measured as
 # none + e + core, directly comparable to mb_corr.
@@ -73,6 +74,11 @@ def main():
                     help="with --mb: kernel emits the eval streams "
                          "(emit_eval=True) and the sync/soft prefixes consume "
                          "dec/eq instead of re-reading the posterior stream")
+    ap.add_argument("--no-q", action="store_true",
+                    help="with --ke: emit_q=False — the kernel skips writing "
+                         "the posterior stream entirely (round-5 production "
+                         "path; MI must come from the mm/s1 stats, so the "
+                         "mb_mi/mb_mi_sp parts are unavailable)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 q/out output streams (stream_bf16)")
     ap.add_argument("--interpret", action="store_true",
@@ -80,6 +86,11 @@ def main():
     args = ap.parse_args()
     if args.mb and args.parts == PARTS:
         args.parts = MB_FINE_PARTS if args.fine else MB_PARTS
+    if args.no_q:
+        assert args.ke, "--no-q needs --ke"
+        args.parts = [pt for pt in args.parts
+                      if pt not in ("mb_mi", "mb_mi_sp", "pack", "mi",
+                                    "full", "full_mb")]
     if args.interpret:
         import jax
 
@@ -126,16 +137,19 @@ def main():
     def weight_fn(s0, ms):
         return batch_cut_weight(m_max, cfg.batch_len, s0, ms, cfg.n_cut)
 
-    def eval_prefix(part, q_mb, out_mb, tx, dec_mb=None, eq_mb=None):
+    def eval_prefix(part, q_mb, out_mb, tx, dec_mb=None, eq_mb=None,
+                    mm_mb=None, s1_mb=None):
         """Cumulative eval prefix; returns a scalar that depends on every
         computed piece."""
-        acc = q_mb.sum() * 1e-12
+        acc = out_mb.sum() * 1e-12 if q_mb is None else q_mb.sum() * 1e-12
         if dec_mb is not None:
             # depend on the emitted streams so "none" pays their DMA too
             acc = acc + dec_mb[..., 0].sum() * 1e-12 + eq_mb[..., 0].sum() * 1e-12
+        if mm_mb is not None:
+            acc = acc + mm_mb[..., 0].sum() * 1e-12 + s1_mb[..., 0].sum() * 1e-12
         if part == "none":
             return acc
-        n_out = q_mb.shape[0] * q_mb.shape[-1]
+        n_out = out_mb.shape[0] * out_mb.shape[-1]
         if part.startswith("mb_"):
             # cumulative prefixes of the MINIBATCH-layout eval (the
             # production path, _dp_frame_eval_mb) — adjacent differences vs
@@ -196,6 +210,15 @@ def main():
             acc = acc + ser_soft.sum()
             if part == "mb_soft":
                 return acc
+            if part == "mb_mi_st":
+                from vae_equalizer_tpu.metrics.mi import (
+                    mutual_information_ambiguity_mb_stats,
+                )
+
+                mi = jnp.roll(mutual_information_ambiguity_mb_stats(
+                    out_mb, mm_mb, s1_mb, tx_al, amps, P, const.nu_sc, var,
+                    weight=w_al), r)
+                return acc + mi.sum()
             mi_fn = (mutual_information_ambiguity_mb_sp
                      if part == "mb_mi_sp" else mutual_information_ambiguity_mb)
             mi = jnp.roll(mi_fn(q_mb, tx_al, amps, P, weight=w_al), r)
@@ -221,12 +244,14 @@ def main():
             ser_const, ser_soft, mi, shift, r = _dp_frame_eval_mb(
                 q_mb, out_const, tx, amps, P, const.nu_sc, var, weight_fn)
             return acc + ser_const.sum() + ser_soft.sum() + mi.sum()
+        from vae_equalizer_tpu.train.dp import _SYNC_CORR_LEN
+
         q_train = jnp.moveaxis(q_mb, 0, 2).reshape(2, 2 * const.num_lev, n_out)
         out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
         acc = acc + q_train[0, 0, 0] + out_const[0, 0, 0]
         if part == "pack":
             return acc
-        shift, r = find_shift_dp(q_train, tx, 21, amps)
+        shift, r = find_shift_dp(q_train, tx, 21, amps, corr_len=_SYNC_CORR_LEN)
         w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
         tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
         acc = acc + tx_al[0, 0, 0] + w_al[0, 0]
@@ -240,7 +265,8 @@ def main():
         acc = acc + mi.sum()
         if part == "mi":
             return acc
-        shift_c, r_c = find_shift_symb_dp(out_const, tx, 21)
+        shift_c, r_c = find_shift_symb_dp(out_const, tx, 21,
+                                          corr_len=_SYNC_CORR_LEN)
         w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
         tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
         ser_const = ser_constell_shaping(
@@ -254,22 +280,27 @@ def main():
         rx_g = rx.reshape((G, RB) + rx.shape[1:])
 
         def kernel_group(pg, og, rxg):
-            return vae_dp_frame_train_pallas_rb(
+            res = vae_dp_frame_train_pallas_rb(
                 pg["w"], pg["h"], og, rxg, amps, var, const.nu_sc, P,
                 jnp.float32(cfg.lr), count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len,
                 interpret=args.interpret, stream_bf16=args.bf16,
-                emit_eval=args.ke,
+                emit_eval=args.ke, emit_q=not args.no_q,
             )
+            return res[:5] + res[6:] if args.no_q else res
 
-        (w, h, opt, losses, var_est, q_mb, out_mb, *ev) = jax.vmap(
+        (w, h, opt, losses, var_est, *streams) = jax.vmap(
             kernel_group)(p, opt, rx_g)
+        q_mb = None if args.no_q else streams[0]
+        out_mb, *ev = streams if args.no_q else streams[1:]
         p = {"w": w, "h": h}
         tx_g = tx.reshape((G, RB) + tx.shape[1:])
         if args.ke:
             evals = jax.vmap(jax.vmap(
-                functools.partial(eval_prefix, part),
-                in_axes=(1, 1, 0, 1, 1)))(q_mb, out_mb, tx_g, ev[0], ev[1])
+                lambda q, o, t, d, e, mm, s1: eval_prefix(
+                    part, q, o, t, d, e, mm, s1),
+                in_axes=(1 if q_mb is not None else None, 1, 0, 1, 1, 1, 1)))(
+                q_mb, out_mb, tx_g, ev[0], ev[1], ev[2], ev[3])
         else:
             evals = jax.vmap(jax.vmap(
                 functools.partial(eval_prefix, part), in_axes=(1, 1, 0)))(

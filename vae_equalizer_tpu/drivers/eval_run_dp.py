@@ -35,10 +35,6 @@ def main(argv=None):
                    help="whole-frame fused train kernel: all minibatch steps "
                         "+ Adam in one MXU-based pallas call (VAE/VAEflex, "
                         "sps=2, odd M; ~5-10x the per-step scan on v5e)")
-    p.add_argument("--runs-pack", type=int, default=1, metavar="P",
-                   help="sublane packing inside the frame kernel's runs "
-                        "batch (with --pallas-frame): P runs share one "
-                        "batch element via block-diag contractions")
     p.add_argument("--runs-batch", type=int, default=None, metavar="B",
                    help="repeats per kernel-level runs batch (with "
                         "--pallas-frame; VAE/VAEflex/CMAbatch/CMAflex; "
@@ -53,7 +49,7 @@ def main(argv=None):
                    help="like --batch-lr-axis for the SNR axis: per-run "
                         "noise in the generator + per-run demapper variance "
                         "folded into the kernel's selection constants "
-                        "(VAE/VAEflex with --pallas-frame, pack=1)")
+                        "(VAE/VAEflex with --pallas-frame)")
     p.add_argument("--stream-bf16", action="store_true",
                    help="store the frame kernel's q/out output streams as "
                         "bfloat16 (with --pallas-frame + runs): halves the "
@@ -70,8 +66,6 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.pallas and args.pallas_frame:
         p.error("--pallas and --pallas-frame are mutually exclusive")
-    if args.runs_pack > 1 and not args.pallas_frame:
-        p.error("--runs-pack needs --pallas-frame")
     if args.runs_batch and not args.pallas_frame:
         p.error("--runs-batch needs --pallas-frame")
     if (args.batch_lr_axis or args.batch_snr_axis) and (
@@ -79,8 +73,6 @@ def main(argv=None):
     ):
         p.error("--batch-lr-axis/--batch-snr-axis need --pallas-frame and "
                 "--loss-type VAE or VAEflex")
-    if args.batch_snr_axis and args.runs_pack > 1:
-        p.error("--batch-snr-axis needs pack=1 (per-run var)")
     if args.stream_bf16 and not args.pallas_frame:
         p.error("--stream-bf16 needs --pallas-frame")
     # kernel-path support comes from the runners' own table so the CLI can
@@ -158,7 +150,6 @@ def main(argv=None):
             **({"use_pallas": True} if args.pallas else {}),
             **({"use_pallas": "frame"} if args.pallas_frame else {}),
             **({"chunk_frames": args.frames_per_call} if args.frames_per_call > 1 else {}),
-            **({"runs_pack": args.runs_pack} if args.runs_pack > 1 else {}),
             **({"runs_batch": args.runs_batch} if args.runs_batch else {}),
             **({"stream_bf16": True} if args.stream_bf16 else {}),
         } or None,

@@ -33,6 +33,7 @@ __all__ = [
     "mutual_information",
     "mutual_information_ambiguity",
     "mutual_information_ambiguity_mb",
+    "mutual_information_ambiguity_mb_stats",
 ]
 
 
@@ -195,7 +196,8 @@ def mutual_information_ambiguity_mb_sp(
         return jnp.moveaxis(a.reshape(a.shape[:-1] + (n_mb, bl)), -2, 0)
 
     idx = _decode_levels(tx, n)  # (2, 2, N)
-    # int8 indices (levels < 16): the masks re-read idx every level iteration,
+    # int8 indices (fits any level count < 128, incl. 256-QAM's n=16): the
+    # masks re-read idx every level iteration,
     # so the index stream is 4x cheaper than int32 — this loop is HBM-bound
     idx_i = to_mb(idx[:, 0, :]).astype(jnp.int8)  # (n_mb, 2, bl)
     idx_q = to_mb(idx[:, 1, :]).astype(jnp.int8)
@@ -246,6 +248,99 @@ def mutual_information_ambiguity_mb_sp(
     a1, a2, a3, a4, b1, b2, b3, b4 = acc
     pr = _level_select_vec(lp, idx_i) + _level_select_vec(lp, idx_q)
     prior = red(pr if w is None else pr * w)
+    best = jnp.max(
+        jnp.stack(
+            [a1 + b1, a2 + b2, a4 + b3, a3 + b4, a1 + b2, a2 + b1, a3 + b3, a4 + b4]
+        ),
+        axis=0,
+    )
+    if weight is None:
+        return (best - prior) / (n_mb * bl)
+    wsum = jnp.sum(
+        jnp.broadcast_to(weight.astype(jnp.float32), (2, n_mb * bl)), axis=-1
+    )
+    return (best - prior) / wsum
+
+
+def mutual_information_ambiguity_mb_stats(
+    out_mb: jnp.ndarray,
+    mm_mb: jnp.ndarray,
+    s1_mb: jnp.ndarray,
+    tx: jnp.ndarray,
+    amps: jnp.ndarray,
+    P: jnp.ndarray,
+    nu_sc,
+    var: jnp.ndarray,
+    weight: jnp.ndarray | None = None,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """``mutual_information_ambiguity_mb`` from demapper SUFFICIENT STATISTICS
+    instead of the posterior stream (round 5, VERDICT r4 item 5).
+
+    The PCS softmin demapper (models/vae_le.py soft_dec /
+    ops/frame_kernel.py) computes q[l] = exp(mm - met_l) / s1 with
+    met_l = (out - a_l)^2 / (2 var) + nu_sc a_l^2, mm = min_l met_l and
+    s1 = sum_l exp(mm - met_l). Given per-symbol (out, mm, s1) — 3 rows per
+    I/Q component instead of the n_lev posterior rows — the log-posterior at
+    ANY level reconstructs exactly: the 8 ambiguity traces each need q at
+    ONE tx-derived level, so the whole MI selection reads 12 rows/symbol
+    instead of 2*n_lev (= 32 for 64-QAM) and the training kernel never has
+    to write its largest output stream at all. Matches the ``_mb`` form to
+    float rounding (same formula the kernel itself evaluated).
+
+    Args:
+      out_mb/mm_mb/s1_mb: (n_mb, 2 pol, 2 comp, bl) equalizer output /
+        per-component met minimum / softmin normalizer streams.
+      tx: (2, 2, N) ALIGNED transmitted levels; var: (2,) or per-run scalar
+        pair of demapper noise variances (pol x, y).
+    """
+    n = amps.shape[0]
+    n_mb, _, _, bl = out_mb.shape
+
+    def to_mb(a):  # (..., N) time-major -> (n_mb, ..., bl)
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (n_mb, bl)), -2, 0)
+
+    amps_f = amps.astype(jnp.float32)
+    idx = _decode_levels(tx, n)  # (2, 2, N)
+    idx_i = to_mb(idx[:, 0, :]).astype(jnp.int8)  # (n_mb, 2, bl)
+    idx_q = to_mb(idx[:, 1, :]).astype(jnp.int8)
+    lp = jnp.log2(P.astype(jnp.float32))  # (n,)
+
+    if weight is None:
+        red = lambda t: jnp.sum(t, axis=(0, -1))  # (n_mb, 2, bl) -> (2,)
+        w = None
+    else:
+        w = to_mb(jnp.broadcast_to(weight.astype(jnp.float32), (2, n_mb * bl)))
+        red = lambda t: jnp.sum(t * w, axis=(0, -1))
+
+    # half-precision streams upcast once; var enters via 0.5/var per pol
+    inv2v = (0.5 / var.astype(jnp.float32))[None, :, None]  # (1, 2, 1)
+    o32 = out_mb.astype(jnp.float32)
+    mm32 = mm_mb.astype(jnp.float32)
+    s132 = s1_mb.astype(jnp.float32)
+    nu = jnp.float32(nu_sc)
+
+    # amp selections once per index stream (gather-free level sweep); the
+    # level-reversal variants reuse them: amps[(n-1) - idx] = rev-amps[idx]
+    a_i = _level_select_vec(amps_f, idx_i)  # (n_mb, 2, bl)
+    a_ir = _level_select_vec(amps_f[::-1], idx_i)
+    a_q = _level_select_vec(amps_f, idx_q)
+    a_qr = _level_select_vec(amps_f[::-1], idx_q)
+
+    def trace(comp, a_sel):
+        # selected log2-posterior of component comp (0=I, 1=Q) at levels
+        # a_sel: met -> exp(mm - met)/s1 -> log2(. + eps), all (n_mb, 2, bl)
+        d2 = (o32[:, :, comp, :] - a_sel) ** 2 * inv2v
+        met = d2 + nu * a_sel * a_sel
+        q_sel = jnp.exp(mm32[:, :, comp, :] - met) / s132[:, :, comp, :]
+        return red(jnp.log2(q_sel + eps))
+
+    a1, a2 = trace(0, a_i), trace(0, a_ir)
+    a3, a4 = trace(1, a_i), trace(1, a_ir)
+    b1, b2 = trace(1, a_q), trace(1, a_qr)
+    b3, b4 = trace(0, a_q), trace(0, a_qr)
+    pr = _level_select_vec(lp, idx_i) + _level_select_vec(lp, idx_q)
+    prior = red(pr)
     best = jnp.max(
         jnp.stack(
             [a1 + b1, a2 + b2, a4 + b3, a3 + b4, a1 + b2, a2 + b1, a3 + b3, a4 + b4]

@@ -124,22 +124,14 @@ def _kernel(
     pfull4_ref, tmask_ref, ones_l_ref, csum_ref, permcat_ref, hmix_ref,
     w_in, h_in, mw_in, vw_in, mh_in, vh_in, scal_ref,
     *rest,
-    n_sym, m, n_lev, n_rb, n_pk=1, stream_dtype=jnp.float32,
-    per_run_lr=False, emit_eval=False, cut=None,
+    n_sym, m, n_lev, n_rb, stream_dtype=jnp.float32,
+    per_run_lr=False, emit_eval=False, emit_q=True, cut=None,
 ):
-    # sublane packing (n_pk = P > 1, VERDICT r3 item 2): each batch element
-    # carries P runs stacked along SUBLANES — every per-run tensor's rows
-    # repeat P times (run p's block at row offset p*rows), the 5 per-runx
-    # per-run contractions (forward w, D conv, gh, gEq, gw) become BLOCK-
-    # DIAGONAL over the pair, and the constant selection matrices arrive
-    # block-diag'd from the host. The dot COUNT per grid step is unchanged,
-    # so per-run dot cost divides by P; formerly-half-empty (<8-row) tiles
-    # fill up. Extra refs at P > 1: wmask (input, zeroes gw's cross-run
-    # off-blocks so Adam never updates w's zero blocks) and vsum/gco scratch
-    # (their P=1 formulation is a 2-piece value concat that does not
-    # generalize to 2P mismatched-offset pieces).
-    if n_pk > 1:
-        wmask_ref, *rest = rest
+    # (A pack=2 sublane-packing variant — two runs per batch element with
+    # block-diagonal contractions — was built for VERDICT r3 item 2 and then
+    # measured a slight LOSS at every group size once the dot bill was
+    # merged: elementwise tiles bind, not the MXU (PARITY_RESULTS round 4).
+    # It was deleted in round 5; see git history for the body forks.)
     if per_run_lr:
         # per-run learning rates as materialized full-shape factors (one in
         # the w-param layout, one in the h layout) — lets runs that differ
@@ -149,18 +141,18 @@ def _kernel(
     if emit_eval:
         # levsel: level-weight selection for the in-kernel decision stream
         levsel_ref, *rest = rest
-    (w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, qout_ref,
-     outout_ref, *rest) = rest
+    (w_out, h_out, mw_out, vw_out, mh_out, vh_out, stats_ref, *rest) = rest
+    if emit_q:
+        qout_ref, *rest = rest
+    outout_ref, *rest = rest
     if emit_eval:
-        decout_ref, eqout_ref, *rest = rest
+        decout_ref, eqout_ref, mmout_ref, s1out_ref, *rest = rest
     (w_sc, h_sc, mw_sc, vw_sc, mh_sc, vh_sc, q_sc,
      eqwin_sc, gdwin_sc, gh_sc, ctd_sc, ct2_sc,
      out4_sc, eq4_sc, v4_sc, d_sc, gd_sc, ghm_sc, geq_sc,
      gv_sc, habsq_sc, scat_sc, gdpad_sc, gout_sc, goutc_sc, stats_sc,
-     mm4_sc, eq12_sc, st_sc, sums_sc, gev8_sc, gfac_sc, hsig_sc, xcol_sc,
-     *xsc) = rest
-    if n_pk > 1:
-        vsum_sc, gco_sc = xsc
+     mm4_sc, eq12_sc, st_sc, sums_sc, gev8_sc, gfac_sc, hsig_sc,
+     xcol_sc) = rest
     # Mosaic-safe construct policy for R > 1 (the compiler SIGABRTs on
     # several 3D patterns when the leading dim exceeds 1): only same-shape
     # elementwise ops, batched dot_general, scratch/input ref loads and
@@ -186,7 +178,6 @@ def _kernel(
     mi = pl.program_id(0)
     nl4 = 4 * n_lev
     kst = 24 + nl4  # stacked-sum rows PER RUN: 4 C-base + 16 cross/dd + 4 E + KL
-    m4 = 4 * m  # im2col rows per run
 
     def _cut(k, probe):
         # cost-bisect gate (tools/rb_cost_bisect.py): truncate the body after
@@ -211,16 +202,12 @@ def _kernel(
         # the same static regions, so zeroing once is enough
         st_sc[...] = jnp.zeros(st_sc.shape, jnp.float32)
         # ctd is a BLOCK-DIAGONAL operand (rows 0-3 even-parity lanes, rows
-        # 4-7 odd; at P > 1 additionally block-diag over runs): the
-        # off-diagonal blocks must read zero, and every step writes only the
-        # diagonal blocks, so zeroing once is enough
+        # 4-7 odd): the off-diagonal blocks must read zero, and every step
+        # writes only the diagonal blocks, so zeroing once is enough
         ctd_sc[...] = jnp.zeros(ctd_sc.shape, jnp.float32)
-        if n_pk > 1:  # ct2 is block-diag over runs at P > 1 (dense at P=1)
-            ct2_sc[...] = jnp.zeros(ct2_sc.shape, jnp.float32)
-        # out4_sc row 4P is a constant ones row shared by all packed runs:
-        # the demapper's (out - amp) subtraction rides the selv matmul (its
-        # last column is -amp*s)
-        out4_sc[:, 4 * n_pk : 4 * n_pk + 1, :] = jnp.ones(
+        # out4_sc row 4 is a constant ones row: the demapper's (out - amp)
+        # subtraction rides the selv matmul (its last column is -amp*s)
+        out4_sc[:, 4:5, :] = jnp.ones(
             (out4_sc.shape[0], 1, out4_sc.shape[2]), jnp.float32
         )
 
@@ -241,33 +228,31 @@ def _kernel(
     # (tools/rb_cost_bisect.py, artifacts/r4_cost_bisect16.log) measured the
     # streamed precomputed-im2col variant spending 22.7 of 34.3 us/step in
     # the forward cut, i.e. the step was input-DMA-bound, not compute-bound.
-    for p in range(n_pk):
-        for k in range(m):
-            src = p * 16 + (k % 2) * 8
-            o = k // 2
-            dst = p * m4 + 4 * k
-            xcol_sc[:, dst : dst + 4, 0:n_sym] = (
-                xin_ref[0, :, src : src + 4, o : o + n_sym]
-            )
-            xcol_sc[:, dst : dst + 4, n_sym : 2 * n_sym] = (
-                xin_ref[0, :, src + 4 : src + 8, o : o + n_sym]
-            )
+    for k in range(m):
+        src = (k % 2) * 8
+        o = k // 2
+        dst = 4 * k
+        xcol_sc[:, dst : dst + 4, 0:n_sym] = (
+            xin_ref[0, :, src : src + 4, o : o + n_sym]
+        )
+        xcol_sc[:, dst : dst + 4, n_sym : 2 * n_sym] = (
+            xin_ref[0, :, src + 4 : src + 8, o : o + n_sym]
+        )
     xc = xcol_sc[...]
-    selt = selt_ref[...]  # (R, P*4n, 4P): row p*4n + r*n + l -> component col 4p + r
-    sels = sels_ref[...]  # (R, 4P, P*4n): component <- sum of its level rows
+    selt = selt_ref[...]  # (R, 4n, 4): row r*n + l -> component col r
+    sels = sels_ref[...]  # (R, 4, 4n): component <- sum of its level rows
 
     # ---------------- forward: butterfly as ONE batched MXU matmul over the
-    # lane-concatenated I|Q im2col arrangement (w block-diag over packed runs)
-    oiq = _bdot(w_sc[...], xc)  # (R, 2P, 2N) rows (x, y) per run
-    for p in range(n_pk):
-        out4_sc[:, 4 * p : 4 * p + 2, :] = oiq[:, 2 * p : 2 * p + 2, :n_sym]
-        out4_sc[:, 4 * p + 2 : 4 * p + 4, :] = oiq[:, 2 * p : 2 * p + 2, n_sym:]
+    # lane-concatenated I|Q im2col arrangement
+    oiq = _bdot(w_sc[...], xc)  # (R, 2, 2N) rows (x, y)
+    out4_sc[:, 0:2, :] = oiq[:, 0:2, :n_sym]
+    out4_sc[:, 2:4, :] = oiq[:, 0:2, n_sym:]
     # stream_dtype=bf16 halves the HBM write of the two big per-step streams
     # (q dominates: (m_max, R, 4n, N) f32 is the kernel's largest output);
     # the f32 path stores as-is so the validated trace is unchanged
     out_cast = (lambda a: a) if stream_dtype == jnp.float32 else (
         lambda a: a.astype(stream_dtype))
-    outout_ref[0] = out_cast(out4_sc[:, 0 : 4 * n_pk, :])
+    outout_ref[0] = out_cast(out4_sc[:, 0:4, :])
     if _cut(1, oiq):
         return
 
@@ -276,11 +261,11 @@ def _kernel(
     # ones row) = -amp*s, s = sqrt(0.5/var): ONE matmul yields
     # d32 = s*(out - amp); met = d32^2 + nu*amp^2 with the 1/(2 var)
     # folded into the constants.
-    d32 = _bdot(selv_ref[...], out4_sc[...])  # (R, P*4n, N)
+    d32 = _bdot(selv_ref[...], out4_sc[...])  # (R, 4n, N)
     met = d32 * d32 + amp232n_ref[...]
     # met parks in q_sc so the per-component min row-chain slices a ref
     q_sc[...] = met
-    for r in range(4 * n_pk):
+    for r in range(4):
         r0 = r * n_lev
         mm = q_sc[:, r0 : r0 + 1, :]
         for l in range(1, n_lev):
@@ -288,19 +273,19 @@ def _kernel(
         mm4_sc[:, r : r + 1, :] = mm
     e32 = jnp.exp(_bdot(selt, mm4_sc[...]) - met)
     q_sc[...] = e32
-    s1 = _bdot(sels, q_sc[...])  # (R, 4P, N) per-component normalizers
+    s1 = _bdot(sels, q_sc[...])  # (R, 4, N) per-component normalizers
     q32 = q_sc[...] * _bdot(selt, 1.0 / s1)
     q_sc[...] = q32
-    qout_ref[0] = out_cast(q32)
+    if emit_q:
+        qout_ref[0] = out_cast(q32)
     if _cut(2, q32):
         return
-    # eqv rows: 0-4P E_q in GROUP order (xI, xQ, yI, yQ; run-blocked) for the
-    # window stacks, 4P-8P E_q in component order, 8P-12P E_q[x^2]
+    # eqv rows: 0-4 E_q in GROUP order (xI, xQ, yI, yQ) for the window
+    # stacks, 4-8 E_q in component order, 8-12 E_q[x^2]
     eq12_sc[...] = _bdot(eqv_ref[...], q32)
-    eq4_sc[...] = eq12_sc[:, 0 : 4 * n_pk, :]
+    eq4_sc[...] = eq12_sc[:, 0:4, :]
     v4_sc[...] = (
-        eq12_sc[:, 8 * n_pk : 12 * n_pk, :]
-        - eq12_sc[:, 4 * n_pk : 8 * n_pk, :] * eq12_sc[:, 4 * n_pk : 8 * n_pk, :]
+        eq12_sc[:, 8:12, :] - eq12_sc[:, 4:8, :] * eq12_sc[:, 4:8, :]
     )
     if emit_eval:
         # in-kernel eval emission (round 4): the eval stage's soft-SER and
@@ -312,10 +297,15 @@ def _kernel(
         # always counts as a symbol error) — measure-zero on real data.
         dec4 = _bdot(levsel_ref[...], (e32 >= 1.0).astype(f32))
         decout_ref[0] = out_cast(dec4)
-        for p in range(n_pk):  # E_q[x^I] rows (xI, yI) of the comp section
-            eqout_ref[0, :, 2 * p : 2 * p + 2, :] = out_cast(
-                eq12_sc[:, 4 * n_pk + 4 * p : 4 * n_pk + 4 * p + 2, :]
-            )
+        # E_q[x^I] rows (xI, yI) of the comp section
+        eqout_ref[0, :, 0:2, :] = out_cast(eq12_sc[:, 4:6, :])
+        # demapper sufficient statistics (round 5): per-component met minimum
+        # + softmin normalizer — with the emitted out stream these 8 rows
+        # reconstruct log q at ANY level (q[l] = exp(mm - met_l)/s1), so the
+        # eval MI never reads the (m_max, R, 4n, N) posterior stream and the
+        # production aggregate path can skip writing it entirely (emit_q)
+        mmout_ref[0] = out_cast(mm4_sc[...])
+        s1out_ref[0] = out_cast(s1)
     if _cut(3, v4_sc[...]):
         return
 
@@ -336,67 +326,51 @@ def _kernel(
                 src[:, :, mh - a : n_sym - a]
             )
 
-    for p in range(n_pk):
-        eq4v = eq4_sc[:, 4 * p : 4 * p + 4, :]  # (R, 4, N) group order, run p
-        win_stack(eqwin_sc, eq4v, m4 * p, 0, mhe)
-        win_stack(eqwin_sc, eq4v, m4 * p, 4 * mhe, mh)
-    eqwin = eqwin_sc[...]  # (R, P*4M, ne) run-blocked parity-blocked shift-major
+    eq4v = eq4_sc[...]  # (R, 4, N) group order
+    win_stack(eqwin_sc, eq4v, 0, 0, mhe)
+    win_stack(eqwin_sc, eq4v, 0, 4 * mhe, mh)
+    eqwin = eqwin_sc[...]  # (R, 4M, ne) parity-blocked shift-major
     if _cut(4, eqwin):
         return
     permcat = permcat_ref[...]
 
-    # ctd/ct2 coefficient builds as ONE batched dot per packed run: hmix
-    # (32, 8) mixes the signed h rows for BOTH coefficient matrices (rows
-    # 0-15 the ctd blocks g = b*4 + (chi*2 + c), rows 16-31 the ct2 blocks
+    # ctd/ct2 coefficient builds as ONE batched dot: hmix (32, 8) mixes the
+    # signed h rows for BOTH coefficient matrices (rows 0-15 the ctd blocks
+    # g = b*4 + (chi*2 + c), rows 16-31 the ct2 blocks
     # g = 16 + b*4 + (nu*2 + c')), parked in hsig_sc so the block placements
     # are 4-row REF-slice stores — replaces the 64 single-row store loop
     # (the step is VPU-tile-issue bound: stores cost per run, dots amortize
     # over the batch; PARITY_RESULTS roofline refresh).
-    for p in range(n_pk):
-        hsig_sc[...] = _bdot(hmix_ref[:, 0:32, 0:8], h_sc[:, 8 * p : 8 * p + 8, :])
-        for b in range(4):
-            ctd_sc[:, 8 * p : 8 * p + 4,
-                   m4 * p + b * mhe : m4 * p + (b + 1) * mhe] = (
-                hsig_sc[:, 4 * b : 4 * b + 4, 0:mhe]
-            )
-            ctd_sc[:, 8 * p + 4 : 8 * p + 8,
-                   m4 * p + 4 * mhe + b * mh : m4 * p + 4 * mhe + (b + 1) * mh] = (
-                hsig_sc[:, 4 * b : 4 * b + 4, mhe:m]
-            )
-            ct2_sc[:, 4 * p : 4 * p + 4,
-                   m4 * p + b * mhe : m4 * p + (b + 1) * mhe] = (
-                hsig_sc[:, 16 + 4 * b : 16 + 4 * b + 4, 0:mhe]
-            )
-            ct2_sc[:, 4 * p : 4 * p + 4,
-                   m4 * p + 4 * mhe + b * mh : m4 * p + 4 * mhe + (b + 1) * mh] = (
-                hsig_sc[:, 16 + 4 * b : 16 + 4 * b + 4, mhe:m]
-            )
-    d_sc[...] = _bdot(_bdot(ctd_sc[...], permcat), eqwin)  # (R, 8P, ne)
+    hsig_sc[...] = _bdot(hmix_ref[:, 0:32, 0:8], h_sc[...])
+    for b in range(4):
+        ctd_sc[:, 0:4, b * mhe : (b + 1) * mhe] = (
+            hsig_sc[:, 4 * b : 4 * b + 4, 0:mhe]
+        )
+        ctd_sc[:, 4:8, 4 * mhe + b * mh : 4 * mhe + (b + 1) * mh] = (
+            hsig_sc[:, 4 * b : 4 * b + 4, mhe:m]
+        )
+        ct2_sc[:, 0:4, b * mhe : (b + 1) * mhe] = (
+            hsig_sc[:, 16 + 4 * b : 16 + 4 * b + 4, 0:mhe]
+        )
+        ct2_sc[:, 0:4, 4 * mhe + b * mh : 4 * mhe + (b + 1) * mh] = (
+            hsig_sc[:, 16 + 4 * b : 16 + 4 * b + 4, mhe:m]
+        )
+    d_sc[...] = _bdot(_bdot(ctd_sc[...], permcat), eqwin)  # (R, 8, ne)
     if _cut(5, d_sc[...]):
         return
 
     # ---------------- E term: S (R, 2, M) = Vsum (R, 2, N) @ MASK, with the
     # even|odd tap-support masks lane-concatenated (parity-major) into ONE dot
-    if n_pk == 1:
-        vsum = jnp.concatenate(
-            [v4_sc[:, 0:1, :] + v4_sc[:, 2:3, :], v4_sc[:, 1:2, :] + v4_sc[:, 3:4, :]],
-            axis=1,
-        )  # (R, 2, N) per pol
-    else:  # 2P mismatched-offset pieces: assemble via scratch stores
-        for p in range(n_pk):
-            vsum_sc[:, 2 * p : 2 * p + 1, :] = (
-                v4_sc[:, 4 * p : 4 * p + 1, :] + v4_sc[:, 4 * p + 2 : 4 * p + 3, :]
-            )
-            vsum_sc[:, 2 * p + 1 : 2 * p + 2, :] = (
-                v4_sc[:, 4 * p + 1 : 4 * p + 2, :] + v4_sc[:, 4 * p + 3 : 4 * p + 4, :]
-            )
-        vsum = vsum_sc[...]
-    scat_sc[...] = _bdot(vsum, maskpm_ref[...])  # (R, 2P, M) parity-major
-    # |h|^2 rows p*4 + (chi*2 + nu) = row-pair sums of h*h: one elementwise
-    # square + one tiny batched dot with the constant pair-sum mix (the last
-    # 4P rows of hmix), instead of 4P slice-square-add-store chains
+    vsum = jnp.concatenate(
+        [v4_sc[:, 0:1, :] + v4_sc[:, 2:3, :], v4_sc[:, 1:2, :] + v4_sc[:, 3:4, :]],
+        axis=1,
+    )  # (R, 2, N) per pol
+    scat_sc[...] = _bdot(vsum, maskpm_ref[...])  # (R, 2, M) parity-major
+    # |h|^2 rows chi*2 + nu = row-pair sums of h*h: one elementwise square +
+    # one tiny batched dot with the constant pair-sum mix (the last 4 rows
+    # of hmix), instead of 4 slice-square-add-store chains
     hh = h_sc[...] * h_sc[...]
-    habsq_sc[...] = _bdot(hmix_ref[:, 32 : 32 + 4 * n_pk, :], hh)
+    habsq_sc[...] = _bdot(hmix_ref[:, 32:36, :], hh)
     if _cut(6, habsq_sc[...]):
         return
 
@@ -418,84 +392,57 @@ def _kernel(
         rx_e_ref, rx_o_ref = rxo_ref, rxe_ref
         al_lo_o = mh - mh // 2
 
-    rx_al_e_l, rx_al_o_l, d_e_l, d_o_l = [], [], [], []
-    for p in range(n_pk):
-        o = p * kst
-        r4 = 4 * p
-        # c_base = sum of squares over the window, parity-split: the lane
-        # sum over [mh, n_samp-mh) equals the even-phase window sum plus the
-        # odd-phase one, so the raw interleaved stream is never needed
-        je, jo = (mh + 1) // 2, mh // 2
-        rx_we = rxe_ref[0, :, r4 : r4 + 4, je : je + ne]
-        rx_wo = rxo_ref[0, :, r4 : r4 + 4, jo : jo + ne]
-        rx_al_e = rx_e_ref[0, :, r4 : r4 + 4, al_lo : al_lo + ne]  # (R, 4, ne)
-        rx_al_o = rx_o_ref[0, :, r4 : r4 + 4, al_lo_o : al_lo_o + ne]
-        d_e = d_sc[:, 8 * p : 8 * p + 4, :]  # run p: rows +0-3 d_e, +4-7 d_o
-        d_o = d_sc[:, 8 * p + 4 : 8 * p + 8, :]
-        rx_al_e_l.append(rx_al_e)
-        rx_al_o_l.append(rx_al_o)
-        d_e_l.append(d_e)
-        d_o_l.append(d_o)
-        st_sc[:, o : o + 4, 0:ne] = rx_we * rx_we
-        st_sc[:, o : o + 4, ne : 2 * ne] = rx_wo * rx_wo
-        st_sc[:, o + 4 : o + 8, :ne] = rx_al_e * d_e
-        st_sc[:, o + 8 : o + 12, :ne] = rx_al_o * d_o
-        st_sc[:, o + 12 : o + 16, :ne] = d_e * d_e
-        st_sc[:, o + 16 : o + 20, :ne] = d_o * d_o
-        st_sc[:, o + 20 : o + 22, :m] = (
-            habsq_sc[:, r4 : r4 + 2, :] * scat_sc[:, 2 * p : 2 * p + 2, :]
-        )
-        st_sc[:, o + 22 : o + 24, :m] = (
-            habsq_sc[:, r4 + 2 : r4 + 4, :] * scat_sc[:, 2 * p : 2 * p + 2, :]
-        )
+    # c_base = sum of squares over the window, parity-split: the lane
+    # sum over [mh, n_samp-mh) equals the even-phase window sum plus the
+    # odd-phase one, so the raw interleaved stream is never needed
+    je, jo = (mh + 1) // 2, mh // 2
+    rx_we = rxe_ref[0, :, 0:4, je : je + ne]
+    rx_wo = rxo_ref[0, :, 0:4, jo : jo + ne]
+    rx_al_e = rx_e_ref[0, :, 0:4, al_lo : al_lo + ne]  # (R, 4, ne)
+    rx_al_o = rx_o_ref[0, :, 0:4, al_lo_o : al_lo_o + ne]
+    d_e = d_sc[:, 0:4, :]  # rows 0-3 d_e, 4-7 d_o
+    d_o = d_sc[:, 4:8, :]
+    st_sc[:, 0:4, 0:ne] = rx_we * rx_we
+    st_sc[:, 0:4, ne : 2 * ne] = rx_wo * rx_wo
+    st_sc[:, 4:8, :ne] = rx_al_e * d_e
+    st_sc[:, 8:12, :ne] = rx_al_o * d_o
+    st_sc[:, 12:16, :ne] = d_e * d_e
+    st_sc[:, 16:20, :ne] = d_o * d_o
+    st_sc[:, 20:22, :m] = habsq_sc[:, 0:2, :] * scat_sc[:, 0:2, :]
+    st_sc[:, 22:24, :m] = habsq_sc[:, 2:4, :] * scat_sc[:, 0:2, :]
     ratio32 = q32 / pfull4_ref[...]
-    if n_pk == 1:
-        st_sc[:, 24:kst, : n_sym - 2 * mh] = -q32[:, :, mh : n_sym - mh] * jnp.log(
-            ratio32[:, :, mh : n_sym - mh] + eps
-        )
-    else:  # per-run rows of q32 via the q_sc ref (value sublane slices crash)
-        for p in range(n_pk):
-            qp = q_sc[:, p * nl4 : (p + 1) * nl4, mh : n_sym - mh]
-            rp = qp / pfull4_ref[:, p * nl4 : (p + 1) * nl4, mh : n_sym - mh]
-            st_sc[:, p * kst + 24 : p * kst + kst, : n_sym - 2 * mh] = (
-                -qp * jnp.log(rp + eps)
-            )
+    st_sc[:, 24:kst, : n_sym - 2 * mh] = -q32[:, :, mh : n_sym - mh] * jnp.log(
+        ratio32[:, :, mh : n_sym - mh] + eps
+    )
     # lane totals at 8 lanes (a 128-lane ones operand costs ~18M MACs/step
     # of pure replication), then one tiny expand to the lane-replicated rows
-    tot = _bdot(st_sc[...], ones_l_ref[...])  # (R, P*kst, 8)
-    sums8 = _bdot(csum_ref[...], tot)  # (R, 8P, 8)
-    sums_sc[...] = _bdot(sums8[:, :, 0:1], ones128_ref[...])  # (R, 8P, 128)
+    tot = _bdot(st_sc[...], ones_l_ref[...])  # (R, kst, 8)
+    sums8 = _bdot(csum_ref[...], tot)  # (R, 8, 8)
+    sums_sc[...] = _bdot(sums8[:, :, 0:1], ones128_ref[...])  # (R, 8, 128)
     stats_sc[...] = jnp.zeros(stats_sc.shape, f32)
-    g_cx_l, g_cy_l = [], []
-    for p in range(n_pk):
-        c_x = sums_sc[:, 8 * p : 8 * p + 1, :]
-        c_y = sums_sc[:, 8 * p + 1 : 8 * p + 2, :]
-        kl = sums_sc[:, 8 * p + 2 : 8 * p + 3, :]
+    c_x = sums_sc[:, 0:1, :]
+    c_y = sums_sc[:, 1:2, :]
+    kl = sums_sc[:, 2:3, :]
 
-        loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl  # (R, 1, 128)
-        stats_sc[:, p : p + 1, 0:1] = loss[:, :, 0:1]
-        stats_sc[:, p : p + 1, 1:2] = (c_x / n_eff)[:, :, 0:1]
-        stats_sc[:, p : p + 1, 2:3] = (c_y / n_eff)[:, :, 0:1]
-        g_cx_l.append(n_eff / c_x)  # (R, 1, 128) lane-replicated
-        g_cy_l.append(n_eff / c_y)
+    loss = n_eff * (jnp.log(c_x) + jnp.log(c_y)) - kl  # (R, 1, 128)
+    stats_sc[:, 0:1, 0:1] = loss[:, :, 0:1]
+    stats_sc[:, 0:1, 1:2] = (c_x / n_eff)[:, :, 0:1]
+    stats_sc[:, 0:1, 2:3] = (c_y / n_eff)[:, :, 0:1]
+    g_cx = n_eff / c_x  # (R, 1, 128) lane-replicated
+    g_cy = n_eff / c_y
     stats_ref[0] = stats_sc[...]
     if cut is not None and cut <= 7:
         return
 
     # ================ backward ================
-    for p in range(n_pk):
-        g_cx, g_cy = g_cx_l[p], g_cy_l[p]
-        r4 = 4 * p
-        # gfac rows p*4 + (chi*2 + c) = (g_cx, g_cx, g_cy, g_cy): row stores
-        gfac_sc[:, r4 : r4 + 1, :] = g_cx[:, :, :ne]
-        gfac_sc[:, r4 + 1 : r4 + 2, :] = g_cx[:, :, :ne]
-        gfac_sc[:, r4 + 2 : r4 + 3, :] = g_cy[:, :, :ne]
-        gfac_sc[:, r4 + 3 : r4 + 4, :] = g_cy[:, :, :ne]
-        gfac = gfac_sc[:, r4 : r4 + 4, :]
-        gd_sc[:, 8 * p : 8 * p + 4, :] = gfac * (2.0 * d_e_l[p] - 2.0 * rx_al_e_l[p])
-        gd_sc[:, 8 * p + 4 : 8 * p + 8, :] = gfac * (
-            2.0 * d_o_l[p] - 2.0 * rx_al_o_l[p]
-        )
+    # gfac rows (chi*2 + c) = (g_cx, g_cx, g_cy, g_cy): row stores
+    gfac_sc[:, 0:1, :] = g_cx[:, :, :ne]
+    gfac_sc[:, 1:2, :] = g_cx[:, :, :ne]
+    gfac_sc[:, 2:3, :] = g_cy[:, :, :ne]
+    gfac_sc[:, 3:4, :] = g_cy[:, :, :ne]
+    gfac = gfac_sc[...]
+    gd_sc[:, 0:4, :] = gfac * (2.0 * d_e - 2.0 * rx_al_e)
+    gd_sc[:, 4:8, :] = gfac * (2.0 * d_o - 2.0 * rx_al_o)
     if _cut(8, gd_sc[...]):
         return
 
@@ -509,25 +456,23 @@ def _kernel(
         _bdot(gd_sc[...], eqwin, ((2,), (2,))), permcat, ((2,), (2,))
     )
 
-    def gh_assemble(p, r0, base, lane0, lane1, n_a):
-        rr = 8 * p + r0
-        cb = m4 * p + base
+    def gh_assemble(r0, base, lane0, lane1, n_a):
         for chi in range(2):
-            g_c = g_cx_l[p] if chi == 0 else g_cy_l[p]
+            g_c = g_cx if chi == 0 else g_cy
             g_c_na = g_c[:, :, :n_a]
             for nu in range(2):
-                bi = cb + (2 * nu) * n_a  # (nu, I) block
-                bq = cb + (2 * nu + 1) * n_a  # (nu, Q) block
+                bi = base + (2 * nu) * n_a  # (nu, I) block
+                bq = base + (2 * nu + 1) * n_a  # (nu, Q) block
                 ghr = (
-                    ghm_sc[:, rr + chi * 2 : rr + chi * 2 + 1, bi : bi + n_a]
-                    + ghm_sc[:, rr + chi * 2 + 1 : rr + chi * 2 + 2, bq : bq + n_a]
+                    ghm_sc[:, r0 + chi * 2 : r0 + chi * 2 + 1, bi : bi + n_a]
+                    + ghm_sc[:, r0 + chi * 2 + 1 : r0 + chi * 2 + 2, bq : bq + n_a]
                 )
                 ghi = (
-                    -ghm_sc[:, rr + chi * 2 : rr + chi * 2 + 1, bq : bq + n_a]
-                    + ghm_sc[:, rr + chi * 2 + 1 : rr + chi * 2 + 2, bi : bi + n_a]
+                    -ghm_sc[:, r0 + chi * 2 : r0 + chi * 2 + 1, bq : bq + n_a]
+                    + ghm_sc[:, r0 + chi * 2 + 1 : r0 + chi * 2 + 2, bi : bi + n_a]
                 )
-                s_nu = scat_sc[:, 2 * p + nu : 2 * p + nu + 1, lane0:lane1]
-                rh = 8 * p + chi * 4 + nu * 2
+                s_nu = scat_sc[:, nu : nu + 1, lane0:lane1]
+                rh = chi * 4 + nu * 2
                 gh_sc[:, rh : rh + 1, lane0:lane1] = (
                     ghr + 2.0 * g_c_na * h_sc[:, rh : rh + 1, lane0:lane1] * s_nu
                 )
@@ -535,10 +480,9 @@ def _kernel(
                     ghi + 2.0 * g_c_na * h_sc[:, rh + 1 : rh + 2, lane0:lane1] * s_nu
                 )
 
-    for p in range(n_pk):
-        gh_assemble(p, 0, 0, 0, mhe, mhe)
-        gh_assemble(p, 4, 4 * mhe, mhe, m, mh)
-    gh = gh_sc[...]  # (R, 8P, M) parity-major, run-blocked
+    gh_assemble(0, 0, 0, mhe, mhe)
+    gh_assemble(4, 4 * mhe, mhe, m, mh)
+    gh = gh_sc[...]  # (R, 8, M) parity-major
     if _cut(9, gh):
         return
 
@@ -547,86 +491,59 @@ def _kernel(
     # odd coefficient blocks in the SAME 4 rows (not block-diagonal — the
     # two parities' contributions must ADD), gdwin stacks both parities'
     # shift-major windows, and one matmul pair yields geq_e + geq_o.
-    def gdwin(p, r0, gd_r0, n_a):
+    def gdwin(r0, gd_r0, n_a):
         # gdpad[t] = gd_p[t - mh]; window a places gd_p[b] at t = mh - a + b
         gdpad_sc[...] = jnp.zeros(gdpad_sc.shape, f32)
-        gdpad_sc[:, :, mh : mh + ne] = gd_sc[:, 8 * p + gd_r0 : 8 * p + gd_r0 + 4, :]
+        gdpad_sc[:, :, mh : mh + ne] = gd_sc[:, gd_r0 : gd_r0 + 4, :]
         gdpad = gdpad_sc[...]
-        rb0 = m4 * p + r0
         for a in range(n_a):
-            gdwin_sc[:, rb0 + 4 * a : rb0 + 4 * a + 4, :] = gdpad[:, :, a : a + n_sym]
+            gdwin_sc[:, r0 + 4 * a : r0 + 4 * a + 4, :] = gdpad[:, :, a : a + n_sym]
 
-    for p in range(n_pk):  # ct2 was filled with the hmix dot in the forward
-        gdwin(p, 0, 0, mhe)
-        gdwin(p, 4 * mhe, 4, mh)
+    gdwin(0, 0, mhe)  # ct2 was filled with the hmix dot in the forward
+    gdwin(4 * mhe, 4, mh)
     geq_sc[...] = _bdot(
         _bdot(ct2_sc[...], permcat), gdwin_sc[...]
-    )  # (R, 4P, N) rows p*4 + (x,I)(x,Q)(y,I)(y,Q)
+    )  # (R, 4, N) rows (x,I)(x,Q)(y,I)(y,Q)
     if _cut(10, geq_sc[...]):
         return
 
-    # ---- gV: gv (R, 2P, N) = GCO (R, 2P, M) @ MASK_pm^T
-    if n_pk == 1:
-        g_cx_m = g_cx_l[0][:, :, :m]
-        g_cy_m = g_cy_l[0][:, :, :m]
-        gco = jnp.concatenate(
-            [
-                g_cx_m * habsq_sc[:, 0:1, :] + g_cy_m * habsq_sc[:, 2:3, :],
-                g_cx_m * habsq_sc[:, 1:2, :] + g_cy_m * habsq_sc[:, 3:4, :],
-            ],
-            axis=1,
-        )  # (R, 2, M) rows nu
-    else:  # 2P mismatched-offset pieces: assemble via scratch stores
-        for p in range(n_pk):
-            g_cx_m = g_cx_l[p][:, :, :m]
-            g_cy_m = g_cy_l[p][:, :, :m]
-            r4 = 4 * p
-            gco_sc[:, 2 * p : 2 * p + 1, :] = (
-                g_cx_m * habsq_sc[:, r4 : r4 + 1, :]
-                + g_cy_m * habsq_sc[:, r4 + 2 : r4 + 3, :]
-            )
-            gco_sc[:, 2 * p + 1 : 2 * p + 2, :] = (
-                g_cx_m * habsq_sc[:, r4 + 1 : r4 + 2, :]
-                + g_cy_m * habsq_sc[:, r4 + 3 : r4 + 4, :]
-            )
-        gco = gco_sc[...]
+    # ---- gV: gv (R, 2, N) = GCO (R, 2, M) @ MASK_pm^T
+    g_cx_m = g_cx[:, :, :m]
+    g_cy_m = g_cy[:, :, :m]
+    gco = jnp.concatenate(
+        [
+            g_cx_m * habsq_sc[:, 0:1, :] + g_cy_m * habsq_sc[:, 2:3, :],
+            g_cx_m * habsq_sc[:, 1:2, :] + g_cy_m * habsq_sc[:, 3:4, :],
+        ],
+        axis=1,
+    )  # (R, 2, M) rows nu
     gv_sc[...] = _bdot(gco, masktpm_ref[...])
 
-    # ---- moments -> gq -> softmin VJP -> gout, all 4P components at once.
-    # gE (rows p*8+0-3) and gVar (rows p*8+4-7) stack into one scratch so the
-    # gq build is ONE dot against the block-diag [selg*amp | selg*amp^2] —
-    # selta8's columns are GROUP-ordered (host side) so both row sections
-    # stay in the geq/eq4 group layout: 4 single-row gv replications + ONE
-    # fused (R, 4, N) op instead of the former 16-issue per-row loop.
-    for p in range(n_pk):
-        for g in range(4):  # gVar rows, group order (xI, xQ, yI, yQ): nu = g // 2
-            gev8_sc[:, 8 * p + 4 + g : 8 * p + 5 + g, :] = (
-                gv_sc[:, 2 * p + g // 2 : 2 * p + g // 2 + 1, :]
-            )
-        gev8_sc[:, 8 * p : 8 * p + 4, :] = (
-            geq_sc[:, 4 * p : 4 * p + 4, :]
-            - 2.0 * eq4_sc[:, 4 * p : 4 * p + 4, :]
-            * gev8_sc[:, 8 * p + 4 : 8 * p + 8, :]
-        )
+    # ---- moments -> gq -> softmin VJP -> gout, all 4 components at once.
+    # gE (rows 0-3) and gVar (rows 4-7) stack into one scratch so the gq
+    # build is ONE dot against [selg*amp | selg*amp^2] — selta8's columns
+    # are GROUP-ordered (host side) so both row sections stay in the
+    # geq/eq4 group layout: 4 single-row gv replications + ONE fused
+    # (R, 4, N) op instead of the former 16-issue per-row loop.
+    for g in range(4):  # gVar rows, group order (xI, xQ, yI, yQ): nu = g // 2
+        gev8_sc[:, 4 + g : 5 + g, :] = gv_sc[:, g // 2 : g // 2 + 1, :]
+    gev8_sc[:, 0:4, :] = (
+        geq_sc[...] - 2.0 * eq4_sc[...] * gev8_sc[:, 4:8, :]
+    )
     gq32 = _bdot(selta8_ref[...], gev8_sc[...])
     gq32 = gq32 + (jnp.log(ratio32 + eps) + ratio32 / (ratio32 + eps)) * tmask_ref[...]
     if _cut(11, gq32):
         return
-    inner = _bdot(sels, q32 * gq32)  # (R, 4P, N)
+    inner = _bdot(sels, q32 * gq32)  # (R, 4, N)
     gm = -q32 * (gq32 - _bdot(selt, inner))
     # (out - amp)/var = 2 s * d32; the 2 s_pol factor is folded into sels2
     gout_sc[...] = _bdot(sels2_ref[...], gm * d32)
 
-    # ---- gw: (R, 2P, P*4M) = gout_cat @ XC^T — the I|Q contributions sum in
-    # ONE dot by contracting over the lane-concatenated sample axis; at P > 1
-    # the cross-run off-blocks are garbage and wmask zeroes them so Adam's
-    # moments/updates never touch w's structural zero blocks
-    for p in range(n_pk):
-        goutc_sc[:, 2 * p : 2 * p + 2, :n_sym] = gout_sc[:, 4 * p : 4 * p + 2, :]
-        goutc_sc[:, 2 * p : 2 * p + 2, n_sym:] = gout_sc[:, 4 * p + 2 : 4 * p + 4, :]
+    # ---- gw: (R, 2, 4M) = gout_cat @ XC^T — the I|Q contributions sum in
+    # ONE dot by contracting over the lane-concatenated sample axis
+    goutc_sc[:, 0:2, :n_sym] = gout_sc[:, 0:2, :]
+    goutc_sc[:, 0:2, n_sym:] = gout_sc[:, 2:4, :]
     gw = _bdot(goutc_sc[...], xc, ((2,), (2,)))
-    if n_pk > 1:
-        gw = gw * wmask_ref[...]
     if _cut(12, gw):
         return
 
@@ -710,13 +627,13 @@ def _from_parity_major(hpm: jnp.ndarray, m: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bl_sym", "stride_sym", "interpret", "pack", "stream_bf16",
-                     "emit_eval", "cut"),
+    static_argnames=("bl_sym", "stride_sym", "interpret", "stream_bf16",
+                     "emit_eval", "emit_q", "cut"),
 )
 def vae_dp_frame_train_pallas_rb(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
-    pack: int = 1, stream_bf16: bool = False, emit_eval: bool = False,
+    stream_bf16: bool = False, emit_eval: bool = False, emit_q: bool = True,
     cut: int | None = None,
 ):
     """Run one frame's FULL online training for R independent runs, fused.
@@ -750,12 +667,16 @@ def vae_dp_frame_train_pallas_rb(
     Returns (w', h', opt', losses (m_max, R), var_est (m_max, R, 2),
     q (m_max, R, 2, 2*n_lev, bl_sym), out (m_max, R, 2, 2, bl_sym)) — the
     per-frame quantities of the lax.scan step path in train/dp.py with a
-    runs axis after the minibatch axis.
-
-    ``pack`` (sublane packing, must divide R): P consecutive runs share one
-    batch element, stacked along sublanes — the per-step dot COUNT covers P
-    runs at once (see the packing note in _kernel), measured as the rb
-    body's remaining ~2x at the PARITY_RESULTS saturation analysis.
+    runs axis after the minibatch axis. With ``emit_eval=True`` four eval
+    streams are appended: dec (m_max, R, 2, 2, bl) argmax level indices,
+    eq (m_max, R, 2, bl) E_q[x^I], and the round-5 demapper sufficient
+    statistics mm / s1 (m_max, R, 2, 2, bl) — per-component met minimum and
+    softmin normalizer, from which q reconstructs at any level as
+    exp(mm - met_l)/s1. With ``emit_q=False`` (requires emit_eval) the
+    kernel skips writing the posterior stream — its largest output — and
+    the q slot returns None; the eval pipeline runs entirely from the
+    emitted streams (train/dp.py:_dp_frame_eval_mb,
+    metrics/mi.py:mutual_information_ambiguity_mb_stats).
 
     ``stream_bf16``: store the two big per-step output streams (q, out) as
     bfloat16 — halves their HBM write here and their read in the eval stage
@@ -765,10 +686,7 @@ def vae_dp_frame_train_pallas_rb(
     moves SER/MI by < the run-to-run band (tests/test_frame_kernel.py).
     """
     n_rb = w.shape[0]
-    n_pk = pack
-    if n_rb % n_pk != 0:
-        raise ValueError(f"pack={n_pk} must divide the runs batch {n_rb}")
-    n_gp = n_rb // n_pk  # packed batch elements
+    n_gp = n_rb  # batch elements (one per run)
     m = w.shape[-1]
     assert m % 2 == 1, "odd tap count only"
     n_sym = bl_sym
@@ -829,13 +747,6 @@ def vae_dp_frame_train_pallas_rb(
     maskpm3 = bcast(mask_pm)
     masktpm3 = bcast(mask_pm.T.copy())
 
-    # block-diag replication over the n_pk packed runs: identity at P=1 (the
-    # validated trace must not change), kron(eye(P), .) otherwise. Static
-    # (numpy) and traced (jnp, amps/var-dependent) variants.
-    _pblkn = lambda a: a if n_pk == 1 else _np.kron(_np.eye(n_pk, dtype=_np.float32), a)
-    _pblkj = lambda a: a if n_pk == 1 else jnp.kron(jnp.eye(n_pk, dtype=jnp.float32), a)
-    _ptile = lambda v: v if n_pk == 1 else jnp.tile(v, n_pk)
-
     # constant selection matrices + row-constant tensors for the merged
     # all-component demapper / softmin / stacked-sum formulation (see the
     # cost-model note in _kernel: minimize the number of dot_generals).
@@ -845,8 +756,8 @@ def vae_dp_frame_train_pallas_rb(
     lev_of_row = _np.arange(nl4) % n_lev
     selt_np = _np.zeros((nl4, 4), _np.float32)
     selt_np[_np.arange(nl4), comp_of_row] = 1.0
-    selt3 = bcast(_pblkn(selt_np))
-    sels3 = bcast(_pblkn(selt_np).T.copy())
+    selt3 = bcast(selt_np)
+    sels3 = bcast(selt_np.T.copy())
     ind_g = _np.zeros((4, nl4), _np.float32)  # group row gpos(r) <- comp rows
     for r in range(4):
         ind_g[_EQP[r], r * n_lev : (r + 1) * n_lev] = 1.0
@@ -857,17 +768,14 @@ def vae_dp_frame_train_pallas_rb(
     if per_run_var:
         # per-run demapper variance (sweep snr-axis batching): the two
         # var-folded selection constants become per-run stacks; everything
-        # else (incl. the kernel body) is var-independent. pack=1 only —
-        # packed runs would need per-run BLOCKS inside the kron structure.
-        if n_pk != 1:
-            raise ValueError("per-run var requires pack=1")
+        # else (incl. the kernel body) is var-independent.
         if jnp.shape(var) != (n_rb, 2):
             raise ValueError(f"per-run var must be ({n_rb}, 2), got {jnp.shape(var)}")
     s_pol = jnp.sqrt(0.5 / var.astype(jnp.float32))  # (2,) or (R, 2)
     s_row = s_pol[..., comp_of_row % 2]  # rows of pol x get s_x, y rows s_y
-    # selv: cols 0-4P select the (run-blocked) component scaled by s; the
-    # last col hits out4's shared constant ones row with -amp*s, so ONE
-    # matmul yields s*(out - amp) for all packed runs
+    # selv: cols 0-4 select the component scaled by s; the last col hits
+    # out4's constant ones row with -amp*s, so ONE matmul yields
+    # s*(out - amp)
     if per_run_var:
         selv3 = jnp.concatenate(
             [jnp.asarray(selt_np)[None] * s_row[:, :, None],
@@ -876,73 +784,73 @@ def vae_dp_frame_train_pallas_rb(
         )  # (R, nl4, 5)
     else:
         selv5 = jnp.concatenate(
-            [_pblkj(jnp.asarray(selt_np) * s_row[:, None]),
-             _ptile(-a_row * s_row)[:, None]],
+            [jnp.asarray(selt_np) * s_row[:, None],
+             (-a_row * s_row)[:, None]],
             axis=1,
         )
-        selv3 = jnp.broadcast_to(selv5[None], (n_gp, n_pk * nl4, 4 * n_pk + 1))
-    brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_gp, n_pk * nl4, n_sym))
-    amp232n = brow(_ptile(jnp.float32(nu_sc) * a_row * a_row))
+        selv3 = jnp.broadcast_to(selv5[None], (n_gp, nl4, 5))
+    brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_gp, nl4, n_sym))
+    amp232n = brow(jnp.float32(nu_sc) * a_row * a_row)
     # [selg*amp | selg*amp^2] against the stacked (gE; gVar) rows (backward
     # gq build in ONE dot; columns in GROUP order so the gev8 assembly reads
     # geq/eq4 in their native layout), and sels with 2 s_pol folded in
     # (softmin -> gout)
     selg_np = _np.zeros((nl4, 4), _np.float32)
     selg_np[_np.arange(nl4), _np.asarray(_EQP)[comp_of_row]] = 1.0
-    selta8m = _pblkj(jnp.concatenate(
+    selta8m = jnp.concatenate(
         [jnp.asarray(selg_np) * a_row[:, None],
          jnp.asarray(selg_np) * (a_row * a_row)[:, None]],
         axis=1,
-    ))  # (P*nl4, 8P)
-    selta83 = jnp.broadcast_to(selta8m[None], (n_gp, n_pk * nl4, 8 * n_pk))
+    )  # (nl4, 8)
+    selta83 = jnp.broadcast_to(selta8m[None], (n_gp, nl4, 8))
     if per_run_var:
         sels23 = jnp.asarray(selt_np.T)[None] * (2.0 * s_row)[:, None, :]
     else:
         sels23 = jnp.broadcast_to(
-            _pblkj(jnp.asarray(selt_np.T) * (2.0 * s_row)[None, :])[None],
-            (n_gp, 4 * n_pk, n_pk * nl4))
+            (jnp.asarray(selt_np.T) * (2.0 * s_row)[None, :])[None],
+            (n_gp, 4, nl4))
     ones128 = jnp.ones((n_gp, 1, 128), jnp.float32)
     eqv_m = jnp.concatenate(
         [
-            _pblkj(jnp.asarray(ind_g) * a_row[None, :]),  # E_q, group order
-            _pblkj(jnp.asarray(selt_np.T) * a_row[None, :]),  # E_q, comp order
-            _pblkj(jnp.asarray(selt_np.T) * (a_row * a_row)[None, :]),  # E_q[x^2]
+            jnp.asarray(ind_g) * a_row[None, :],  # E_q, group order
+            jnp.asarray(selt_np.T) * a_row[None, :],  # E_q, comp order
+            jnp.asarray(selt_np.T) * (a_row * a_row)[None, :],  # E_q[x^2]
         ]
-    )  # (12P, P*nl4) — row sections 0:4P / 4P:8P / 8P:12P, run-blocked inside
-    eqv3 = jnp.broadcast_to(eqv_m[None], (n_gp, 12 * n_pk, n_pk * nl4))
+    )  # (12, nl4) — row sections 0:4 / 4:8 / 8:12
+    eqv3 = jnp.broadcast_to(eqv_m[None], (n_gp, 12, nl4))
 
     levsel3 = jnp.broadcast_to(
-        _pblkj(jnp.asarray(selt_np.T) * lev_of_row[None, :].astype(_np.float32))[None],
-        (n_gp, 4 * n_pk, n_pk * nl4),
+        (jnp.asarray(selt_np.T) * lev_of_row[None, :].astype(_np.float32))[None],
+        (n_gp, 4, nl4),
     )
     p_f = P.astype(jnp.float32)
     pfull4 = jnp.broadcast_to(
-        jnp.tile(p_f, 4 * n_pk)[None, :, None], (n_gp, n_pk * nl4, n_sym)
+        jnp.tile(p_f, 4)[None, :, None], (n_gp, nl4, n_sym)
     )
     t_np = _np.arange(n_sym)
     inner_np = ((t_np >= mh) & (t_np < n_sym - mh)).astype(_np.float32)
     tmask32 = jnp.broadcast_to(
-        jnp.asarray(inner_np)[None, None, :], (n_gp, n_pk * nl4, n_sym)
+        jnp.asarray(inner_np)[None, None, :], (n_gp, nl4, n_sym)
     )
     ones_l = jnp.ones((n_gp, n_samp_mb, 8), jnp.float32)
-    # csum rows: p*8 + (0 = c_x, 1 = c_y, 2 = kl) (see the st row map in _kernel)
+    # csum rows: 0 = c_x, 1 = c_y, 2 = kl (see the st row map in _kernel)
     csum_np = _np.zeros((8, kst), _np.float32)
     csum_np[0, [0, 1, 12, 13, 16, 17, 20, 21]] = 1.0
     csum_np[0, [4, 5, 8, 9]] = -2.0
     csum_np[1, [2, 3, 14, 15, 18, 19, 22, 23]] = 1.0
     csum_np[1, [6, 7, 10, 11]] = -2.0
     csum_np[2, 24:kst] = 1.0
-    csum3 = bcast(_pblkn(csum_np))
+    csum3 = bcast(csum_np)
     permcat_np = _np.zeros((4 * m, 4 * m), _np.float32)  # blockdiag(perm_e, perm_o)
     permcat_np[: 4 * mhe, : 4 * mhe] = _win_perm(mhe)
     permcat_np[4 * mhe :, 4 * mhe :] = _win_perm(mh)
-    permcat3 = bcast(_pblkn(permcat_np))
+    permcat3 = bcast(permcat_np)
     # hmix: ONE constant whose dot against h builds every h-derived operand.
     # Rows 0-15 (cols 0:8): the ctd signed-copy mixes, row b*4 + (chi*2 + k)
     # = the b-th lane block of D_re (k=0: +/-h[chi*4+b]) / D_im (k=1:
     # +h[chi*4 + (b^1)]); rows 16-31: the ct2 mixes, row 16 + b*4 +
-    # (nu*2 + c'); rows 32:32+4P (full 8P cols): the |h|^2 row-pair sums.
-    hmix_np = _np.zeros((32 + 4 * n_pk, 8 * n_pk), _np.float32)
+    # (nu*2 + c'); rows 32:36 (full 8 cols): the |h|^2 row-pair sums.
+    hmix_np = _np.zeros((36, 8), _np.float32)
     for b in range(4):
         for chi in range(2):
             hmix_np[b * 4 + chi * 2, chi * 4 + b] = 1.0 if b % 2 == 0 else -1.0
@@ -953,10 +861,9 @@ def vae_dp_frame_train_pallas_rb(
                     4 * (b // 2) + nu * 2 + (1 - b % 2)] = (
                 -1.0 if b % 2 == 0 else 1.0
             )
-    for p in range(n_pk):
-        for g in range(4):
-            hmix_np[32 + 4 * p + g, 8 * p + 2 * g] = 1.0
-            hmix_np[32 + 4 * p + g, 8 * p + 2 * g + 1] = 1.0
+    for g in range(4):
+        hmix_np[32 + g, 2 * g] = 1.0
+        hmix_np[32 + g, 2 * g + 1] = 1.0
     hmix3 = bcast(hmix_np)
 
     # w-group lanes are K-MAJOR (lane k*4 + i) to match the in-kernel
@@ -968,27 +875,6 @@ def vae_dp_frame_train_pallas_rb(
     vw2 = _wkm(opt["vw"])
     mh8 = _to_parity_major(opt["mh"].reshape(n_rb, 8, m))
     vh8 = _to_parity_major(opt["vh"].reshape(n_rb, 8, m))
-    if n_pk > 1:
-        # pack P consecutive runs per batch element: w-group tensors become
-        # block-diag (run p's (2, 4M) block at rows 2p, lanes 4M*p), h-group
-        # tensors stack along sublanes (plain reshape); the im2col inputs
-        # stack their row axes (reshape below, after the vmapped arrange)
-        def _wpack(a):
-            g = a.reshape(n_gp, n_pk, 2, 4 * m)
-            out = jnp.zeros((n_gp, 2 * n_pk, 4 * m * n_pk), a.dtype)
-            for p in range(n_pk):
-                out = out.at[:, 2 * p : 2 * p + 2,
-                             4 * m * p : 4 * m * (p + 1)].set(g[:, p])
-            return out
-
-        w2, mw2, vw2 = _wpack(w2), _wpack(mw2), _wpack(vw2)
-        h8 = h8.reshape(n_gp, 8 * n_pk, m)
-        mh8 = mh8.reshape(n_gp, 8 * n_pk, m)
-        vh8 = vh8.reshape(n_gp, 8 * n_pk, m)
-        xin_s = xin_s.reshape(m_max, n_gp, n_pk * 16, l_in)
-        rxe = rxe.reshape(m_max, n_gp, 4 * n_pk, n_sym)
-        rxo = rxo.reshape(m_max, n_gp, 4 * n_pk, n_sym)
-        wmask3 = bcast(_pblkn(_np.ones((2, 4 * m), _np.float32)))
     per_run_lr = jnp.ndim(lr) > 0
     if per_run_lr and jnp.shape(lr) != (n_rb,):
         raise ValueError(f"per-run lr must have shape ({n_rb},), got {jnp.shape(lr)}")
@@ -1005,19 +891,18 @@ def vae_dp_frame_train_pallas_rb(
 
     sdt = jnp.bfloat16 if stream_bf16 else jnp.float32
     kernel = functools.partial(
-        _kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb, n_pk=n_pk,
-        stream_dtype=sdt, per_run_lr=per_run_lr, emit_eval=emit_eval, cut=cut,
+        _kernel, n_sym=n_sym, m=m, n_lev=n_lev, n_rb=n_rb,
+        stream_dtype=sdt, per_run_lr=per_run_lr, emit_eval=emit_eval,
+        emit_q=emit_q, cut=cut,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     per_mb4 = lambda c, l: pl.BlockSpec(
         (1, n_gp, c, l), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    pk = n_pk  # row scale of every per-run scratch/output
-
     in_specs = [
-        per_mb4(pk * 16, l_in),  # padded signed parity rows (in-kernel im2col)
-        per_mb4(4 * pk, n_sym),
-        per_mb4(4 * pk, n_sym),
+        per_mb4(16, l_in),  # padded signed parity rows (in-kernel im2col)
+        per_mb4(4, n_sym),
+        per_mb4(4, n_sym),
         full(), full(),  # parity-major mask + its transpose
         full(), full(), full(), full(),  # selv/selt/sels/eqv
         full(), full(), full(), full(),  # amp232n, selta8, sels2, ones128
@@ -1034,91 +919,83 @@ def vae_dp_frame_train_pallas_rb(
         w2, h8, mw2, vw2, mh8, vh8, scal,
     ]
     scratch_shapes = [
-        pltpu.VMEM((n_gp, 2 * pk, pk * 4 * m), jnp.float32),  # w (block-diag)
-        pltpu.VMEM((n_gp, 8 * pk, m), jnp.float32),  # h (parity-major)
-        pltpu.VMEM((n_gp, 2 * pk, pk * 4 * m), jnp.float32),  # mw
-        pltpu.VMEM((n_gp, 2 * pk, pk * 4 * m), jnp.float32),  # vw
-        pltpu.VMEM((n_gp, 8 * pk, m), jnp.float32),  # mh
-        pltpu.VMEM((n_gp, 8 * pk, m), jnp.float32),  # vh
-        pltpu.VMEM((n_gp, pk * 4 * n_lev, n_sym), jnp.float32),  # q
-        pltpu.VMEM((n_gp, pk * 4 * m, n_sym - mh), jnp.float32),  # eqwin (e|o stack)
-        pltpu.VMEM((n_gp, pk * 4 * m, n_sym), jnp.float32),  # gdwin (e|o stack)
-        pltpu.VMEM((n_gp, 8 * pk, m), jnp.float32),  # gh assembly
-        pltpu.VMEM((n_gp, 8 * pk, pk * 4 * m), jnp.float32),  # ctd (block-diag coeffs)
-        pltpu.VMEM((n_gp, 4 * pk, pk * 4 * m), jnp.float32),  # ct2 (lane-concat coeffs)
-        pltpu.VMEM((n_gp, 4 * pk + 1, n_sym), jnp.float32),  # out rows + ones row
-        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # Eq rows
-        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # Var rows
-        pltpu.VMEM((n_gp, 8 * pk, n_sym - mh), jnp.float32),  # d (e|o rows)
-        pltpu.VMEM((n_gp, 8 * pk, n_sym - mh), jnp.float32),  # gd (e|o rows)
-        pltpu.VMEM((n_gp, 8 * pk, pk * 4 * m), jnp.float32),  # ghm (e|o rows)
-        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # gEq rows
-        pltpu.VMEM((n_gp, 2 * pk, n_sym), jnp.float32),  # gV rows
-        pltpu.VMEM((n_gp, 4 * pk, m), jnp.float32),  # |h|^2 rows
-        pltpu.VMEM((n_gp, 2 * pk, m), jnp.float32),  # S rows (parity-major)
+        pltpu.VMEM((n_gp, 2, 4 * m), jnp.float32),  # w
+        pltpu.VMEM((n_gp, 8, m), jnp.float32),  # h (parity-major)
+        pltpu.VMEM((n_gp, 2, 4 * m), jnp.float32),  # mw
+        pltpu.VMEM((n_gp, 2, 4 * m), jnp.float32),  # vw
+        pltpu.VMEM((n_gp, 8, m), jnp.float32),  # mh
+        pltpu.VMEM((n_gp, 8, m), jnp.float32),  # vh
+        pltpu.VMEM((n_gp, 4 * n_lev, n_sym), jnp.float32),  # q
+        pltpu.VMEM((n_gp, 4 * m, n_sym - mh), jnp.float32),  # eqwin (e|o stack)
+        pltpu.VMEM((n_gp, 4 * m, n_sym), jnp.float32),  # gdwin (e|o stack)
+        pltpu.VMEM((n_gp, 8, m), jnp.float32),  # gh assembly
+        pltpu.VMEM((n_gp, 8, 4 * m), jnp.float32),  # ctd (block-diag coeffs)
+        pltpu.VMEM((n_gp, 4, 4 * m), jnp.float32),  # ct2 (lane-concat coeffs)
+        pltpu.VMEM((n_gp, 5, n_sym), jnp.float32),  # out rows + ones row
+        pltpu.VMEM((n_gp, 4, n_sym), jnp.float32),  # Eq rows
+        pltpu.VMEM((n_gp, 4, n_sym), jnp.float32),  # Var rows
+        pltpu.VMEM((n_gp, 8, n_sym - mh), jnp.float32),  # d (e|o rows)
+        pltpu.VMEM((n_gp, 8, n_sym - mh), jnp.float32),  # gd (e|o rows)
+        pltpu.VMEM((n_gp, 8, 4 * m), jnp.float32),  # ghm (e|o rows)
+        pltpu.VMEM((n_gp, 4, n_sym), jnp.float32),  # gEq rows
+        pltpu.VMEM((n_gp, 2, n_sym), jnp.float32),  # gV rows
+        pltpu.VMEM((n_gp, 4, m), jnp.float32),  # |h|^2 rows
+        pltpu.VMEM((n_gp, 2, m), jnp.float32),  # S rows (parity-major)
         pltpu.VMEM((n_gp, 4, n_sym + mhe - 1), jnp.float32),  # gd padded
-        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # gout rows
-        pltpu.VMEM((n_gp, 2 * pk, 2 * n_sym), jnp.float32),  # gout I|Q concat
-        pltpu.VMEM((n_gp, pk, 128), jnp.float32),  # stats rows (one per run)
-        pltpu.VMEM((n_gp, 4 * pk, n_sym), jnp.float32),  # per-comp min rows
-        pltpu.VMEM((n_gp, 12 * pk, n_sym), jnp.float32),  # EQV moment rows
-        pltpu.VMEM((n_gp, pk * kst, n_samp_mb), jnp.float32),  # sum stack
-        pltpu.VMEM((n_gp, 8 * pk, 128), jnp.float32),  # combined sums
-        pltpu.VMEM((n_gp, 8 * pk, n_sym), jnp.float32),  # stacked (gE; gVar) rows
-        pltpu.VMEM((n_gp, 4 * pk, n_sym - mh), jnp.float32),  # gfac rows
+        pltpu.VMEM((n_gp, 4, n_sym), jnp.float32),  # gout rows
+        pltpu.VMEM((n_gp, 2, 2 * n_sym), jnp.float32),  # gout I|Q concat
+        pltpu.VMEM((n_gp, 1, 128), jnp.float32),  # stats row
+        pltpu.VMEM((n_gp, 4, n_sym), jnp.float32),  # per-comp min rows
+        pltpu.VMEM((n_gp, 12, n_sym), jnp.float32),  # EQV moment rows
+        pltpu.VMEM((n_gp, kst, n_samp_mb), jnp.float32),  # sum stack
+        pltpu.VMEM((n_gp, 8, 128), jnp.float32),  # combined sums
+        pltpu.VMEM((n_gp, 8, n_sym), jnp.float32),  # stacked (gE; gVar) rows
+        pltpu.VMEM((n_gp, 4, n_sym - mh), jnp.float32),  # gfac rows
         pltpu.VMEM((n_gp, 32, m), jnp.float32),  # h signed-mix park (ctd/ct2)
-        pltpu.VMEM((n_gp, pk * 4 * m, 2 * n_sym), jnp.float32),  # im2col
+        pltpu.VMEM((n_gp, 4 * m, 2 * n_sym), jnp.float32),  # im2col
     ]
-    if n_pk > 1:
-        in_specs.append(full())  # wmask (gw off-block zeroing)
-        inputs.append(wmask3)
-        scratch_shapes += [
-            pltpu.VMEM((n_gp, 2 * pk, n_sym), jnp.float32),  # vsum rows
-            pltpu.VMEM((n_gp, 2 * pk, m), jnp.float32),  # gco rows
-        ]
     if per_run_lr:
-        # run p of group g gets lr[g*pk + p] over its whole row block; the
-        # w-layout off-block lanes are moot (their Adam moments stay zero
-        # under wmask, so the update there is zero for any lr)
-        lr_g = jnp.asarray(lr, jnp.float32).reshape(n_gp, n_pk)
-        lrw3 = jnp.broadcast_to(
-            jnp.repeat(lr_g, 2, axis=1)[:, :, None],
-            (n_gp, 2 * n_pk, n_pk * 4 * m),
-        )
-        lrh3 = jnp.broadcast_to(
-            jnp.repeat(lr_g, 8, axis=1)[:, :, None], (n_gp, 8 * n_pk, m)
-        )
+        # run r gets lr[r] over its whole row block
+        lr_g = jnp.asarray(lr, jnp.float32)[:, None, None]
+        lrw3 = jnp.broadcast_to(lr_g, (n_gp, 2, 4 * m))
+        lrh3 = jnp.broadcast_to(lr_g, (n_gp, 8, m))
         in_specs += [full(), full()]
         inputs += [lrw3, lrh3]
     if emit_eval:
         in_specs.append(full())
         inputs.append(levsel3)
 
+    if not emit_q and not emit_eval:
+        raise ValueError("emit_q=False requires emit_eval=True (nothing "
+                         "would carry the posterior information out)")
     out_shape = [
-        jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
-        jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
-        jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
-        jax.ShapeDtypeStruct((n_gp, 2 * pk, pk * 4 * m), jnp.float32),
-        jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
-        jax.ShapeDtypeStruct((n_gp, 8 * pk, m), jnp.float32),
-        jax.ShapeDtypeStruct((m_max, n_gp, pk, 128), jnp.float32),
-        jax.ShapeDtypeStruct((m_max, n_gp, pk * 4 * n_lev, n_sym), sdt),
-        jax.ShapeDtypeStruct((m_max, n_gp, 4 * pk, n_sym), sdt),
+        jax.ShapeDtypeStruct((n_gp, 2, 4 * m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 8, m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 2, 4 * m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 2, 4 * m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 8, m), jnp.float32),
+        jax.ShapeDtypeStruct((n_gp, 8, m), jnp.float32),
+        jax.ShapeDtypeStruct((m_max, n_gp, 1, 128), jnp.float32),
     ]
     out_specs = [
         full(), full(), full(), full(), full(), full(),
-        pl.BlockSpec((1, n_gp, pk, 128), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
-        per_mb4(pk * 4 * n_lev, n_sym),
-        per_mb4(4 * pk, n_sym),
+        pl.BlockSpec((1, n_gp, 1, 128), lambda mi: (mi, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
+    if emit_q:
+        out_shape.append(jax.ShapeDtypeStruct((m_max, n_gp, 4 * n_lev, n_sym), sdt))
+        out_specs.append(per_mb4(4 * n_lev, n_sym))
+    out_shape.append(jax.ShapeDtypeStruct((m_max, n_gp, 4, n_sym), sdt))
+    out_specs.append(per_mb4(4, n_sym))
     if emit_eval:
         out_shape += [
-            jax.ShapeDtypeStruct((m_max, n_gp, 4 * pk, n_sym), sdt),
-            jax.ShapeDtypeStruct((m_max, n_gp, 2 * pk, n_sym), sdt),
+            jax.ShapeDtypeStruct((m_max, n_gp, 4, n_sym), sdt),  # dec
+            jax.ShapeDtypeStruct((m_max, n_gp, 2, n_sym), sdt),  # E_q[x^I]
+            jax.ShapeDtypeStruct((m_max, n_gp, 4, n_sym), sdt),  # mm
+            jax.ShapeDtypeStruct((m_max, n_gp, 4, n_sym), sdt),  # s1
         ]
-        out_specs += [per_mb4(4 * pk, n_sym), per_mb4(2 * pk, n_sym)]
-    (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, q_all, out_all,
-     *eval_all) = pl.pallas_call(
+        out_specs += [per_mb4(4, n_sym), per_mb4(2, n_sym),
+                      per_mb4(4, n_sym), per_mb4(4, n_sym)]
+    (w_o, h_o, mw_o, vw_o, mh_o, vh_o, stats, *streams) = pl.pallas_call(
         kernel,
         grid=(m_max,),
         out_shape=tuple(out_shape),
@@ -1126,42 +1003,29 @@ def vae_dp_frame_train_pallas_rb(
         out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
         # stream buffers + scratch exceed the 16 MiB default scoped-vmem
-        # limit past ~8 runs/group (rb=16 or pack=2 x rb=16); the v5e has
+        # limit past ~8 runs/group (rb=16); the v5e has
         # 128 MiB physical VMEM, so raise the compile-time cap (the limit
         # gates allocation only — configs under 16 MiB are unaffected)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
-
-    if n_pk > 1:
-        # unpack: block-diag w-group blocks back to a runs axis; sublane
-        # stacks are plain reshapes (consecutive runs)
-        def _wunpack(a):
-            parts = [a[:, 2 * p : 2 * p + 2, 4 * m * p : 4 * m * (p + 1)]
-                     for p in range(n_pk)]
-            return jnp.stack(parts, axis=1).reshape(n_rb, 2, 4 * m)
-
-        w_o, mw_o, vw_o = _wunpack(w_o), _wunpack(mw_o), _wunpack(vw_o)
-        h_o = h_o.reshape(n_rb, 8, m)
-        mh_o = mh_o.reshape(n_rb, 8, m)
-        vh_o = vh_o.reshape(n_rb, 8, m)
-        stats = stats.reshape(m_max, n_rb, 1, 128)
-        q_all = q_all.reshape(m_max, n_rb, 4 * n_lev, n_sym)
-        out_all = out_all.reshape(m_max, n_rb, 4, n_sym)
-        if emit_eval:
-            eval_all = [eval_all[0].reshape(m_max, n_rb, 4, n_sym),
-                        eval_all[1].reshape(m_max, n_rb, 2, n_sym)]
+    if emit_q:
+        q_all, *streams = streams
+    out_all, *eval_all = streams
 
     losses = stats[:, :, 0, 0]  # (m_max, R)
     var_est = stats[:, :, 0, 1:3]  # (m_max, R, 2)
-    q4 = q_all.reshape(m_max, n_rb, 4, n_lev, n_sym)
-    q = jnp.stack(
-        [
-            jnp.concatenate([q4[:, :, 0], q4[:, :, 2]], axis=2),
-            jnp.concatenate([q4[:, :, 1], q4[:, :, 3]], axis=2),
-        ],
-        axis=2,
-    )  # (m_max, R, 2, 2*n_lev, n_sym)
+    if emit_q:
+        q4 = q_all.reshape(m_max, n_rb, 4, n_lev, n_sym)
+        q = jnp.stack(
+            [
+                jnp.concatenate([q4[:, :, 0], q4[:, :, 2]], axis=2),
+                jnp.concatenate([q4[:, :, 1], q4[:, :, 3]], axis=2),
+            ],
+            axis=2,
+        )  # (m_max, R, 2, 2*n_lev, n_sym)
+    else:
+        q = None
     out = jnp.stack(
         [
             jnp.stack([out_all[:, :, 0], out_all[:, :, 2]], axis=2),
@@ -1187,16 +1051,19 @@ def vae_dp_frame_train_pallas_rb(
     )
     if not emit_eval:
         return base
-    # dec rows are comp-order like q (xI, yI, xQ, yQ); eq rows are per pol
-    d4, eq2 = eval_all
-    dec = jnp.stack(
-        [
-            jnp.stack([d4[:, :, 0], d4[:, :, 2]], axis=2),
-            jnp.stack([d4[:, :, 1], d4[:, :, 3]], axis=2),
-        ],
-        axis=2,
-    )  # (m_max, R, 2pol, 2comp, n_sym)
-    return base + (dec, eq2)
+    # dec/mm/s1 rows are comp-order like q (xI, yI, xQ, yQ); eq rows per pol
+    d4, eq2, mm4, s14 = eval_all
+
+    def to_pol(a4):  # (m_max, R, 4, N) comp order -> (m_max, R, 2, 2, N)
+        return jnp.stack(
+            [
+                jnp.stack([a4[:, :, 0], a4[:, :, 2]], axis=2),
+                jnp.stack([a4[:, :, 1], a4[:, :, 3]], axis=2),
+            ],
+            axis=2,
+        )
+
+    return base + (to_pol(d4), eq2, to_pol(mm4), to_pol(s14))
 
 
 
@@ -1204,7 +1071,7 @@ def vae_dp_frame_train_pallas_rb(
 def vae_dp_frame_train_pallas(
     w, h, opt, rx, amps, var, nu_sc, P, lr, step0, lr_half_step,
     *, bl_sym: int, stride_sym: int | None = None, interpret: bool = False,
-    emit_eval: bool = False,
+    emit_eval: bool = False, emit_q: bool = True,
 ):
     """Run one frame's FULL online training (all minibatches + Adam) fused.
 
@@ -1229,10 +1096,11 @@ def vae_dp_frame_train_pallas(
         w[None], h[None], jax.tree.map(lambda x: x[None], opt), rx[None],
         amps, var, nu_sc, P, lr, step0, lr_half_step,
         bl_sym=bl_sym, stride_sym=stride_sym, interpret=interpret,
-        emit_eval=emit_eval,
+        emit_eval=emit_eval, emit_q=emit_q,
     )
     base = (
         w_r[0], h_r[0], jax.tree.map(lambda x: x[0], opt_r),
-        losses[:, 0], var_est[:, 0], q[:, 0], out[:, 0],
+        losses[:, 0], var_est[:, 0],
+        None if q is None else q[:, 0], out[:, 0],
     )
     return base + tuple(a[:, 0] for a in ev)

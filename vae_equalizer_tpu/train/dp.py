@@ -39,6 +39,7 @@ from ..metrics import (
 from ..metrics.mi import (
     mutual_information_ambiguity,
     mutual_information_ambiguity_mb_sp,
+    mutual_information_ambiguity_mb_stats,
 )
 from ..metrics.sync import _dp_shift_core
 from ..models import (
@@ -140,7 +141,8 @@ def _dp_frame_eval(q_train, out_const, tx, amps, P, nu_sc, var, weight_fn):
 
 
 def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
-                      dec_mb=None, eq_mb=None):
+                      dec_mb=None, eq_mb=None, out_mb=None, mm_mb=None,
+                      s1_mb=None):
     """``_dp_frame_eval`` with the posteriors kept in MINIBATCH layout.
 
     q_mb: (n_mb, 2, 2*num_lev, bl), the training kernel's native output
@@ -154,10 +156,16 @@ def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
 
     With the kernel's in-kernel eval streams (round 4) — dec_mb
     (n_mb, 2, 2, bl) argmax level indices, eq_mb (n_mb, 2, bl) E_q[x^I] —
-    the sync and the soft-SER never read the posterior stream at all; only
-    the MI selection still makes one fused pass over q_mb.
+    the sync and the soft-SER never read the posterior stream at all; with
+    the round-5 demapper sufficient statistics (mm_mb/s1_mb + out_mb, 12
+    rows/symbol) the MI selection doesn't either (q_mb may then be None —
+    the kernel skips writing its largest stream entirely, emit_q=False).
     """
     num_lev = amps.shape[0]
+    use_stats_mi = mm_mb is not None
+    if use_stats_mi and (s1_mb is None or out_mb is None or dec_mb is None
+                         or eq_mb is None):
+        raise ValueError("stats MI needs out_mb, mm_mb, s1_mb, dec_mb, eq_mb")
     if eq_mb is None:
         shift, r = find_shift_dp_mb(q_mb, tx, 21, amps, corr_len=_SYNC_CORR_LEN)
     else:
@@ -172,11 +180,20 @@ def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
         dec = jnp.moveaxis(dec_mb, 0, 2).reshape(2, 2, n_mb * bl)
         dec = dec.astype(jnp.int32)
     ser_soft = jnp.roll(ser_iqflip_from_dec(dec, tx_al, num_lev, weight=w_al), r)
-    # single-read level sweep: ~2.1 vs ~3.1 ms/frame at R=128/rb=16/bf16 on
-    # v5e (tools/profile_eval.py mb_mi_sp vs mb_mi, artifacts/r4_eval_sp.log)
-    mi = jnp.roll(
-        mutual_information_ambiguity_mb_sp(q_mb, tx_al, amps, P, weight=w_al), r
-    )
+    if use_stats_mi:
+        # sufficient-statistics MI (round 5): reads the 12-row
+        # (out, mm, s1) streams instead of the 2n-row posterior stream
+        mi = jnp.roll(
+            mutual_information_ambiguity_mb_stats(
+                out_mb, mm_mb, s1_mb, tx_al, amps, P, nu_sc, var, weight=w_al
+            ), r
+        )
+    else:
+        # single-read level sweep: ~2.1 vs ~3.1 ms/frame at R=128/rb=16/bf16
+        # on v5e (tools/profile_eval.py mb_mi_sp vs mb_mi)
+        mi = jnp.roll(
+            mutual_information_ambiguity_mb_sp(q_mb, tx_al, amps, P, weight=w_al), r
+        )
 
     shift_c, r_c = find_shift_symb_dp(out_const, tx, 21, corr_len=_SYNC_CORR_LEN)
     w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
@@ -195,17 +212,21 @@ _CMA_FIELDS = (("loss", 1), ("ser_const", 2), ("ser_soft", 2), ("mi", 2),
 
 
 def _finish_vae_frame(losses, q_mb, out_mb, var_est, tx, const, amps, P, var,
-                      weight_fn, sigma, dec_mb=None, eq_mb=None):
+                      weight_fn, sigma, dec_mb=None, eq_mb=None, mm_mb=None,
+                      s1_mb=None):
     """Gather the minibatch scan outputs into frame streams, evaluate, and
-    pack the frame's metric vector (shared by the VAE and VAEflex loops)."""
-    n_out = q_mb.shape[0] * q_mb.shape[-1]
+    pack the frame's metric vector (shared by the VAE and VAEflex loops).
+
+    With the kernel's sufficient-statistics streams (mm_mb/s1_mb, round 5)
+    ``q_mb`` may be None — no eval stage reads the posterior stream."""
+    n_out = out_mb.shape[0] * out_mb.shape[-1]
     # only the (2, 2, N) constellation stream is packed time-major; the 16x
     # larger posterior tensor stays in minibatch layout (_dp_frame_eval_mb)
     out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
 
     ser_const, ser_soft, mi, shift, r = _dp_frame_eval_mb(
         q_mb, out_const, tx, amps, P, const.nu_sc, var, weight_fn,
-        dec_mb=dec_mb, eq_mb=eq_mb
+        dec_mb=dec_mb, eq_mb=eq_mb, out_mb=out_mb, mm_mb=mm_mb, s1_mb=s1_mb
     )
     snr_est = const.pow_mean / jnp.mean(var_est)
     metrics = {
@@ -241,7 +262,7 @@ def _default_runs_batch(runs: int, cap: int = 8) -> int:
 def _run_frame_kernel_experiment(
     cfg, key, gen, const, amps, P, var, *, steps_per_frame, stride_sym,
     tx_of, weight_fn, params, runs, mesh, progress, compiled, chunk_frames,
-    checkpoint, checkpoint_every, timings, runs_batch=None, runs_pack=1,
+    checkpoint, checkpoint_every, timings, runs_batch=None,
     stream_bf16=False, lr_vec=None, snr_vec=None,
 ):
     """Shared use_pallas="frame" experiment driver for VAE and VAEflex.
@@ -318,19 +339,18 @@ def _run_frame_kernel_experiment(
                 raise ValueError(
                     f"snr_vec must have shape ({runs},), got {snr_vec.shape}"
                 )
-            if runs_pack != 1:
-                raise ValueError("snr_vec requires runs_pack=1")
             snr_lin_runs = 10.0 ** (snr_vec / 10.0)
             var_runs = jax.vmap(
                 lambda s: jnp.full((2,), demapper_noise_var(const, s), jnp.float32)
             )(snr_vec).reshape(groups, rb, 2)
             var_groups = var_runs
 
-    def one_run_finish(losses, q_mb, out_mb, dec_mb, eq_mb, var_est, tx_full,
-                       sigma, var_r):
+    def one_run_finish(losses, out_mb, dec_mb, eq_mb, mm_mb, s1_mb, var_est,
+                       tx_full, sigma, var_r):
         return _finish_vae_frame(
-            losses, q_mb, out_mb, var_est, tx_of(tx_full), const, amps, P,
+            losses, None, out_mb, var_est, tx_of(tx_full), const, amps, P,
             var_r, weight_fn, sigma, dec_mb=dec_mb, eq_mb=eq_mb,
+            mm_mb=mm_mb, s1_mb=s1_mb,
         )
 
     def crop_flex(*streams):
@@ -343,17 +363,18 @@ def _run_frame_kernel_experiment(
         params, opt, count = carry
         if rb is None:
             rx, tx_full, sigma = gen(key, theta)
-            (w, h, opt, losses, var_est, q_mb, out_mb, dec_mb,
-             eq_mb) = vae_dp_frame_train_pallas(
+            (w, h, opt, losses, var_est, _, out_mb, dec_mb, eq_mb, mm_mb,
+             s1_mb) = vae_dp_frame_train_pallas(
                 params["w"], params["h"], opt, rx, amps, var, const.nu_sc, P,
                 jnp.float32(cfg.lr), count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
-                emit_eval=True,
+                emit_eval=True, emit_q=False,
             )
-            q_mb, out_mb, dec_mb, eq_mb = crop_flex(q_mb, out_mb, dec_mb, eq_mb)
+            out_mb, dec_mb, eq_mb, mm_mb, s1_mb = crop_flex(
+                out_mb, dec_mb, eq_mb, mm_mb, s1_mb)
             packed = one_run_finish(
-                losses, q_mb, out_mb, dec_mb, eq_mb, var_est, tx_full, sigma,
-                var
+                losses, out_mb, dec_mb, eq_mb, mm_mb, s1_mb, var_est, tx_full,
+                sigma, var
             )
             return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 
@@ -367,25 +388,28 @@ def _run_frame_kernel_experiment(
         rx_g = rx.reshape((groups, rb) + rx.shape[1:])
 
         def kernel_group(p, o, rxg, lrg, varg):
-            return vae_dp_frame_train_pallas_rb(
+            res = vae_dp_frame_train_pallas_rb(
                 p["w"], p["h"], o, rxg, amps, varg, const.nu_sc, P,
                 lrg, count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
-                pack=runs_pack, stream_bf16=stream_bf16, emit_eval=True,
+                stream_bf16=stream_bf16, emit_eval=True, emit_q=False,
             )
+            # drop the q slot (None when emit_q=False): vmap carries arrays
+            return res[:5] + res[6:]
 
-        (w, h, opt, losses, var_est, q_mb, out_mb, dec_mb,
-         eq_mb) = jax.vmap(kernel_group)(
+        (w, h, opt, losses, var_est, out_mb, dec_mb, eq_mb, mm_mb,
+         s1_mb) = jax.vmap(kernel_group)(
             params, opt, rx_g, lr_groups, var_groups
         )
         # batched eval via nested (groups, rb) vmaps — flattening the kernel
         # outputs to a runs axis first would transpose ~MB/run per frame
-        q_mb, out_mb, dec_mb, eq_mb = crop_flex(q_mb, out_mb, dec_mb, eq_mb)
+        out_mb, dec_mb, eq_mb, mm_mb, s1_mb = crop_flex(
+            out_mb, dec_mb, eq_mb, mm_mb, s1_mb)
         tx_g = tx_full.reshape((groups, rb) + tx_full.shape[1:])
         sigma_g = sigma.reshape((groups, rb) + sigma.shape[1:])
         packed = jax.vmap(
-            jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 1, 1, 0, 0, 0))
-        )(losses, q_mb, out_mb, dec_mb, eq_mb, var_est, tx_g, sigma_g,
+            jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 1, 1, 1, 0, 0, 0))
+        )(losses, out_mb, dec_mb, eq_mb, mm_mb, s1_mb, var_est, tx_g, sigma_g,
           var_runs)  # (groups, rb, n_tot)
         packed = packed.reshape((runs,) + packed.shape[2:])
         return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
@@ -421,7 +445,6 @@ def train_vae_dp(
     timings: dict | None = None,
     chunk_frames: int = 1,
     runs_batch: int | None = None,
-    runs_pack: int = 1,
     stream_bf16: bool = False,
     lr_vec=None,
     snr_vec=None,
@@ -462,7 +485,7 @@ def train_vae_dp(
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
-            runs_batch=runs_batch, runs_pack=runs_pack, stream_bf16=stream_bf16,
+            runs_batch=runs_batch, stream_bf16=stream_bf16,
             lr_vec=lr_vec, snr_vec=snr_vec,
         )
 
@@ -531,7 +554,6 @@ def train_vae_flex_dp(
     timings: dict | None = None,
     chunk_frames: int = 1,
     runs_batch: int | None = None,
-    runs_pack: int = 1,
     stream_bf16: bool = False,
     lr_vec=None,
     snr_vec=None,
@@ -572,7 +594,7 @@ def train_vae_flex_dp(
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
-            runs_batch=runs_batch, runs_pack=runs_pack, stream_bf16=stream_bf16,
+            runs_batch=runs_batch, stream_bf16=stream_bf16,
             lr_vec=lr_vec, snr_vec=snr_vec,
         )
 

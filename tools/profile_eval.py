@@ -210,7 +210,10 @@ def main():
             acc = acc + ser_soft.sum()
             if part == "mb_soft":
                 return acc
-            if part == "mb_mi_st":
+            if part == "mb_mi_st" or (mm_mb is not None
+                                      and part not in ("mb_mi", "mb_mi_sp")):
+                # the production MI when stats are available (and always for
+                # the mb_mi_st part); the q-form parts explicitly opt out
                 from vae_equalizer_tpu.metrics.mi import (
                     mutual_information_ambiguity_mb_stats,
                 )
@@ -218,12 +221,13 @@ def main():
                 mi = jnp.roll(mutual_information_ambiguity_mb_stats(
                     out_mb, mm_mb, s1_mb, tx_al, amps, P, const.nu_sc, var,
                     weight=w_al), r)
-                return acc + mi.sum()
-            mi_fn = (mutual_information_ambiguity_mb_sp
-                     if part == "mb_mi_sp" else mutual_information_ambiguity_mb)
-            mi = jnp.roll(mi_fn(q_mb, tx_al, amps, P, weight=w_al), r)
+            else:
+                mi_fn = (mutual_information_ambiguity_mb_sp
+                         if part == "mb_mi_sp"
+                         else mutual_information_ambiguity_mb)
+                mi = jnp.roll(mi_fn(q_mb, tx_al, amps, P, weight=w_al), r)
             acc = acc + mi.sum()
-            if part in ("mb_mi", "mb_mi_sp"):
+            if part in ("mb_mi", "mb_mi_sp", "mb_mi_st"):
                 return acc
             out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
             shift_c, r_c = find_shift_symb_dp(out_const, tx, 21,

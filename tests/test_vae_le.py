@@ -111,3 +111,32 @@ def test_elbo_dp_differentiable(golden):
     grad = jax.grad(f)(jnp.asarray(g["h_est"]))
     assert np.all(np.isfinite(np.asarray(grad)))
     assert float(jnp.max(jnp.abs(grad))) > 0
+
+
+def test_siso_forward_runs_matches_vmapped():
+    """The runs-batched SISO eval forward (im2col batched dot, round 5) must
+    equal jax.vmap of the conv form — same outputs, same posteriors — for
+    odd/even-ish shapes of the reference eval config family."""
+    import jax
+
+    from vae_equalizer_tpu.models import (
+        vae_le_siso_forward,
+        vae_le_siso_forward_runs,
+    )
+
+    rng = np.random.default_rng(3)
+    num_lev, m_est, L, R = 8, 25, 600, 3
+    amps = jnp.asarray(
+        (2 * np.arange(num_lev) - (num_lev - 1)) / np.sqrt(2 * (num_lev**2 - 1) / 3),
+        jnp.float32,
+    )
+    w = jnp.asarray(rng.normal(size=(R, 1, 2, m_est)).astype(np.float32) * 0.2)
+    x = jnp.asarray(rng.normal(size=(R, 2, L)).astype(np.float32))
+    q_ref, out_ref = jax.vmap(
+        lambda wr, xr: vae_le_siso_forward(wr, xr, amps, 0.8, 0.05, 2)
+    )(w, x)
+    q, out = vae_le_siso_forward_runs(w, x, amps, 0.8, 0.05, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref),
+                               rtol=1e-5, atol=1e-6)

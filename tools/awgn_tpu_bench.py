@@ -28,7 +28,8 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def measure(runner_name: str, epochs: int, runs: int, rb: int) -> list[dict]:
+def measure(runner_name: str, epochs: int, runs: int, rb: int,
+            which: tuple = ("compiled", "frame", "rb")) -> list[dict]:
     import jax
     import numpy as np
 
@@ -44,9 +45,12 @@ def measure(runner_name: str, epochs: int, runs: int, rb: int) -> list[dict]:
         runner = train_vae_nn_awgn
     n_train_total = cfg.num_epochs * cfg.n_train
 
-    cases = [("compiled", {"compiled": True}, 1),
-             ("frame-kernel", {"use_pallas": "frame"}, 1)]
-    if runner_name == "vaele" and runs:
+    cases = []
+    if "compiled" in which:
+        cases.append(("compiled", {"compiled": True}, 1))
+    if "frame" in which:
+        cases.append(("frame-kernel", {"use_pallas": "frame"}, 1))
+    if runner_name == "vaele" and runs and "rb" in which:
         cases.append((f"frame-kernel-rb{rb}x{runs}",
                       {"use_pallas": "frame", "runs": runs, "runs_batch": rb},
                       runs))
@@ -72,6 +76,11 @@ def main():
     ap.add_argument("--rb", type=int, default=5,
                     help="kernel-level runs batch for the aggregate row")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--cases", nargs="*", default=["compiled", "frame", "rb"],
+                    help="which rows to measure (compiled/frame/rb) — the "
+                         "compiled XLA-scan row OOMs the 16 GiB HBM at AOT "
+                         "compile on this backend (it materializes the "
+                         "full per-eval stream; round-5 log)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU plumbing check (pallas interpret mode)")
     args = ap.parse_args()
@@ -96,7 +105,8 @@ def main():
 
     names = ["vaele", "vaenn"] if args.runner == "all" else [args.runner]
     for name in names:
-        for row in measure(name, args.epochs, args.runs, args.rb):
+        for row in measure(name, args.epochs, args.runs, args.rb,
+                           which=tuple(args.cases)):
             print(json.dumps(row), flush=True)
 
 

@@ -5,6 +5,7 @@ from .vae_le import (
     vae_le_dp_forward,
     siso_fir_init,
     vae_le_siso_forward,
+    vae_le_siso_forward_runs,
     soft_demap_dp,
 )
 from .losses import elbo_dp, elbo_siso
@@ -17,6 +18,7 @@ __all__ = [
     "vae_le_dp_forward",
     "siso_fir_init",
     "vae_le_siso_forward",
+    "vae_le_siso_forward_runs",
     "soft_demap_dp",
     "elbo_dp",
     "elbo_siso",

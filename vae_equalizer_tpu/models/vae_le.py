@@ -98,6 +98,62 @@ def vae_le_dp_forward(
 # --------------------------------------------------------------------- SISO
 
 
+def vae_le_siso_forward_runs(
+    w_r: jnp.ndarray,
+    x_r: jnp.ndarray,
+    amps: jnp.ndarray,
+    amp_mean: float,
+    var,
+    sps: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``vae_le_siso_forward`` batched over a leading runs axis.
+
+    w_r: (R, 1, 2, M); x_r: (R, 2, L) -> (q (R, 2n, N), out (R, 2, N)).
+    A ``jax.vmap`` of the conv form batches over the FILTER operand, which
+    this backend lowers through a copy that puts the size-2 I/Q dim in
+    lanes — a 256x-padded layout that cost ~7.4 s of a 7.7 s 20-run AWGN
+    aggregate (round-5 probe, artifacts/r5_awgn_bench_rb.log). Here the
+    strided correlation is an im2col batched matmul instead: col k of the
+    stride-2 im2col is the contiguous parity-(k%2) slice starting at lane
+    k//2 (the polyphase identity of ops/siso_frame_kernel.py), and the
+    per-run contraction is ONE batched dot_general.
+    """
+    assert sps == 2, "runs-batched eval forward is sps=2 only"
+    r_n, _, L = x_r.shape
+    m_est = w_r.shape[-1]
+    pad = (m_est - 1) // 2
+    n_out = (L + 2 * pad - m_est) // sps + 1
+
+    def corr(xc):  # (R, 2, L) signed component arrangement -> (R, N)
+        xp = jnp.pad(xc, ((0, 0), (0, 0), (pad, pad + m_est)))
+        half = xp.shape[-1] // 2
+        xph = xp[..., : 2 * half].reshape(r_n, 2, half, 2)
+        xe, xo = xph[..., 0], xph[..., 1]  # (R, 2, half)
+        rows = [
+            (xe if k % 2 == 0 else xo)[:, :, k // 2 : k // 2 + n_out]
+            for k in range(m_est)
+        ]
+        cols = jnp.stack(rows, axis=2).reshape(r_n, 2 * m_est, n_out)
+        out = jax.lax.dot_general(
+            w_r.reshape(r_n, 1, 2 * m_est), cols,
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )  # (R, 1, N)
+        return out[:, 0]
+
+    x_i = jnp.stack([x_r[:, 0], x_r[:, 1]], axis=1)
+    x_q = jnp.stack([x_r[:, 1], -x_r[:, 0]], axis=1)
+    out_i = corr(x_i)
+    out_q = corr(x_q)
+    out = jnp.stack([out_i, out_q], axis=1)  # (R, 2, N)
+    norm_i = out_i / jnp.mean(jnp.abs(out_i), axis=-1, keepdims=True) * amp_mean
+    norm_q = out_q / jnp.mean(jnp.abs(out_q), axis=-1, keepdims=True) * amp_mean
+    d_i = norm_i[:, None, :] - amps[None, :, None]
+    d_q = norm_q[:, None, :] - amps[None, :, None]
+    q_i = jax.nn.softmax(-(d_i * d_i) / var, axis=1)
+    q_q = jax.nn.softmax(-(d_q * d_q) / var, axis=1)
+    return jnp.concatenate([q_i, q_q], axis=1), out
+
+
 def siso_fir_init(m_est: int, dtype=jnp.float32) -> jnp.ndarray:
     """Dirac-initialized SISO kernel (1, 2, M): w[0, 0, M//2] = 1."""
     w = np.zeros((1, 2, m_est), np.float32)

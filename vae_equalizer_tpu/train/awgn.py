@@ -209,7 +209,12 @@ def _run_siso_frame_experiment(
             q, _ = vae_le_siso_forward(w_e, rx_v, amps, amp_mean, var, cfg.sps)
             return _siso_eval_pack(q, tx_v, cfg.n_valid, const, amps, P)
 
-        packed = jax.vmap(one_eval)(w_ev[:n_evals], eks)
+        # lax.map (sequential scan), not vmap: batching all n_evals
+        # validation forwards at once materializes a (n_evals, 2, n_samp)
+        # operand whose bf16 copy this backend lays out with the size-2 pol
+        # dim in lanes — a 256x padding blowup that exceeded HBM at the
+        # compile step for the rb case (round-5 awgn_tpu_bench log)
+        packed = jax.lax.map(lambda p_: one_eval(*p_), (w_ev[:n_evals], eks))
         return packed, {"w": w1, "h": h1}
 
     def _timed(fn):
@@ -249,17 +254,37 @@ def _run_siso_frame_experiment(
             rx_all, _ = jax.vmap(gen_train)(tks)  # (E, 2, n_samp)
             return rx_all
 
-        def eval_run(key_run, w_ev_r):
-            eks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-                eval_keys, key_run[0]
-            )
+        def eval_all(w_ev_r):
+            # (runs, n_evals) eval grid, sequential over EVALS (lax.map)
+            # with all runs batched per step. The per-run forward is the
+            # im2col batched dot (vae_le_siso_forward_runs): a vmapped conv
+            # with per-run filters lowered through a 256x-padded copy on
+            # this backend — it was 7.4 s of the 7.7 s 20-run aggregate
+            # (round-5 probe) — and the kernel+gen are 0.13 s without it.
+            from ..models import vae_le_siso_forward_runs
 
-            def one_eval(w_e, ek):
-                rx_v, tx_v = gen_valid(ek)
-                q, _ = vae_le_siso_forward(w_e, rx_v, amps, amp_mean, var, cfg.sps)
-                return _siso_eval_pack(q, tx_v, cfg.n_valid, const, amps, P)
+            eks_r = jax.vmap(
+                lambda rid: jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                    eval_keys, rid[0]
+                )
+            )(run_ids)  # (runs, n_evals, 2)
 
-            return jax.vmap(one_eval)(w_ev_r[:n_evals], eks)
+            def one_eval_all(inp):
+                w_e, eks = inp  # (runs, 1, 2, M), (runs, 2)
+                rx_v, tx_v = jax.vmap(gen_valid)(eks)
+                q, _ = vae_le_siso_forward_runs(
+                    w_e, rx_v, amps, amp_mean, var, cfg.sps
+                )
+                return jax.vmap(
+                    lambda qq, tt: _siso_eval_pack(
+                        qq, tt, cfg.n_valid, const, amps, P
+                    )
+                )(q, tx_v)
+
+            w_ev_t = jnp.moveaxis(w_ev_r[:, :n_evals], 0, 1)
+            eks_t = jnp.moveaxis(eks_r, 0, 1)  # (n_evals, runs, 2)
+            packed = jax.lax.map(one_eval_all, (w_ev_t, eks_t))
+            return jnp.moveaxis(packed, 0, 1)  # (runs, n_evals, 3)
 
         def agg():
             rx_r = jax.vmap(gen_run)(run_ids)  # (runs, E, 2, n_samp)
@@ -284,7 +309,7 @@ def _run_siso_frame_experiment(
             w_ev_r = jnp.moveaxis(w_ev, 2, 1).reshape(
                 (runs, n_evals + 1) + w_ev.shape[3:]
             )
-            packed = jax.vmap(eval_run)(run_ids, w_ev_r)  # (runs, n_evals, 3)
+            packed = eval_all(w_ev_r)  # (runs, n_evals, 3)
             flat = lambda a: a.reshape((runs,) + a.shape[2:])
             return packed, {"w": flat(w1), "h": flat(h1)}
 

@@ -646,3 +646,54 @@ def test_frame_experiment_snr_vec(monkeypatch):
     # lower SNR -> larger demapper variance and (statistically) worse SER
     assert np.all(np.asarray(mixed["var_runs"])[2:] > np.asarray(ref["var"]))
     assert not np.allclose(mixed["ser"][2:], ref["ser"][2:])
+
+
+def test_frame_experiment_nu_vec(monkeypatch):
+    """nu_vec through train_vae_dp (sweep nu-axis batching): a constant nu
+    vector equal to the config's nu must reproduce the scalar runs path
+    (same keys, same pmf draws, same folded constants); mixed nu changes
+    the sampling pmf, the demapper met/KL constants and the variance per
+    run — shaped runs (nu > 0) report a lower source entropy ceiling."""
+    from vae_equalizer_tpu.train.dp import train_vae_dp
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    _interpret_kernels(monkeypatch)
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+
+    orig = fk.vae_dp_frame_train_pallas_rb
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+
+    cfg = DpConfig(
+        mod="64-QAM", snr_db=23.0, nu=0.0, num_frames=2, n_frame_max=400,
+        batch_len=100, n_lrhalf=10**6,
+    )
+    key = jax.random.PRNGKey(2)
+    kw = dict(runs=4, use_pallas="frame", runs_batch=2)
+    ref = train_vae_dp(cfg, key, **kw)
+    same = train_vae_dp(cfg, key, nu_vec=[0.0] * 4, **kw)
+    np.testing.assert_allclose(same["ser"], ref["ser"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        same["params"]["w"], ref["params"]["w"], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(same["var_runs"], np.tile(ref["var"], (4, 1)),
+                               rtol=1e-6)
+
+    nu_hi = 0.0872449  # reference grid value, entropy 4.6 bits
+    mixed = train_vae_dp(cfg, key, nu_vec=[0.0, 0.0, nu_hi, nu_hi], **kw)
+    np.testing.assert_allclose(mixed["ser"][:2], ref["ser"][:2],
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(mixed["ser"][2:], ref["ser"][2:])
+    # the shaped runs' demapper variance reflects the smaller pow_mean
+    from vae_equalizer_tpu.core import make_constellation
+    from vae_equalizer_tpu.core.constellation import demapper_noise_var
+
+    want_var = demapper_noise_var(make_constellation("64-QAM", nu_hi), 23.0)
+    np.testing.assert_allclose(np.asarray(mixed["var_runs"])[2:],
+                               np.full((2, 2), want_var, np.float32),
+                               rtol=1e-6)
+    # MI of a shaped source is bounded by its entropy (4.6 < 6 bits) — at
+    # 2 frames nothing has converged, but the per-run prior must differ:
+    assert np.isfinite(mixed["mi"]).all()

@@ -302,3 +302,49 @@ def test_sweep_batch_lr_and_snr_axes(tmp_path, monkeypatch):
     assert ser.shape == (4, 2, 2, 1, 2) and np.all(np.isfinite(ser))
     var_mat = assemble_mat(results, axes_values, 1, (2,), key="var")
     assert var_mat.shape == (2, 2, 2, 1, 1)
+
+
+def test_sweep_batch_nu_axis(tmp_path, monkeypatch):
+    """batch_nu_axis: a 2-nu grid (uniform + shaped, the reference's nu_vec
+    values) runs as ONE call; each point's record carries its own config and
+    its own nu-dependent demapper variance."""
+    import vae_equalizer_tpu.ops.frame_kernel as fk
+    from vae_equalizer_tpu.parallel.sweep import run_sweep
+    from vae_equalizer_tpu.utils.config import DpConfig
+
+    orig = fk.vae_dp_frame_train_pallas_rb
+    monkeypatch.setattr(
+        fk, "vae_dp_frame_train_pallas_rb",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    calls = {"n": 0}
+    real_vae = dict(run_sweep.__globals__["RUNNERS"])["VAE"]
+
+    def counting(cfg, k, **kw):
+        calls["n"] += 1
+        return real_vae(cfg, k, **kw)
+
+    monkeypatch.setitem(run_sweep.__globals__["RUNNERS"], "VAE", counting)
+
+    base = DpConfig(mod="64-QAM", num_frames=2, n_frame_max=400,
+                    batch_len=100, n_lrhalf=10**6)
+    axes = {"nu": [0.0, 0.0872449]}
+    results, axes_values, jsonl = run_sweep(
+        "VAE", base, axes, iters=2, key=jax.random.PRNGKey(11),
+        out_dir=tmp_path, tag="bn",
+        runner_kwargs={"use_pallas": "frame", "runs_batch": 2},
+        batch_nu_axis=True,
+    )
+    assert calls["n"] == 1  # both nu points in one call
+    assert len(results) == 2
+    from vae_equalizer_tpu.core import make_constellation
+    from vae_equalizer_tpu.core.constellation import demapper_noise_var
+
+    for rec in results:
+        assert np.all(np.isfinite(np.asarray(rec["ser"])))
+        want = demapper_noise_var(
+            make_constellation("64-QAM", rec["config"]["nu"]), base.snr_db)
+        np.testing.assert_allclose(np.asarray(rec["var"]),
+                                   np.full(2, want, np.float32), rtol=1e-6)
+    ser = assemble_mat(results, axes_values, 2, (4,))
+    assert ser.shape == (4, 2, 2, 2) and np.all(np.isfinite(ser))

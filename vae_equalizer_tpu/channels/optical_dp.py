@@ -127,15 +127,21 @@ def make_dp_simulator(
         np.stack([np.cos(phi_iq), -np.sin(phi_iq)]).astype(np.float32)
     )  # (2 re/im, 2 pol)
 
-    def generate(key: jax.Array, theta: jnp.ndarray, snr_lin_r=None):
+    def generate(key: jax.Array, theta: jnp.ndarray, snr_lin_r=None,
+                 P_r=None):
         # snr_lin_r: optional traced per-call SNR override (linear), so runs
         # at different SNRs can share one vmapped generator program (the
-        # sweep snr-axis batching); None keeps the closure's static value
+        # sweep snr-axis batching); None keeps the closure's static value.
+        # P_r: optional traced per-call PCS pmf override (the sweep nu-axis
+        # batching — nu enters the generator only through the sampling pmf;
+        # the level grid ``amps`` is normalized over the uniform grid and is
+        # nu-INDEPENDENT, constellation.py:103).
         snr = snr_lin if snr_lin_r is None else snr_lin_r
         k_sym, k_noise = jax.random.split(key)
         # 4 independent amplitude streams: (pol*2, n_conv) like the reference's
         # rng.choice(amps, (pol*2, N_conv), p=P)
-        data = sample_levels(k_sym, amps, P, (pol * 2, n_conv))
+        data = sample_levels(k_sym, amps, P if P_r is None else P_r,
+                             (pol * 2, n_conv))
         # (pol, 2, up_len) zero-inserted upsampling as interleave+reshape
         # (a strided scatter costs ~0.1 ms/frame on TPU); data row = pol*2+c
         d4 = data.reshape(pol, 2, n_conv)

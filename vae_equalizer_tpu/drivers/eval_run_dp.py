@@ -50,6 +50,12 @@ def main(argv=None):
                         "noise in the generator + per-run demapper variance "
                         "folded into the kernel's selection constants "
                         "(VAE/VAEflex with --pallas-frame)")
+    p.add_argument("--batch-nu-axis", action="store_true",
+                   help="like --batch-lr-axis for the shaping-parameter nu "
+                        "axis: per-run PCS pmf in the generator's sampler + "
+                        "per-run nu_sc/prior/variance in the kernel and eval "
+                        "(the level grid is nu-independent, so all nu values "
+                        "share one program; VAE/VAEflex with --pallas-frame)")
     p.add_argument("--stream-bf16", action="store_true",
                    help="store the frame kernel's q/out output streams as "
                         "bfloat16 (with --pallas-frame + runs): halves the "
@@ -68,11 +74,11 @@ def main(argv=None):
         p.error("--pallas and --pallas-frame are mutually exclusive")
     if args.runs_batch and not args.pallas_frame:
         p.error("--runs-batch needs --pallas-frame")
-    if (args.batch_lr_axis or args.batch_snr_axis) and (
+    if (args.batch_lr_axis or args.batch_snr_axis or args.batch_nu_axis) and (
         not args.pallas_frame or args.loss_type not in ("VAE", "VAEflex")
     ):
-        p.error("--batch-lr-axis/--batch-snr-axis need --pallas-frame and "
-                "--loss-type VAE or VAEflex")
+        p.error("--batch-lr-axis/--batch-snr-axis/--batch-nu-axis need "
+                "--pallas-frame and --loss-type VAE or VAEflex")
     if args.stream_bf16 and not args.pallas_frame:
         p.error("--stream-bf16 needs --pallas-frame")
     # kernel-path support comes from the runners' own table so the CLI can
@@ -144,7 +150,7 @@ def main(argv=None):
         runner_name, base, axes, iters, key, mesh=mesh, out_dir=args.out,
         tag=f"{args.loss_type}_DP_{args.mod}", progress=make_progress(args.verbose),
         compiled=args.compiled, batch_lr_axis=args.batch_lr_axis,
-        batch_snr_axis=args.batch_snr_axis,
+        batch_snr_axis=args.batch_snr_axis, batch_nu_axis=args.batch_nu_axis,
         **sweep_resume_kwargs(args),
         runner_kwargs={
             **({"use_pallas": True} if args.pallas else {}),

@@ -790,7 +790,22 @@ def vae_dp_frame_train_pallas_rb(
         )
         selv3 = jnp.broadcast_to(selv5[None], (n_gp, nl4, 5))
     brow = lambda v: jnp.broadcast_to(v[None, :, None], (n_gp, nl4, n_sym))
-    amp232n = brow(jnp.float32(nu_sc) * a_row * a_row)
+    per_run_nu = jnp.ndim(nu_sc) > 0
+    if per_run_nu:
+        # per-run shaping factor (sweep nu-axis batching): nu enters the
+        # kernel ONLY through this met constant and the KL prior below —
+        # the body is nu-independent
+        if jnp.shape(nu_sc) != (n_rb,):
+            raise ValueError(
+                f"per-run nu_sc must have shape ({n_rb},), got {jnp.shape(nu_sc)}"
+            )
+        amp232n = jnp.broadcast_to(
+            (jnp.asarray(nu_sc, jnp.float32)[:, None]
+             * (a_row * a_row)[None, :])[:, :, None],
+            (n_gp, nl4, n_sym),
+        )
+    else:
+        amp232n = brow(jnp.float32(nu_sc) * a_row * a_row)
     # [selg*amp | selg*amp^2] against the stacked (gE; gVar) rows (backward
     # gq build in ONE dot; columns in GROUP order so the gev8 assembly reads
     # geq/eq4 in their native layout), and sels with 2 s_pol folded in
@@ -824,9 +839,18 @@ def vae_dp_frame_train_pallas_rb(
         (n_gp, 4, nl4),
     )
     p_f = P.astype(jnp.float32)
-    pfull4 = jnp.broadcast_to(
-        jnp.tile(p_f, 4)[None, :, None], (n_gp, nl4, n_sym)
-    )
+    if jnp.ndim(P) == 2:  # per-run PCS pmf (sweep nu-axis batching)
+        if jnp.shape(P)[0] != n_rb:
+            raise ValueError(
+                f"per-run P must have leading dim {n_rb}, got {jnp.shape(P)}"
+            )
+        pfull4 = jnp.broadcast_to(
+            jnp.tile(p_f, (1, 4))[:, :, None], (n_gp, nl4, n_sym)
+        )
+    else:
+        pfull4 = jnp.broadcast_to(
+            jnp.tile(p_f, 4)[None, :, None], (n_gp, nl4, n_sym)
+        )
     t_np = _np.arange(n_sym)
     inner_np = ((t_np >= mh) & (t_np < n_sym - mh)).astype(_np.float32)
     tmask32 = jnp.broadcast_to(
@@ -883,7 +907,9 @@ def vae_dp_frame_train_pallas_rb(
     scal = jnp.stack(
         [var[0, 0] if per_run_var else var[0],
          var[0, 1] if per_run_var else var[1],
-         jnp.float32(nu_sc), jnp.float32(1e-12),
+         # the body never reads the nu slot (nu is folded into amp232n);
+         # run 0's value keeps the scal shape uniform, like the var slots
+         jnp.asarray(nu_sc, jnp.float32).reshape(-1)[0], jnp.float32(1e-12),
          jnp.float32(0.0) if per_run_lr else jnp.float32(lr),
          jnp.float32(lr_half_step), jnp.float32(step0),
          jnp.float32(0.0)]

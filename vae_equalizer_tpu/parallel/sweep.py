@@ -80,6 +80,7 @@ def run_sweep(
     checkpoint_every: int = 0,
     batch_lr_axis: bool = False,
     batch_snr_axis: bool = False,
+    batch_nu_axis: bool = False,
 ):
     """Run a full grid; returns list of per-point results.
 
@@ -170,7 +171,7 @@ def run_sweep(
     point_groups: dict = {}
     want = ([("lr", "lr_vec")] if batch_lr_axis else []) + (
         [("snr_db", "snr_vec")] if batch_snr_axis else []
-    )
+    ) + ([("nu", "nu_vec")] if batch_nu_axis else [])
     if want:
         if checkpoint_every:
             raise ValueError(
@@ -218,6 +219,17 @@ def run_sweep(
                     runs=iters * n_pt, mesh=mesh, progress=progress,
                     **vec_kw, **(runner_kwargs or {}),
                 )
+                if (kwargs.get("use_pallas") == "frame"
+                        and "runs_batch" not in kwargs):
+                    # one kernel group if it fits: the runner's default cap
+                    # of 8 split a 15-run lr-batched flagship grid into 3
+                    # serialized groups — measured 10.3 s vs 6.6 s wall with
+                    # rb=15 (kernel VMEM headroom is ~16 runs/group)
+                    n_runs = kwargs["runs"]
+                    kwargs["runs_batch"] = max(
+                        d for d in range(1, min(16, n_runs) + 1)
+                        if n_runs % d == 0
+                    )
                 if compiled and "compiled" in runner_params:
                     kwargs["compiled"] = True
                     kwargs.pop("progress")

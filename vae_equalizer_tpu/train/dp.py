@@ -213,7 +213,7 @@ _CMA_FIELDS = (("loss", 1), ("ser_const", 2), ("ser_soft", 2), ("mi", 2),
 
 def _finish_vae_frame(losses, q_mb, out_mb, var_est, tx, const, amps, P, var,
                       weight_fn, sigma, dec_mb=None, eq_mb=None, mm_mb=None,
-                      s1_mb=None):
+                      s1_mb=None, nu_sc=None, pow_mean=None):
     """Gather the minibatch scan outputs into frame streams, evaluate, and
     pack the frame's metric vector (shared by the VAE and VAEflex loops).
 
@@ -224,11 +224,15 @@ def _finish_vae_frame(losses, q_mb, out_mb, var_est, tx, const, amps, P, var,
     # larger posterior tensor stays in minibatch layout (_dp_frame_eval_mb)
     out_const = jnp.moveaxis(out_mb, 0, 2).reshape(2, 2, n_out)
 
+    # per-run shaping overrides (sweep nu-axis batching); scalars from the
+    # group's base constellation otherwise
+    nu_sc = const.nu_sc if nu_sc is None else nu_sc
+    pow_mean = const.pow_mean if pow_mean is None else pow_mean
     ser_const, ser_soft, mi, shift, r = _dp_frame_eval_mb(
-        q_mb, out_const, tx, amps, P, const.nu_sc, var, weight_fn,
+        q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
         dec_mb=dec_mb, eq_mb=eq_mb, out_mb=out_mb, mm_mb=mm_mb, s1_mb=s1_mb
     )
-    snr_est = const.pow_mean / jnp.mean(var_est)
+    snr_est = pow_mean / jnp.mean(var_est)
     metrics = {
         "loss": losses[-1],
         "ser_const": ser_const,
@@ -263,7 +267,7 @@ def _run_frame_kernel_experiment(
     cfg, key, gen, const, amps, P, var, *, steps_per_frame, stride_sym,
     tx_of, weight_fn, params, runs, mesh, progress, compiled, chunk_frames,
     checkpoint, checkpoint_every, timings, runs_batch=None,
-    stream_bf16=False, lr_vec=None, snr_vec=None,
+    stream_bf16=False, lr_vec=None, snr_vec=None, nu_vec=None,
 ):
     """Shared use_pallas="frame" experiment driver for VAE and VAEflex.
 
@@ -295,9 +299,9 @@ def _run_frame_kernel_experiment(
             raise ValueError(
                 "stream_bf16 needs the runs-batched kernel (set runs)"
             )
-        if lr_vec is not None or snr_vec is not None:
+        if lr_vec is not None or snr_vec is not None or nu_vec is not None:
             raise ValueError(
-                "lr_vec/snr_vec need the runs-batched kernel (set runs)"
+                "lr_vec/snr_vec/nu_vec need the runs-batched kernel (set runs)"
             )
         rb = None
         carry = (params, frame_opt_init(params), jnp.int32(0))
@@ -326,31 +330,70 @@ def _run_frame_kernel_experiment(
                     f"lr_vec must have shape ({runs},), got {lr_vec.shape}"
                 )
             lr_groups = lr_vec.reshape(groups, rb)
-        if snr_vec is None:
+        if nu_vec is None:
+            P_runs = None
+            nu_groups = None  # kernel gets the scalar const.nu_sc
+            pm_runs = np.full((runs,), const.pow_mean, np.float64)
+            P_kernel_g = jnp.broadcast_to(P, (groups,) + P.shape)
+            p_axis = None
+        else:
+            # per-run shaping (sweep nu-axis batching): nu enters through
+            # the sampling pmf (generator), the kernel's met/KL constants,
+            # and the eval's nu_sc/prior/variance — the level grid is
+            # nu-independent (constellation.py:103), so runs at different
+            # nu share every program shape
+            nu_arr = np.asarray(nu_vec, np.float64).reshape(-1)
+            if nu_arr.shape != (runs,):
+                raise ValueError(
+                    f"nu_vec must have shape ({runs},), got {nu_arr.shape}"
+                )
+            consts_r = [make_constellation(cfg.mod, float(v)) for v in nu_arr]
+            P_runs = jnp.asarray(
+                np.stack([np.asarray(c.P, np.float32) for c in consts_r])
+            )  # (runs, n)
+            nu_groups = jnp.asarray(
+                np.asarray([c.nu_sc for c in consts_r], np.float32)
+            ).reshape(groups, rb)
+            pm_runs = np.asarray([c.pow_mean for c in consts_r], np.float64)
+            P_kernel_g = P_runs.reshape(groups, rb, P_runs.shape[-1])
+            p_axis = 0
+        if snr_vec is None and nu_vec is None:
             snr_lin_runs = None
             var_groups = jnp.broadcast_to(var, (groups,) + var.shape)
             var_runs = jnp.broadcast_to(var, (groups, rb) + var.shape)
         else:
-            # per-run SNR (sweep snr-axis batching): per-run noise draw in
-            # the generator + per-run demapper variance folded into the
-            # kernel's selection constants and the eval
-            snr_vec = jnp.asarray(snr_vec, jnp.float32)
-            if snr_vec.shape != (runs,):
-                raise ValueError(
-                    f"snr_vec must have shape ({runs},), got {snr_vec.shape}"
-                )
-            snr_lin_runs = 10.0 ** (snr_vec / 10.0)
-            var_runs = jax.vmap(
-                lambda s: jnp.full((2,), demapper_noise_var(const, s), jnp.float32)
-            )(snr_vec).reshape(groups, rb, 2)
+            # per-run demapper variance: var = pow_mean(nu) / snr_lin / 2
+            # (constellation.demapper_noise_var) — per-run whenever either
+            # axis is batched; per-run noise draw only when SNR varies
+            if snr_vec is None:
+                snr_db_runs = np.full((runs,), cfg.snr_db, np.float32)
+                snr_lin_runs = None
+            else:
+                snr_vec = jnp.asarray(snr_vec, jnp.float32)
+                if snr_vec.shape != (runs,):
+                    raise ValueError(
+                        f"snr_vec must have shape ({runs},), got {snr_vec.shape}"
+                    )
+                snr_db_runs = np.asarray(snr_vec)
+                snr_lin_runs = 10.0 ** (snr_vec / 10.0)
+            # float64 host arithmetic, like demapper_noise_var: the
+            # constant-vector case must reproduce the scalar path's folded
+            # variance bit-for-bit
+            var_runs = jnp.asarray(
+                ((pm_runs / 10.0 ** (np.float64(snr_db_runs) / 10.0) / 2.0)
+                 [:, None] * np.ones((1, 2))).astype(np.float32)
+            ).reshape(groups, rb, 2)
             var_groups = var_runs
+        pm_groups = jnp.asarray(pm_runs, jnp.float32).reshape(groups, rb)
 
     def one_run_finish(losses, out_mb, dec_mb, eq_mb, mm_mb, s1_mb, var_est,
-                       tx_full, sigma, var_r):
+                       tx_full, sigma, var_r, nu_sc_r=None, P_r=None,
+                       pm_r=None):
         return _finish_vae_frame(
-            losses, None, out_mb, var_est, tx_of(tx_full), const, amps, P,
+            losses, None, out_mb, var_est, tx_of(tx_full), const, amps,
+            P if P_r is None else P_r,
             var_r, weight_fn, sigma, dec_mb=dec_mb, eq_mb=eq_mb,
-            mm_mb=mm_mb, s1_mb=s1_mb,
+            mm_mb=mm_mb, s1_mb=s1_mb, nu_sc=nu_sc_r, pow_mean=pm_r,
         )
 
     def crop_flex(*streams):
@@ -379,17 +422,16 @@ def _run_frame_kernel_experiment(
             return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 
         keys = jax.random.split(key, runs)
-        if snr_lin_runs is None:
-            rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None))(keys, theta)
-        else:
-            rx, tx_full, sigma = jax.vmap(gen, in_axes=(0, None, 0))(
-                keys, theta, snr_lin_runs
-            )
+        rx, tx_full, sigma = jax.vmap(
+            gen,
+            in_axes=(0, None, None if snr_lin_runs is None else 0, p_axis),
+        )(keys, theta, snr_lin_runs, P_runs)
         rx_g = rx.reshape((groups, rb) + rx.shape[1:])
 
-        def kernel_group(p, o, rxg, lrg, varg):
+        def kernel_group(p, o, rxg, lrg, varg, nug, pg):
             res = vae_dp_frame_train_pallas_rb(
-                p["w"], p["h"], o, rxg, amps, varg, const.nu_sc, P,
+                p["w"], p["h"], o, rxg, amps, varg,
+                const.nu_sc if nug is None else nug, pg,
                 lrg, count.astype(jnp.float32),
                 jnp.float32(thresh), bl_sym=cfg.batch_len, stride_sym=stride_sym,
                 stream_bf16=stream_bf16, emit_eval=True, emit_q=False,
@@ -398,19 +440,23 @@ def _run_frame_kernel_experiment(
             return res[:5] + res[6:]
 
         (w, h, opt, losses, var_est, out_mb, dec_mb, eq_mb, mm_mb,
-         s1_mb) = jax.vmap(kernel_group)(
-            params, opt, rx_g, lr_groups, var_groups
-        )
+         s1_mb) = jax.vmap(
+            kernel_group,
+            in_axes=(0, 0, 0, 0, 0, None if nu_groups is None else 0, 0),
+        )(params, opt, rx_g, lr_groups, var_groups, nu_groups, P_kernel_g)
         # batched eval via nested (groups, rb) vmaps — flattening the kernel
         # outputs to a runs axis first would transpose ~MB/run per frame
         out_mb, dec_mb, eq_mb, mm_mb, s1_mb = crop_flex(
             out_mb, dec_mb, eq_mb, mm_mb, s1_mb)
         tx_g = tx_full.reshape((groups, rb) + tx_full.shape[1:])
         sigma_g = sigma.reshape((groups, rb) + sigma.shape[1:])
+        nu_ax = None if nu_groups is None else 0
         packed = jax.vmap(
-            jax.vmap(one_run_finish, in_axes=(1, 1, 1, 1, 1, 1, 1, 0, 0, 0))
+            jax.vmap(one_run_finish,
+                     in_axes=(1, 1, 1, 1, 1, 1, 1, 0, 0, 0, nu_ax, nu_ax, 0))
         )(losses, out_mb, dec_mb, eq_mb, mm_mb, s1_mb, var_est, tx_g, sigma_g,
-          var_runs)  # (groups, rb, n_tot)
+          var_runs, nu_groups, P_kernel_g if nu_groups is not None else None,
+          pm_groups)  # (groups, rb, n_tot)
         packed = packed.reshape((runs,) + packed.shape[2:])
         return ({"w": w, "h": h}, opt, count + steps_per_frame), packed
 
@@ -424,9 +470,9 @@ def _run_frame_kernel_experiment(
         params = jax.tree.map(lambda x: x.reshape((runs,) + x.shape[2:]), params)
     prefix = () if runs is None else (runs,)
     extra = {}
-    if snr_vec is not None:
+    if snr_vec is not None or nu_vec is not None:
         # per-run demapper variance (the sweep's per-point "var" under
-        # snr-axis batching; the scalar "var" slot keeps cfg's value)
+        # snr-/nu-axis batching; the scalar "var" slot keeps cfg's value)
         extra["var_runs"] = np.asarray(var_runs.reshape(runs, 2))
     return _dp_result(hist, var, prefix, cfg.num_frames, params=params, **extra)
 
@@ -448,6 +494,7 @@ def train_vae_dp(
     stream_bf16: bool = False,
     lr_vec=None,
     snr_vec=None,
+    nu_vec=None,
 ):
     """VAE-LE butterfly, online frame training on the optical DP channel.
 
@@ -486,11 +533,11 @@ def train_vae_dp(
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
             runs_batch=runs_batch, stream_bf16=stream_bf16,
-            lr_vec=lr_vec, snr_vec=snr_vec,
+            lr_vec=lr_vec, snr_vec=snr_vec, nu_vec=nu_vec,
         )
 
-    if lr_vec is not None or snr_vec is not None:
-        raise ValueError('lr_vec/snr_vec need use_pallas="frame"')
+    if lr_vec is not None or snr_vec is not None or nu_vec is not None:
+        raise ValueError('lr_vec/snr_vec/nu_vec need use_pallas="frame"')
     opt = _vae_optimizer(cfg, m_max)
     carry = init_carry(params, opt, runs, mesh)
 
@@ -557,6 +604,7 @@ def train_vae_flex_dp(
     stream_bf16: bool = False,
     lr_vec=None,
     snr_vec=None,
+    nu_vec=None,
 ):
     """VAEflex: overlapping sliding-window minibatches with central crop.
 
@@ -595,11 +643,11 @@ def train_vae_flex_dp(
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,
             runs_batch=runs_batch, stream_bf16=stream_bf16,
-            lr_vec=lr_vec, snr_vec=snr_vec,
+            lr_vec=lr_vec, snr_vec=snr_vec, nu_vec=nu_vec,
         )
 
-    if lr_vec is not None or snr_vec is not None:
-        raise ValueError('lr_vec/snr_vec need use_pallas="frame"')
+    if lr_vec is not None or snr_vec is not None or nu_vec is not None:
+        raise ValueError('lr_vec/snr_vec/nu_vec need use_pallas="frame"')
 
     opt = _vae_optimizer(cfg, n_windows)
     carry = init_carry(params, opt, runs, mesh)

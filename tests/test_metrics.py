@@ -517,3 +517,45 @@ def test_mi_ambiguity_mb_stats_matches_posterior_form():
             jnp.asarray(tx), amps, P, nu_sc, var, weight=w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_align_idx_dp_matches_align_tx_dp():
+    """The index-domain alignment (roll int8 indices + direct shifted-mask
+    build, round-5 align lever) must reproduce align_tx_dp exactly:
+    amps[idx_al] == tx_al and w_al == rolled mask, for both weight builders
+    and the full (shift, r) range."""
+    from vae_equalizer_tpu.metrics.ser import _decode_levels
+    from vae_equalizer_tpu.train.eval_utils import (
+        align_idx_dp,
+        align_tx_dp,
+        batch_cut_weight,
+        margin_weight_maxshift,
+    )
+
+    rng = np.random.default_rng(13)
+    num_lev, m_max, bl = 8, 6, 100
+    N = m_max * bl
+    amps = jnp.asarray(
+        (2 * np.arange(num_lev) - (num_lev - 1)) / np.sqrt(2 * (num_lev**2 - 1) / 3),
+        jnp.float32,
+    )
+    tx = jnp.asarray(np.asarray(amps)[rng.integers(0, num_lev, size=(2, 2, N))])
+    idx = _decode_levels(tx, num_lev).astype(jnp.int8)
+
+    for r_val in (0, 1):
+        for s0, s1 in ((0, 0), (10, -10), (-7, 3)):
+            shift = jnp.asarray([s0, s1], jnp.int32)
+            r = jnp.int32(r_val)
+            ms = jnp.max(jnp.abs(shift))
+            for build, build_t in (
+                (lambda: batch_cut_weight(m_max, bl, shift[0], ms, 11),
+                 lambda t: batch_cut_weight(m_max, bl, shift[0], ms, 11, t=t)),
+                (lambda: margin_weight_maxshift(N, ms),
+                 lambda t: margin_weight_maxshift(N, ms, t=t)),
+            ):
+                w = build()
+                tx_al, w_al = align_tx_dp(tx, shift, r, w)
+                idx_al, w_al2 = align_idx_dp(idx, shift, r, build_t)
+                np.testing.assert_array_equal(
+                    np.asarray(amps)[np.asarray(idx_al)], np.asarray(tx_al))
+                np.testing.assert_array_equal(np.asarray(w_al2), np.asarray(w_al))

@@ -273,6 +273,7 @@ def mutual_information_ambiguity_mb_stats(
     var: jnp.ndarray,
     weight: jnp.ndarray | None = None,
     eps: float = 1e-12,
+    tx_idx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """``mutual_information_ambiguity_mb`` from demapper SUFFICIENT STATISTICS
     instead of the posterior stream (round 5, VERDICT r4 item 5).
@@ -301,7 +302,9 @@ def mutual_information_ambiguity_mb_stats(
         return jnp.moveaxis(a.reshape(a.shape[:-1] + (n_mb, bl)), -2, 0)
 
     amps_f = amps.astype(jnp.float32)
-    idx = _decode_levels(tx, n)  # (2, 2, N)
+    # tx_idx: precomputed (2, 2, N) level indices (the round-5 align lever
+    # rolls index planes instead of amplitudes); decoded from tx otherwise
+    idx = _decode_levels(tx, n) if tx_idx is None else tx_idx  # (2, 2, N)
     idx_i = to_mb(idx[:, 0, :]).astype(jnp.int8)  # (n_mb, 2, bl)
     idx_q = to_mb(idx[:, 1, :]).astype(jnp.int8)
     lp = jnp.log2(P.astype(jnp.float32))  # (n,)

@@ -146,6 +146,7 @@ def ser_iqflip_from_dec(
     tx: jnp.ndarray,
     num_lev: int,
     weight: jnp.ndarray | None = None,
+    tx_idx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """``ser_iqflip`` ambiguity search from precomputed integer decisions.
 
@@ -163,7 +164,11 @@ def ser_iqflip_from_dec(
     sets, bit for bit."""
     full = 2 * ((num_lev - 1) / 2)
     dec = dec.astype(jnp.int32)
-    data = _decode_levels(tx, num_lev)  # (2, 2, N)
+    # tx_idx: precomputed (2, 2, N) level indices (any int dtype) — the
+    # round-5 align lever rolls the int8 index planes instead of the f32
+    # amplitudes, so aligned callers pass indices directly
+    data = (_decode_levels(tx, num_lev) if tx_idx is None
+            else tx_idx.astype(jnp.int32))  # (2, 2, N)
     d_i, d_q = dec[:, 0], dec[:, 1]
     inv = lambda a: (full - a.astype(jnp.float32)).astype(jnp.int32)
     i_i, i_q = inv(d_i), inv(d_q)
@@ -218,6 +223,7 @@ def ser_constell_shaping(
     nu_sc: float,
     var: jnp.ndarray,
     weight: jnp.ndarray | None = None,
+    tx_idx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-pol SER from constellation output with PCS decision boundaries. DP.
 
@@ -230,14 +236,28 @@ def ser_constell_shaping(
     """
     num_lev = amps.shape[0]
     full = 2 * ((num_lev - 1) / 2)
-    data = _decode_levels(tx, num_lev)
+    if tx_idx is None:
+        data = _decode_levels(tx, num_lev)
+        txf = tx.astype(jnp.float32)
+        tx_i, tx_q = txf[:, 0], txf[:, 1]
+    else:
+        # precomputed level indices (round-5 align lever): the amplitude
+        # planes reconstruct gather-free for the magnitude normalization
+        data = tx_idx.astype(jnp.int32)
+
+        def _sel(idxc):
+            out = jnp.zeros(idxc.shape, jnp.float32)
+            for lev in range(num_lev):
+                out = out + jnp.where(idxc == lev, amps[lev], 0.0)
+            return out
+
+        tx_i, tx_q = _sel(data[:, 0]), _sel(data[:, 1])
     data_i, data_q = data[:, 0], data[:, 1]
     data_q_inv = (full - data_q.astype(jnp.float32)).astype(jnp.int32)
 
     d_vec = (1 + 2 * nu_sc * var[0]) * (amps[:-1] + amps[1:]) / 2
 
-    txf = tx.astype(jnp.float32)
-    mag_tx = _wmean(jnp.sqrt(txf[:, 0] ** 2 + txf[:, 1] ** 2), weight, axis=(0, -1))
+    mag_tx = _wmean(jnp.sqrt(tx_i ** 2 + tx_q ** 2), weight, axis=(0, -1))
     mag_rx = _wmean(jnp.sqrt(rx[:, 0] ** 2 + rx[:, 1] ** 2), weight, axis=(0, -1))
     rx = rx * (mag_tx / mag_rx)
 

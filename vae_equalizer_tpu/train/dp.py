@@ -36,6 +36,7 @@ from ..metrics import (
     ser_iqflip,
     ser_iqflip_from_dec,
 )
+from ..metrics.ser import _decode_levels
 from ..metrics.mi import (
     mutual_information_ambiguity,
     mutual_information_ambiguity_mb_sp,
@@ -54,7 +55,12 @@ from ..models import (
 from ..models.losses import elbo_dp
 from ..utils.config import DpConfig
 from .batching import broadcast_runs, shard_runs
-from .eval_utils import align_tx_dp, batch_cut_weight, margin_weight_maxshift
+from .eval_utils import (
+    align_idx_dp,
+    align_tx_dp,
+    batch_cut_weight,
+    margin_weight_maxshift,
+)
 from .harness import Progress, init_carry, pack_metrics, run_frame_loop
 from .modes import check_pallas_mode
 
@@ -171,31 +177,51 @@ def _dp_frame_eval_mb(q_mb, out_const, tx, amps, P, nu_sc, var, weight_fn,
     else:
         e = jnp.moveaxis(eq_mb.astype(jnp.float32), 0, 1).reshape(2, -1)
         shift, r = _dp_shift_core(e, tx, 21, corr_len=_SYNC_CORR_LEN)
-    w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
-    tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
     if dec_mb is None:
         dec = iqflip_decisions_mb(q_mb)
     else:
         n_mb, _, _, bl = dec_mb.shape
         dec = jnp.moveaxis(dec_mb, 0, 2).reshape(2, 2, n_mb * bl)
         dec = dec.astype(jnp.int32)
-    ser_soft = jnp.roll(ser_iqflip_from_dec(dec, tx_al, num_lev, weight=w_al), r)
+    shift_c, r_c = find_shift_symb_dp(out_const, tx, 21, corr_len=_SYNC_CORR_LEN)
     if use_stats_mi:
-        # sufficient-statistics MI (round 5): reads the 12-row
-        # (out, mm, s1) streams instead of the 2n-row posterior stream
+        # round-5 align lever: both alignments roll the int8 LEVEL-INDEX
+        # planes (4x less traffic than the f32 amplitudes) and build the
+        # rolled eval masks directly at shifted positions (zero roll
+        # passes) — the tx/weight align rolls were the largest eval
+        # sub-stage at R=128 (artifacts/r5_eval_syncfine.log)
+        idx = _decode_levels(tx, num_lev).astype(jnp.int8)
+        ms = jnp.max(jnp.abs(shift))
+        idx_al, w_al = align_idx_dp(
+            idx, shift, r, lambda t: weight_fn(shift[0], ms, t=t))
+        ser_soft = jnp.roll(
+            ser_iqflip_from_dec(dec, None, num_lev, weight=w_al,
+                                tx_idx=idx_al), r)
         mi = jnp.roll(
             mutual_information_ambiguity_mb_stats(
-                out_mb, mm_mb, s1_mb, tx_al, amps, P, nu_sc, var, weight=w_al
+                out_mb, mm_mb, s1_mb, None, amps, P, nu_sc, var,
+                weight=w_al, tx_idx=idx_al
             ), r
         )
-    else:
-        # single-read level sweep: ~2.1 vs ~3.1 ms/frame at R=128/rb=16/bf16
-        # on v5e (tools/profile_eval.py mb_mi_sp vs mb_mi)
-        mi = jnp.roll(
-            mutual_information_ambiguity_mb_sp(q_mb, tx_al, amps, P, weight=w_al), r
+        ms_c = jnp.max(jnp.abs(shift_c))
+        idx_al_c, w_al_c = align_idx_dp(
+            idx, shift_c, r_c, lambda t: weight_fn(shift_c[0], ms_c, t=t))
+        ser_const = jnp.roll(
+            ser_constell_shaping(out_const, None, amps, nu_sc, var,
+                                 weight=w_al_c, tx_idx=idx_al_c),
+            r_c,
         )
+        return ser_const, ser_soft, mi, shift, r
 
-    shift_c, r_c = find_shift_symb_dp(out_const, tx, 21, corr_len=_SYNC_CORR_LEN)
+    w_q = weight_fn(shift[0], jnp.max(jnp.abs(shift)))
+    tx_al, w_al = align_tx_dp(tx, shift, r, w_q)
+    ser_soft = jnp.roll(ser_iqflip_from_dec(dec, tx_al, num_lev, weight=w_al), r)
+    # single-read level sweep: ~2.1 vs ~3.1 ms/frame at R=128/rb=16/bf16
+    # on v5e (tools/profile_eval.py mb_mi_sp vs mb_mi)
+    mi = jnp.roll(
+        mutual_information_ambiguity_mb_sp(q_mb, tx_al, amps, P, weight=w_al), r
+    )
+
     w_c = weight_fn(shift_c[0], jnp.max(jnp.abs(shift_c)))
     tx_al_c, w_al_c = align_tx_dp(tx, shift_c, r_c, w_c)
     ser_const = jnp.roll(
@@ -526,8 +552,8 @@ def train_vae_dp(
         return _run_frame_kernel_experiment(
             cfg, key, gen, const, amps, P, var, steps_per_frame=m_max,
             stride_sym=None, tx_of=lambda tx: tx,
-            weight_fn=lambda s0, ms: batch_cut_weight(
-                m_max, cfg.batch_len, s0, ms, cfg.n_cut
+            weight_fn=lambda s0, ms, t=None: batch_cut_weight(
+                m_max, cfg.batch_len, s0, ms, cfg.n_cut, t=t
             ),
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
@@ -638,7 +664,8 @@ def train_vae_flex_dp(
             tx_of=lambda tx_full: jax.lax.dynamic_slice_in_dim(
                 tx_full, cfg.batch_len // 2, m_max, 2
             ),
-            weight_fn=lambda s0, ms: margin_weight_maxshift(m_max, ms),
+            weight_fn=lambda s0, ms, t=None: margin_weight_maxshift(
+                m_max, ms, t=t),
             params=params, runs=runs, mesh=mesh, progress=progress,
             compiled=compiled, chunk_frames=chunk_frames, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, timings=timings,

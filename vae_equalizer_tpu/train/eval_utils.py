@@ -82,6 +82,33 @@ def align_tx_dp(tx: jnp.ndarray, shift, r, weight: jnp.ndarray):
     return tx_al, w_al
 
 
+def align_idx_dp(idx, shift, r, weight_fn_t):
+    """``align_tx_dp`` in the LEVEL-INDEX domain (round-5 align lever).
+
+    idx: (2, 2, N) int8 tx level indices (pre-alignment); weight_fn_t(t) ->
+    (N,) builds the eval mask at traced positions t. Rolls only the int8
+    index planes (4x less traffic than the f32 tx amplitudes) and builds
+    each pol's rolled weight DIRECTLY by evaluating the mask at
+    t = (arange(N) + s) % N — one pass, no roll (the weight/tx rolls were
+    the largest eval sub-stage at R=128, artifacts/r5_eval_syncfine.log).
+    Returns (idx_al (2, 2, N) int8, w_al (2, N) f32) — the same
+    (pair, weight) multiset as align_tx_dp on the decoded tx.
+    """
+    n = idx.shape[-1]
+    swap = r != 0
+    idx_p = jnp.where(swap, idx[::-1], idx)
+    s_p = jnp.where(swap, shift[::-1], shift)
+    idx_al = jnp.stack([roll_bits(idx_p[0], s_p[0]),
+                        roll_bits(idx_p[1], s_p[1])])
+    u = jnp.arange(n)
+    # roll_bits(w, s)[u] = w[(u - s) mod n]: evaluate the mask there
+    w_al = jnp.stack([
+        weight_fn_t((u - s_p[0]) % n),
+        weight_fn_t((u - s_p[1]) % n),
+    ])
+    return idx_al, w_al
+
+
 def margin_weight(n: int, shift, margin: int = MARGIN) -> jnp.ndarray:
     """Weight for the reference's ``x[margin+shift:-margin]`` vs
     ``tx[margin:-margin-shift]`` comparison after roll_time(x, shift):
@@ -90,14 +117,22 @@ def margin_weight(n: int, shift, margin: int = MARGIN) -> jnp.ndarray:
     return ((t >= margin) & (t < n - margin - shift)).astype(jnp.float32)
 
 
-def margin_weight_maxshift(n: int, max_shift, margin: int = MARGIN) -> jnp.ndarray:
-    """Weight for the DP eval trim ``[..., margin : -margin - max|shift|]``."""
-    t = jnp.arange(n)
+def margin_weight_maxshift(n: int, max_shift, margin: int = MARGIN,
+                           t=None) -> jnp.ndarray:
+    """Weight for the DP eval trim ``[..., margin : -margin - max|shift|]``.
+
+    ``t``: optional traced position array — evaluating the mask at shifted
+    positions t = (arange(n) + s) % n IS the rolled mask, built in one pass
+    with no roll (the round-5 align lever: the data-dependent weight rolls
+    were the largest eval sub-stage, artifacts/r5_eval_syncfine.log)."""
+    if t is None:
+        t = jnp.arange(n)
     return ((t >= margin) & (t < n - margin - max_shift)).astype(jnp.float32)
 
 
 def batch_cut_weight(
-    m_max: int, batch_len: int, shift0, max_shift, n_cut: int, margin: int = MARGIN
+    m_max: int, batch_len: int, shift0, max_shift, n_cut: int,
+    margin: int = MARGIN, t=None
 ) -> jnp.ndarray:
     """Weight reproducing the DP VAE eval bookkeeping
     (func_VAELE_DP_MQAM_shaping.py:73-79):
@@ -105,9 +140,18 @@ def batch_cut_weight(
     reshape to (m_max, batch_len), keep the first batch_len - shift0 - n_cut
     symbols of each batch, flatten, then trim [margin : -margin - max_shift].
     Returned flat over the original (m_max * batch_len,) symbol order.
+
+    ``t``: optional traced flat position array (see margin_weight_maxshift)
+    — the mask evaluated at t = (arange(N) + s) % N equals
+    roll_bits(mask, s) with zero roll passes.
     """
-    j = jnp.arange(batch_len)[None, :]
-    m = jnp.arange(m_max)[:, None]
+    if t is None:
+        j = jnp.arange(batch_len)[None, :]
+        m = jnp.arange(m_max)[:, None]
+    else:
+        tt = t.reshape(m_max, batch_len)
+        j = tt % batch_len
+        m = tt // batch_len
     keep_len = batch_len - shift0 - n_cut
     kept = j < keep_len
     pos = m * keep_len + j  # flat index within the kept sequence
